@@ -1,0 +1,59 @@
+"""Deterministic mock WordPiece-style subword tokenizer.
+
+Stands in for the HF tokenizer family (T1 in SURVEY.md §2.4;
+`src/transformer_ner/task.py:585-593`).  The real tokenizer can't ship in
+this sandbox (no network / no weights), so this class implements the same
+*interface contract* the windowing and decode stages rely on:
+
+  - ``tokenize(word) -> [sub, '##sub', ...]`` — deterministic split into
+    continuation-marked pieces (BERT `##` convention,
+    `src/transformer_ner/task.py:158-161`),
+  - special tokens CLS/SEP/PAD plus the added ``[next]`` continuation token
+    (`src/transformer_ner/task.py:646-651`),
+  - ``convert_tokens_to_ids`` via a stable content hash (no global state).
+
+A real HF tokenizer can be dropped in behind the same four methods.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+CLS_TOKEN = "[CLS]"
+SEP_TOKEN = "[SEP]"
+PAD_TOKEN = "[PAD]"
+from clinicaltransformerner_ray.labels import NEXT_TOKEN  # noqa: E402
+
+_SPECIAL_IDS = {PAD_TOKEN: 0, CLS_TOKEN: 1, SEP_TOKEN: 2, NEXT_TOKEN: 3}
+_VOCAB_BASE = len(_SPECIAL_IDS)
+_VOCAB_SIZE = 30_000
+
+
+class MockWordpieceTokenizer:
+    """Deterministic subword splitter: pieces of at most ``piece_len`` chars,
+    continuations prefixed ``##``."""
+
+    def __init__(self, piece_len: int = 4):
+        self.piece_len = piece_len
+
+    def tokenize(self, word: str) -> list[str]:
+        if not word:
+            return []
+        n = self.piece_len
+        pieces = [word[i:i + n] for i in range(0, len(word), n)]
+        return [pieces[0]] + ["##" + p for p in pieces[1:]]
+
+    @staticmethod
+    def _tok_id(tok: str) -> int:
+        if tok in _SPECIAL_IDS:
+            return _SPECIAL_IDS[tok]
+        h = hashlib.blake2b(tok.encode("utf-8"), digest_size=4).digest()
+        return _VOCAB_BASE + int.from_bytes(h, "little") % _VOCAB_SIZE
+
+    def convert_tokens_to_ids(self, tokens: list[str]) -> list[int]:
+        return [self._tok_id(t) for t in tokens]
+
+    @staticmethod
+    def is_continuation(tok: str) -> bool:
+        """BERT-family partial-token test (src/transformer_ner/task.py:158-161)."""
+        return tok.startswith("##")
