@@ -82,11 +82,21 @@ def tags_to_logits(
 ) -> np.ndarray:
     """Mock model head: one-hot-ish logits (peak 8.0, floor from a hash of
     the position) so the argmax/log_softmax decode path (M7) runs for real."""
-    n = len(sub_labels)
-    logits = np.zeros((n, n_labels), dtype=np.float32)
-    for i, lb in enumerate(sub_labels):
-        logits[i, :] = -1.0 + ((i * 2654435761) % 97) / 970.0
-        logits[i, label2idx.get(lb, label2idx["O"])] = 8.0
+    ids = np.asarray([label2idx.get(lb, label2idx["O"]) for lb in sub_labels])
+    return ids_to_logits(ids, n_labels)
+
+
+def ids_to_logits(label_ids: np.ndarray, n_labels: int) -> np.ndarray:
+    """Vectorized mock model head over pre-mapped label ids.
+
+    ``label_ids`` may be 1-D (positions) or 2-D (windows x positions); the
+    returned logits add one trailing axis of size ``n_labels``."""
+    idx = np.arange(label_ids.shape[-1])
+    floor = (-1.0 + ((idx * 2654435761) % 97) / 970.0).astype(np.float32)
+    logits = np.broadcast_to(
+        floor[..., None], label_ids.shape + (n_labels,)
+    ).copy()
+    np.put_along_axis(logits, label_ids[..., None].astype(np.int64), 8.0, axis=-1)
     return logits
 
 

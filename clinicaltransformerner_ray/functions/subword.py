@@ -35,13 +35,23 @@ class MockWordpieceTokenizer:
 
     def __init__(self, piece_len: int = 4):
         self.piece_len = piece_len
+        # memoization: the long tail of repeated words makes both the piece
+        # split and the id hash near-free after warmup (actor-lifetime cache)
+        self._piece_cache: dict[str, list[str]] = {}
+        self._id_cache: dict[str, int] = dict(_SPECIAL_IDS)
 
     def tokenize(self, word: str) -> list[str]:
         if not word:
             return []
+        cached = self._piece_cache.get(word)
+        if cached is not None:
+            return cached
         n = self.piece_len
         pieces = [word[i:i + n] for i in range(0, len(word), n)]
-        return [pieces[0]] + ["##" + p for p in pieces[1:]]
+        out = [pieces[0]] + ["##" + p for p in pieces[1:]]
+        if len(self._piece_cache) < 500_000:
+            self._piece_cache[word] = out
+        return out
 
     @staticmethod
     def _tok_id(tok: str) -> int:
@@ -51,7 +61,16 @@ class MockWordpieceTokenizer:
         return _VOCAB_BASE + int.from_bytes(h, "little") % _VOCAB_SIZE
 
     def convert_tokens_to_ids(self, tokens: list[str]) -> list[int]:
-        return [self._tok_id(t) for t in tokens]
+        cache = self._id_cache
+        out = []
+        for t in tokens:
+            i = cache.get(t)
+            if i is None:
+                i = self._tok_id(t)
+                if len(cache) < 1_000_000:
+                    cache[t] = i
+            out.append(i)
+        return out
 
     @staticmethod
     def is_continuation(tok: str) -> bool:

@@ -1,0 +1,253 @@
+"""The flagship KG-construction pipeline (SURVEY.md §7.1).
+
+    turns ──map_batches(MentionTagger actor pool)──▶ mentions
+          ──map_batches(EntityLinker actor pool)──▶ linked mentions
+          ──batch-local dedup ➜ groupby(conv bucket).map_groups──▶ triples
+          ──groupby(subj,pred,obj).sum──▶ deduped edge table
+    linked mentions ──partial counts ➜ groupby(entity_id)──▶ entity table
+
+Shuffle inventory (SURVEY.md §7.4):
+  #1 triple emission groups by a *salted* conversation key
+     ``(conv_id, turn_idx // salt_span)`` — mega-conversations split into
+     bounded buckets; adjacency needs only ±1 turn of context, so each
+     bucket borrows its successor bucket's first turn as a read-only
+     "ghost" row (emits nothing itself; serves only as the follows target),
+     keeping the salted result byte-identical to the unsalted one.
+  #2 triple dedup groups by (subj, pred, obj) over *pre-deduped* per-batch
+     partials — the all-to-all moves candidate triples, not mention rows.
+  #3 entity canonicalization groups by entity_id over per-batch partial
+     counts (combiner before the shuffle).
+
+Mention rows never take part in a wide shuffle: they flow straight from
+the tagger pool into the linker pool under streaming execution.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
+from clinicaltransformerner_ray.stages.linker import EntityLinker
+from clinicaltransformerner_ray.stages.tagger import MentionTagger
+
+CO_OCCURS = "co_occurs"
+FOLLOWS = "follows"
+
+#: max turns per triple-emission group; a conversation longer than this is
+#: split into salted buckets with 1-turn ghost overlap (skew guard)
+DEFAULT_SALT_SPAN = 512
+
+
+def detect_mentions(
+    turns: rd.Dataset,
+    alias_rows: list[dict],
+    *,
+    max_seq_length: int = 64,
+    noise_mod: int = 5,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 1024,
+) -> rd.Dataset:
+    """turns -> mentions via the tagger actor pool. Alias rows ship once
+    per actor through a ray.put broadcast ref.
+
+    Default concurrency is an autoscaling (min, max) range so the pool
+    never deadlocks waiting for CPUs another stage holds."""
+    ref = ray.put(alias_rows)
+    return turns.map_batches(
+        MentionTagger,
+        fn_constructor_kwargs={
+            "alias_rows_ref": ref,
+            "max_seq_length": max_seq_length,
+            "noise_mod": noise_mod,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def link_mentions(
+    mentions: rd.Dataset,
+    alias_rows: list[dict],
+    *,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 8192,
+) -> rd.Dataset:
+    ref = ray.put(alias_rows)
+    return mentions.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"alias_rows_ref": ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def canonical_entities(linked: rd.Dataset) -> rd.Dataset:
+    """Canonicalization groupby with a batch-local combiner: partial
+    (entity_id, type, surface_norm) counts inside map_batches, tiny final
+    groupby — the all-to-all moves one row per distinct key per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["entity_id", "type", "surface_norm"]).to_pandas()
+        g = df.groupby(["entity_id", "type", "surface_norm"], sort=False).size()
+        out = g.reset_index(name="pn")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = linked.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        by_surf = (
+            g.groupby("surface_norm")["pn"].sum().reset_index()
+            .sort_values(["pn", "surface_norm"], ascending=[False, True])
+        )  # deterministic tie-break: count desc, then lexicographic
+        return pd.DataFrame({
+            "entity_id": [g["entity_id"].iloc[0]],
+            "type": [g["type"].iloc[0]],
+            "canonical_surface": [by_surf["surface_norm"].iloc[0]],
+            "n_mentions": [int(g["pn"].sum())],
+            "n_surfaces": [int(g["surface_norm"].nunique())],
+        })
+
+    return partials.groupby("entity_id").map_groups(finalize, batch_format="pandas")
+
+
+def mention_counts(mentions: rd.Dataset) -> rd.Dataset:
+    """(conv_id, turn_idx, surface_norm, type) -> n_mentions, with a
+    batch-local combiner before the groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["conv_id", "turn_idx", "surface_norm", "type"]).to_pandas()
+        g = df.groupby(["conv_id", "turn_idx", "surface_norm", "type"], sort=False).size()
+        return pa.Table.from_pandas(g.reset_index(name="pn"), preserve_index=False)
+
+    return (
+        mentions.map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "turn_idx", "surface_norm", "type"])
+        .aggregate(Sum("pn", alias_name="n_mentions"))
+    )
+
+
+def _turn_entities(linked: rd.Dataset, salt_span: int) -> rd.Dataset:
+    """Distinct (conv_id, turn_idx, entity_id), pre-deduped per batch, plus
+    the salted bucket key and ghost copies for bucket-boundary turns."""
+
+    def dedup_and_salt(batch: pa.Table) -> pa.Table:
+        df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
+        df = df.drop_duplicates()
+        df["bucket"] = df["turn_idx"] // salt_span
+        df["ghost"] = False
+        # first turn of bucket b also feeds bucket b-1 as the follows target
+        border = df[(df["turn_idx"] % salt_span == 0) & (df["bucket"] > 0)].copy()
+        border["bucket"] -= 1
+        border["ghost"] = True
+        out = pd.concat([df, border], ignore_index=True)
+        out["gkey"] = out["conv_id"] + ":" + out["bucket"].astype(str)
+        return pa.Table.from_pandas(
+            out[["conv_id", "turn_idx", "entity_id", "ghost", "gkey"]],
+            preserve_index=False,
+        )
+
+    return linked.map_batches(dedup_and_salt, batch_format="pyarrow")
+
+
+def emit_triples(
+    linked: rd.Dataset,
+    *,
+    salt_span: int = DEFAULT_SALT_SPAN,
+) -> rd.Dataset:
+    """Adjacency triple emission (shuffle #1) + exact dedup (shuffle #2).
+
+    Output: (subj, pred, obj, n_evidence, first_conv_id, first_turn_idx).
+    """
+    te = _turn_entities(linked, salt_span)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # batch-level dedup is per-batch only; finish it here
+        g = g.drop_duplicates(["turn_idx", "entity_id", "ghost"])
+        conv = g["conv_id"].iloc[0]
+        by_turn: dict[int, list[str]] = {}
+        ghosts: set[int] = set()
+        for t, sub in g.groupby("turn_idx"):
+            by_turn[int(t)] = sorted(set(sub["entity_id"]))
+            if bool(sub["ghost"].all()):
+                ghosts.add(int(t))
+        subs, preds, objs, convs, tis = [], [], [], [], []
+        for t, ents in by_turn.items():
+            if t not in ghosts:
+                for i in range(len(ents)):
+                    for j in range(i + 1, len(ents)):
+                        subs.append(ents[i]); preds.append(CO_OCCURS); objs.append(ents[j])
+                        convs.append(conv); tis.append(t)
+                nxt = by_turn.get(t + 1)
+                if nxt:
+                    for a in ents:
+                        for b in nxt:
+                            if a != b:
+                                subs.append(a); preds.append(FOLLOWS); objs.append(b)
+                                convs.append(conv); tis.append(t)
+        return pd.DataFrame({
+            "subj": subs, "pred": preds, "obj": objs,
+            "conv_id": convs, "turn_idx": tis,
+        })
+
+    raw = te.groupby("gkey").map_groups(per_group, batch_format="pandas")
+
+    def partial_dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["subj", "pred", "obj"], sort=False).agg(
+            pn=("conv_id", "size"),
+            pc=("conv_id", "min"),
+            pt=("turn_idx", "min"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = raw.map_batches(partial_dedup, batch_format="pyarrow")
+    deduped = partials.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("pn", alias_name="n_evidence"),
+        Min("pc", alias_name="first_conv_id"),
+        Min("pt", alias_name="first_turn_idx"),
+    )
+    return deduped
+
+
+def kg_pipeline(
+    sf_dir: str,
+    *,
+    max_seq_length: int = 64,
+    noise_mod: int = 5,
+    tagger_concurrency: int | tuple[int, int] = (1, 8),
+    salt_span: int = DEFAULT_SALT_SPAN,
+    materialize_linked: bool = True,
+) -> dict[str, rd.Dataset]:
+    """Compose the full build; returns lazy Datasets keyed by stage.
+
+    ``materialize_linked`` pins the linked-mention table (the extraction is
+    a large reduction of the input, so this is bounded) so the entity and
+    triple branches don't re-run the tagger; at 100 TB scale the equivalent
+    is a write_parquet checkpoint of the mention table re-read by both
+    branches (see state/lineage.py)."""
+    alias_rows = load_alias_rows(sf_dir)
+    turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    mentions = detect_mentions(
+        turns, alias_rows,
+        max_seq_length=max_seq_length,
+        noise_mod=noise_mod,
+        concurrency=tagger_concurrency,
+    )
+    linked = link_mentions(mentions, alias_rows)
+    if materialize_linked:
+        linked = linked.materialize()
+    return {
+        "mentions": mentions,
+        "linked": linked,
+        "entities": canonical_entities(linked),
+        "triples": emit_triples(linked, salt_span=salt_span),
+    }

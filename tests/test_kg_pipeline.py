@@ -1,0 +1,154 @@
+"""End-to-end KG pipeline conformance: Ray pipeline vs sequential oracle
+vs DuckDB SQL, plus the salting-equivalence and decode-equivalence
+properties."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def synth_paths():
+    from clinicaltransformerner_ray.synth import ensure_synth
+
+    return ensure_synth(SF)
+
+
+@pytest.fixture(scope="module")
+def alias_rows(synth_paths):
+    return pq.read_table(synth_paths["aliases"]).to_pylist()
+
+
+@pytest.fixture(scope="module")
+def seq_result(synth_paths, alias_rows):
+    from clinicaltransformerner_ray.functions.lexicon import Lexicon
+    from clinicaltransformerner_ray.functions.seq_extract import extract_all
+
+    turns = pq.read_table(synth_paths["turns"]).to_pylist()
+    lex = Lexicon(
+        (tuple(r["alias"].split(" ")), r["type"], r["entity_id"]) for r in alias_rows
+    )
+    return extract_all(turns, lex)
+
+
+@pytest.fixture(scope="module")
+def kg_out(ray_session):
+    from clinicaltransformerner_ray.pipelines.kg import kg_pipeline
+
+    return kg_pipeline(SF)
+
+
+def test_triples_match_sequential_oracle_exactly(kg_out, seq_result):
+    """BASELINE.md correctness gate: P/R >= 0.95 vs the reference-semantics
+    extractor — exact equality expected for the deterministic tagger."""
+    tri = kg_out["triples"].to_pandas()
+    got = {(r.subj, r.pred, r.obj): int(r.n_evidence) for r in tri.itertuples()}
+    assert got == seq_result["triples"]
+
+
+def test_mentions_match_sequential_oracle(kg_out, seq_result):
+    ms = kg_out["mentions"].to_pandas()
+    got = sorted(
+        map(tuple, ms[["conv_id", "turn_idx", "surface_norm", "start", "end", "type"]].values)
+    )
+    want = sorted(
+        (m["conv_id"], m["turn_idx"], m["surface_norm"], m["start"], m["end"], m["type"])
+        for m in seq_result["mentions"]
+    )
+    assert got == want
+
+
+def test_entities_match_sequential_oracle(kg_out, seq_result):
+    ents = kg_out["entities"].to_pandas()
+    got = dict(zip(ents.entity_id, ents.n_mentions.astype(int)))
+    assert got == seq_result["entities"]
+
+
+def test_salted_equals_unsalted(ray_session, kg_out):
+    """Skew salting (bucketed conv groups + ghost-overlap rows) must be
+    byte-identical to the unsalted grouping."""
+    from clinicaltransformerner_ray.pipelines.kg import emit_triples, kg_pipeline
+
+    salted = kg_pipeline(SF, salt_span=4)["triples"].to_pandas()
+    base = kg_out["triples"].to_pandas()
+    key = ["subj", "pred", "obj"]
+    a = salted.sort_values(key).reset_index(drop=True)
+    b = base.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_vectorized_decode_equals_reference_walk(alias_rows, synth_paths):
+    """MentionTagger fast path (boolean-mask decode) == the sequential
+    guard-walk decode (task.py:406-429 semantics) on real turns."""
+    from clinicaltransformerner_ray.stages.tagger import MentionTagger
+
+    turns = pq.read_table(synth_paths["turns"]).slice(0, 300)
+    fast = MentionTagger(alias_rows, fast_decode=True)(turns)
+    slow = MentionTagger(alias_rows, fast_decode=False)(turns)
+    assert fast.to_pydict() == slow.to_pydict()
+
+
+def test_sql_oracle_parity_small(ray_session):
+    """The DuckDB oracle (mention CTE + triple joins) agrees with the Ray
+    pipeline at sf0.001 — same check the driver runs at sf0.01."""
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    sqls = E.oracle_sql_for(SF)
+    con = duckdb.connect()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name in ["kg_mentions", "kg_triples", "kg_entities", "kg_turn_entities"]:
+        rdf = qs[name](SF).to_pandas()
+        odf = con.execute(sqls[name]).df()
+        a, b = canon(rdf), canon(odf)
+        assert len(a) == len(b), name
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
+
+
+def test_linker_embedding_fallback():
+    """Dict miss -> trigram-embedding cosine link; far surface -> NIL."""
+    from clinicaltransformerner_ray.stages.linker import EntityLinker, hash_embed
+
+    emb_known = hash_embed(["warfarin"], 16)[0]
+    rows = [
+        {"alias": "warfarin", "type": "drug", "entity_id": "E1",
+         "embedding": emb_known.tolist()},
+    ]
+    lk = EntityLinker(rows, sim_threshold=0.8)
+    batch = pa.table({
+        "surface_norm": ["warfarin", "warfarins", "zzz qqq xxx"],
+    })
+    out = lk(batch).column("entity_id").to_pylist()
+    assert out[0] == "E1"          # dict hit
+    assert out[1] == "E1"          # near-identical trigram profile
+    assert out[2] == "ent:zzz qqq xxx"  # NIL fallback
+
+
+def test_tagger_handles_empty_and_null_text(alias_rows):
+    from clinicaltransformerner_ray.stages.tagger import MentionTagger
+
+    batch = pa.table({
+        "conv_id": ["c1", "c1", "c1"],
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "text": pa.array(["", None, "no entities here at all"], pa.string()),
+    })
+    out = MentionTagger(alias_rows)(batch)
+    assert out.num_rows == 0
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as E
+
+    res = E.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    assert {"subj", "pred", "obj", "n_evidence"} <= set(df.columns)
