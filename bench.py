@@ -1,0 +1,161 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the flagship KG pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) over the same input and reports throughput
+at both plus scaling efficiency = (T8/T32)/4 — the sandbox substitute for
+the north rule's N vs 4N node criterion.
+
+Internal flag ``--_single CPUS`` is the subprocess entry used by
+``--scaling``; it prints a tiny JSON line with wall time + triple count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+
+def _count(ds) -> int:
+    """Consume a Dataset without pulling rows to the driver."""
+    return ds.count()
+
+
+def _run_kg(sf_dir: str) -> dict:
+    """Flagship: full KG build. Returns wall time + output cardinalities."""
+    from clinicaltransformerner_ray.pipelines.kg import kg_pipeline
+    from clinicaltransformerner_ray.synth import ensure_synth
+
+    ensure_synth(sf_dir)  # synth outside the timed region
+    t0 = time.perf_counter()
+    out = kg_pipeline(sf_dir)
+    n_triples = _count(out["triples"])
+    n_entities = _count(out["entities"])
+    wall = time.perf_counter() - t0
+    import pyarrow.parquet as pq
+
+    n_turns = pq.ParquetFile(ensure_synth(sf_dir)["turns"]).metadata.num_rows
+    return {
+        "sec": wall,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "n_entities": n_entities,
+        "turns_per_sec": n_turns / wall,
+        "triples_per_sec": n_triples / wall,
+    }
+
+
+def _bench_queries(sf_dir: str) -> dict[str, float]:
+    """Time every __ray_entry__ queries() pipeline (consumed via count)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+
+    import ray.data as rd
+
+    times: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if isinstance(res, rd.Dataset):
+            res.count()  # consume the stream; rows stay off the driver
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+
+    if "--_single" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--_single") + 1])
+        _init_ray(cpus)
+        r = _run_kg(sf_dir)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps({"num_cpus": cpus, **r}))
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_single", str(cpus)],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        t8, t32 = results[8]["sec"], results[32]["sec"]
+        efficiency = (t8 / t32) / 4.0
+        print(json.dumps({
+            "metric": "kg_scaling",
+            "value": round(efficiency, 4),
+            "unit": "efficiency",
+            "sf": sf_dir,
+            "runs": {
+                "cpus8": {"sec": round(t8, 3),
+                          "turns_per_sec": round(results[8]["turns_per_sec"], 1),
+                          "triples_per_sec": round(results[8]["triples_per_sec"], 1)},
+                "cpus32": {"sec": round(t32, 3),
+                           "turns_per_sec": round(results[32]["turns_per_sec"], 1),
+                           "triples_per_sec": round(results[32]["triples_per_sec"], 1)},
+            },
+            "speedup_8_to_32": round(t8 / t32, 3),
+            "scaling_efficiency": round(efficiency, 4),
+        }))
+        return
+
+    num_cpus = _num_cpus()
+    _init_ray(num_cpus)
+    kg = _run_kg(sf_dir)
+    qtimes = _bench_queries(sf_dir)
+    total = round(kg["sec"] + sum(qtimes.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {"kg_flagship": round(kg["sec"], 3), **qtimes},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_turns": kg["n_turns"],
+        "n_triples": kg["n_triples"],
+        "turns_per_sec": round(kg["turns_per_sec"], 1),
+        "triples_per_sec": round(kg["triples_per_sec"], 1),
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

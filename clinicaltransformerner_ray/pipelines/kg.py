@@ -43,20 +43,34 @@ FOLLOWS = "follows"
 DEFAULT_SALT_SPAN = 512
 
 
+def _auto_concurrency(frac: float, lo: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: ``frac`` of
+    total CPUs as the max.  Pools must grow with the cluster or N->4N
+    scaling clamps at the pool cap."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (lo, max(2, int(cpus * frac)))
+
+
 def detect_mentions(
     turns: rd.Dataset,
     alias_rows: list[dict],
     *,
     max_seq_length: int = 64,
     noise_mod: int = 5,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
 ) -> rd.Dataset:
     """turns -> mentions via the tagger actor pool. Alias rows ship once
     per actor through a ray.put broadcast ref.
 
-    Default concurrency is an autoscaling (min, max) range so the pool
-    never deadlocks waiting for CPUs another stage holds."""
+    Default concurrency is an autoscaling (min, max) range sized to the
+    cluster so the pool never deadlocks waiting for CPUs another stage
+    holds and grows with added nodes."""
+    if concurrency is None:
+        concurrency = _auto_concurrency(0.7)
     ref = ray.put(alias_rows)
     return turns.map_batches(
         MentionTagger,
@@ -76,9 +90,11 @@ def link_mentions(
     mentions: rd.Dataset,
     alias_rows: list[dict],
     *,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
 ) -> rd.Dataset:
+    if concurrency is None:
+        concurrency = _auto_concurrency(0.25)
     ref = ray.put(alias_rows)
     return mentions.map_batches(
         EntityLinker,
@@ -223,7 +239,7 @@ def kg_pipeline(
     *,
     max_seq_length: int = 64,
     noise_mod: int = 5,
-    tagger_concurrency: int | tuple[int, int] = (1, 8),
+    tagger_concurrency: int | tuple[int, int] | None = None,
     salt_span: int = DEFAULT_SALT_SPAN,
     materialize_linked: bool = True,
 ) -> dict[str, rd.Dataset]:
