@@ -133,7 +133,7 @@ def oracle_sql() -> dict[str, str]:
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     p = _paths(sf_dir)
-    cte = _MENTION_CTE.format(turns=p["turns"], aliases=p["aliases"])
+    cte = _MENTION_CTE.format(turns=p["turns_sql"], aliases=p["aliases"])
     return {
         "kg_mentions": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

@@ -61,9 +61,13 @@ def _run_kg(sf_dir: str) -> dict:
     n_triples = _count(out["triples"])
     n_entities = _count(out["entities"])
     wall = time.perf_counter() - t0
+    import glob
+
     import pyarrow.parquet as pq
 
-    n_turns = pq.ParquetFile(ensure_synth(sf_dir)["turns"]).metadata.num_rows
+    n_turns = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(ensure_synth(sf_dir)["turns_sql"]))
     return {
         "sec": wall,
         "n_turns": n_turns,
@@ -105,6 +109,8 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
+        # bigger synth input so fixed overheads don't mask scaling
+        sf_dir = os.environ.get("GRAFT_SCALING_SF", "sf1")
         results = {}
         for cpus in (8, 32):
             env = dict(os.environ, GRAFT_SF_DIR=sf_dir)

@@ -1,0 +1,370 @@
+"""Deduplication operators over the `documents` table.
+
+Five dedup families, all Ray-Data-first (map_batches partials before any
+wide shuffle; broadcast small sides via ``ray.put``):
+
+  exact_dedup          hash-partition groupby + per-group first (exact)
+  ngram_jaccard_pairs  exact word n-gram Jaccard via a distributed
+                       posting-list self-join (shingle -> docs -> pairs)
+  minhash_lsh_pairs    MinHash signatures + LSH banding -> candidate
+                       pairs -> signature-estimated Jaccard (approximate)
+  simhash_pairs        64-bit SimHash + pigeonhole chunk banding ->
+                       Hamming-verified near-dup pairs
+  embedding_dup_pairs  cosine near-dup over an embedding column via
+                       blocked matmul against a broadcast matrix
+
+Scale notes (100 TB path):
+  - posting-list joins square on hot shingles; the ``max_df`` knob drops
+    shingles whose document frequency exceeds a cap (a standard prefix /
+    frequency filter) — disabled by default so the SQL oracle matches.
+  - the broadcast embedding matrix works to ~10M x small-dim; beyond
+    that, the IVF/LSH-bucketed path in pipelines/similarity.py co-locates
+    candidates by bucket so no stage holds the full matrix.
+  - all pair emission happens inside per-key ``map_groups`` after a
+    single hash shuffle on the bucket key; outputs are pre-deduped per
+    batch before the final distinct.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def _token_shingles(text: str, n: int) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)] if text else []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _hash64(strings: list[str]) -> np.ndarray:
+    """Stable 64-bit content hashes (md5-derived — process-independent)."""
+    return np.asarray(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+         for s in strings],
+        dtype=np.uint64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+
+def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
+    """Exact dedup by full text: batch-local partial (hash -> min id,
+    count), then one small groupby on the 128-bit content hash.  The
+    shuffle moves one row per distinct text per batch, never the text
+    bytes themselves."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_pandas(),
+            "h": [hashlib.sha1((t or "").encode()).hexdigest()
+                  for t in batch.column("text").to_pylist()],
+        })
+        g = df.groupby("h", sort=False).agg(
+            pmin=("doc_id", "min"), pn=("doc_id", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("pmin", alias_name="keep_doc_id"),
+                   Sum("pn", alias_name="n_copies"))
+    )
+    return agg.select_columns(["keep_doc_id", "n_copies"])
+
+
+# ---------------------------------------------------------------------------
+# 2. exact n-gram Jaccard pairs (posting-list join)
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> rd.Dataset:
+    """All document pairs with word-``n``-gram Jaccard >= ``threshold``.
+
+    Distributed exact algorithm: explode distinct shingles into postings
+    ``(shingle, doc_id, set_size)``, group by shingle, emit co-occurrence
+    pairs carrying both set sizes, then one (a, b) groupby sums the
+    intersection — Jaccard = i / (sa + sb - i).  No stage ever holds two
+    documents' texts together."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, shs, sizes = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            ss = set(_token_shingles(text or "", n))
+            for s in ss:
+                ids.append(did)
+                shs.append(s)
+                sizes.append(len(ss))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shingle": pa.array(shs, pa.string()),
+            "set_size": pa.array(sizes, pa.int64()),
+        })
+
+    posts = docs.map_batches(postings, batch_format="pyarrow")
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None and len(g) > max_df:
+            # hot-shingle cap (frequency filter); off by default
+            return pd.DataFrame(columns=["a", "b", "sa", "sb"])
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sz = g["set_size"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({
+            "a": ids[ii], "b": ids[jj], "sa": sz[ii], "sb": sz[jj],
+        })
+
+    pairs = posts.groupby("shingle").map_groups(
+        pairs_of_group, batch_format="pandas")
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["a", "b"], sort=False).agg(
+            pi=("sa", "size"), sa=("sa", "min"), sb=("sb", "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        pairs.map_batches(partial_count, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("pi", alias_name="i"),
+                   Min("sa", alias_name="fsa"),
+                   Min("sb", alias_name="fsb"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["jaccard"] = df["i"] / (df["fsa"] + df["fsb"] - df["i"])
+        out = df[df["jaccard"] >= threshold]
+        return pa.Table.from_pandas(
+            out.rename(columns={"a": "doc_a", "b": "doc_b"})[
+                ["doc_a", "doc_b", "jaccard"]],
+            preserve_index=False,
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH (approximate near-dup)
+
+N_PERM = 64
+N_BANDS = 16  # x 4 rows/band
+
+
+def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(1234)
+    a = rng.randint(1, MERSENNE_P, size=N_PERM, dtype=np.uint64)
+    b = rng.randint(0, MERSENNE_P, size=N_PERM, dtype=np.uint64)
+    return a, b
+
+
+def minhash_lsh_pairs(
+    docs: rd.Dataset,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> rd.Dataset:
+    """Approximate near-dup pairs: 64-perm MinHash -> 16-band LSH bucket
+    groupby -> pairwise signature-estimated Jaccard >= threshold.
+
+    The only wide shuffle moves (bucket_key, doc_id, 512-byte signature)
+    rows.  Buckets are tiny except for true duplicate clusters, so the
+    per-bucket pair loop is bounded in practice; a bucket-size cap would
+    be the guard at adversarial scale."""
+    A, B = _minhash_params()
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        out_band, out_doc, out_sig = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            ss = list(set(_token_shingles(text or "", n)))
+            if not ss:
+                continue
+            h = _hash64(ss)  # (S,)
+            # (S, P) permuted hashes, min over shingles, vectorized
+            ph = (h[:, None] * A[None, :] + B[None, :]) % MERSENNE_P
+            sig = ph.min(axis=0)  # (P,) uint64
+            sig_bytes = sig.tobytes()
+            r = N_PERM // N_BANDS
+            for band in range(N_BANDS):
+                key = f"{band}:" + sig[band * r:(band + 1) * r].tobytes().hex()
+                out_band.append(key)
+                out_doc.append(did)
+                out_sig.append(sig_bytes)
+        return pa.table({
+            "bucket": pa.array(out_band, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "sig": pa.array(out_sig, pa.binary()),
+        })
+
+    bucketed = docs.map_batches(signatures, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in g["sig"]])  # (D, P)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        est = (sigs[ii] == sigs[jj]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({
+            "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+            "est_jaccard": est[keep],
+        })
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    # a pair can surface from several bands: exact distinct via groupby
+    def partial_dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        pairs.map_batches(partial_dedup, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash (near-dup via Hamming distance)
+
+SIMHASH_BITS = 64
+N_CHUNKS = 4  # pigeonhole: hamming <= N_CHUNKS-1 ==> >=1 identical chunk
+
+
+def _simhash(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    uniq, counts = np.unique(np.asarray(tokens, dtype=object),
+                             return_counts=True)
+    h = _hash64(list(uniq))  # (U,)
+    bits = ((h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64)
+                << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
+
+
+def simhash_pairs(
+    docs: rd.Dataset,
+    *,
+    max_hamming: int = 3,
+) -> rd.Dataset:
+    """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Banding by 16-bit chunks (4 chunks): any pair within distance 3 must
+    agree on at least one chunk, so grouping by (chunk_idx, chunk_value)
+    finds every such pair without an all-pairs scan."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        out_key, out_doc, out_sig = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            s = _simhash((text or "").split(" ") if text else [])
+            for c in range(N_CHUNKS):
+                chunk = (s >> (c * 16)) & 0xFFFF
+                out_key.append(f"{c}:{chunk}")
+                out_doc.append(did)
+                out_sig.append(s)
+        return pa.table({
+            "bucket": pa.array(out_key, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "sig": pa.array(out_sig, pa.uint64()),
+        })
+
+    bucketed = docs.map_batches(sigs, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+        s = g["sig"].to_numpy().astype(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = s[ii] ^ s[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(SIMHASH_BITS):  # popcount via shifts (vectorized)
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+            "hamming": ham[keep],
+        })
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+    return (
+        pairs.map_batches(
+            lambda b: pa.Table.from_pandas(
+                b.to_pandas().drop_duplicates(["doc_a", "doc_b"]),
+                preserve_index=False),
+            batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+
+def embedding_dup_pairs(
+    vecs: rd.Dataset,
+    *,
+    threshold: float = 0.45,
+    matrix_ref=None,
+) -> rd.Dataset:
+    """Pairs (a < b) with cosine similarity >= threshold, via blocked
+    matmul: each batch multiplies against the broadcast full matrix
+    (``ray.put`` once, read per actor — never shipped per batch).
+    float64 math so results are reproducible across backends."""
+    if matrix_ref is None:
+        tbl = vecs.to_arrow_refs()
+        mats = [ray.get(r) for r in tbl]
+        full = pa.concat_tables(mats)
+        ids = np.asarray(full.column("vec_id").to_pylist(), dtype=np.int64)
+        M = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        matrix_ref = ray.put((ids, M))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, M = ray.get(matrix_ref)
+        bid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        X = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = X @ M.T  # (B, N)
+        rr, cc = np.nonzero(sims >= threshold)
+        a, b = bid[rr], all_ids[cc]
+        keep = a < b  # each unordered pair emitted once
+        return pa.table({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+        })
+
+    return vecs.map_batches(block, batch_format="pyarrow")

@@ -24,6 +24,7 @@ the tagger pool into the linker pool under streaming execution.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -151,70 +152,92 @@ def mention_counts(mentions: rd.Dataset) -> rd.Dataset:
     )
 
 
-def _turn_entities(linked: rd.Dataset, salt_span: int) -> rd.Dataset:
-    """Distinct (conv_id, turn_idx, entity_id), pre-deduped per batch, plus
-    the salted bucket key and ghost copies for bucket-boundary turns."""
+def _bucketed_turn_entities(
+    linked: rd.Dataset, span: int, n_buckets: int
+) -> rd.Dataset:
+    """Batch-local distinct (combiner — idempotent, so block alignment is
+    irrelevant) of (conv_id, turn_idx, entity_id), tagged with a coarse
+    bucket key ``(hash(conv_id) + turn_idx // span) % n_buckets``.
 
-    def dedup_and_salt(batch: pa.Table) -> pa.Table:
+    Skew salting: a mega-conversation spreads across its turn spans, so
+    no single bucket inherits a whole hot conv_id.  Turns at a span
+    boundary also emit a ghost copy into the *previous* span's bucket
+    (right-side-only `follows` targets), keeping salted output identical
+    to unsalted."""
+
+    def dedup_and_bucket(batch: pa.Table) -> pa.Table:
         df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
         df = df.drop_duplicates()
-        df["bucket"] = df["turn_idx"] // salt_span
+        h = pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
+        spans = (df["turn_idx"] // span).to_numpy()
         df["ghost"] = False
-        # first turn of bucket b also feeds bucket b-1 as the follows target
-        border = df[(df["turn_idx"] % salt_span == 0) & (df["bucket"] > 0)].copy()
-        border["bucket"] -= 1
+        df["bucket"] = ((h + spans) % n_buckets).astype(np.int64)
+        border = df[(df["turn_idx"] % span == 0) & (df["turn_idx"] > 0)].copy()
         border["ghost"] = True
+        border["bucket"] = (
+            (pd.util.hash_pandas_object(border["conv_id"], index=False).to_numpy()
+             + (border["turn_idx"] // span).to_numpy() - 1) % n_buckets
+        ).astype(np.int64)
         out = pd.concat([df, border], ignore_index=True)
-        out["gkey"] = out["conv_id"] + ":" + out["bucket"].astype(str)
-        return pa.Table.from_pandas(
-            out[["conv_id", "turn_idx", "entity_id", "ghost", "gkey"]],
-            preserve_index=False,
-        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return linked.map_batches(dedup_and_salt, batch_format="pyarrow")
+    return linked.map_batches(dedup_and_bucket, batch_format="pyarrow")
 
 
 def emit_triples(
     linked: rd.Dataset,
     *,
     salt_span: int = DEFAULT_SALT_SPAN,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Adjacency triple emission (shuffle #1) + exact dedup (shuffle #2).
 
+    One hash shuffle moves pre-deduped (conv, turn, entity) rows into
+    ``n_buckets`` coarse buckets; inside each bucket ALL conversations
+    are processed by two vectorized pandas merges (no per-conversation
+    Python) — co_occurs is a self-merge on (conv_id, turn_idx),
+    follows a merge of turn t against t+1.  Bucket count, not group
+    count, bounds the number of per-group calls.
+
     Output: (subj, pred, obj, n_evidence, first_conv_id, first_turn_idx).
     """
-    te = _turn_entities(linked, salt_span)
+    if n_buckets is None:
+        try:
+            n_buckets = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            n_buckets = 32
+    te = _bucketed_turn_entities(linked, salt_span, n_buckets)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # batch-level dedup is per-batch only; finish it here
-        g = g.drop_duplicates(["turn_idx", "entity_id", "ghost"])
-        conv = g["conv_id"].iloc[0]
-        by_turn: dict[int, list[str]] = {}
-        ghosts: set[int] = set()
-        for t, sub in g.groupby("turn_idx"):
-            by_turn[int(t)] = sorted(set(sub["entity_id"]))
-            if bool(sub["ghost"].all()):
-                ghosts.add(int(t))
-        subs, preds, objs, convs, tis = [], [], [], [], []
-        for t, ents in by_turn.items():
-            if t not in ghosts:
-                for i in range(len(ents)):
-                    for j in range(i + 1, len(ents)):
-                        subs.append(ents[i]); preds.append(CO_OCCURS); objs.append(ents[j])
-                        convs.append(conv); tis.append(t)
-                nxt = by_turn.get(t + 1)
-                if nxt:
-                    for a in ents:
-                        for b in nxt:
-                            if a != b:
-                                subs.append(a); preds.append(FOLLOWS); objs.append(b)
-                                convs.append(conv); tis.append(t)
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # finish the distinct the combiner started; a ghost copy and its
+        # original can share a bucket when two spans hash together, so
+        # dedup IGNORES the ghost flag, preferring the original (sort
+        # puts ghost=False first)
+        g = (g.sort_values("ghost")
+             .drop_duplicates(["conv_id", "turn_idx", "entity_id"]))
+        ng = g[~g["ghost"]]
+        key = ["conv_id", "turn_idx"]
+        co = ng.merge(ng, on=key)
+        co = co[co["entity_id_x"] < co["entity_id_y"]]
+        left = ng.assign(_nt=ng["turn_idx"] + 1)
+        fo = left.merge(
+            g, left_on=["conv_id", "_nt"], right_on=["conv_id", "turn_idx"],
+            suffixes=("_x", "_y"),
+        )
+        fo = fo[fo["entity_id_x"] != fo["entity_id_y"]]
         return pd.DataFrame({
-            "subj": subs, "pred": preds, "obj": objs,
-            "conv_id": convs, "turn_idx": tis,
+            "subj": pd.concat([co["entity_id_x"], fo["entity_id_x"]],
+                              ignore_index=True),
+            "pred": [CO_OCCURS] * len(co) + [FOLLOWS] * len(fo),
+            "obj": pd.concat([co["entity_id_y"], fo["entity_id_y"]],
+                             ignore_index=True),
+            "conv_id": pd.concat([co["conv_id"], fo["conv_id"]],
+                                 ignore_index=True),
+            "turn_idx": pd.concat([co["turn_idx"], fo["turn_idx_x"]],
+                                  ignore_index=True),
         })
 
-    raw = te.groupby("gkey").map_groups(per_group, batch_format="pandas")
+    raw = te.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
     def partial_dedup(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-CACHE_ROOT = "/tmp/graft_data"
+CACHE_ROOT = "/tmp/graft_data/v2"
 ENTITY_TYPES = ["problem", "treatment", "test", "drug"]
 N_ENTITIES = 120          # 30 per type
 EMBED_DIM = 16
@@ -191,20 +191,39 @@ def generate_turns(sfname: str) -> tuple[pa.Table, pa.Table]:
 
 def ensure_synth(sf_dir: str) -> dict[str, str]:
     """Idempotently materialize turns/aliases parquet for an sf dir.
-    Returns {'turns': path, 'aliases': path, 'dir': cache_dir}."""
+
+    The turns table is SHARDED into multiple files with small row groups
+    so the distributed read starts one task per file instead of one
+    serial reader — the 100 TB layout in miniature.
+
+    Returns {'turns': dir_path (ray/pyarrow), 'turns_sql': glob (duckdb),
+    'aliases': path, 'dir': cache_dir}."""
     sfname = sf_from_dir(sf_dir)
     out_dir = os.path.join(CACHE_ROOT, sfname)
-    turns_p = os.path.join(out_dir, "turns.parquet")
+    turns_d = os.path.join(out_dir, "turns")
     alias_p = os.path.join(out_dir, "aliases.parquet")
-    if not (os.path.exists(turns_p) and os.path.exists(alias_p)):
+    if not (os.path.isdir(turns_d) and os.path.exists(alias_p)):
         tmp = out_dir + f".tmp.{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
+        os.makedirs(os.path.join(tmp, "turns"), exist_ok=True)
         turns, alias_tbl = generate_turns(sfname)
-        # row-group size bounds block granularity for the distributed read
-        pq.write_table(turns, os.path.join(tmp, "turns.parquet"), row_group_size=16384)
+        n = turns.num_rows
+        n_shards = min(64, max(4, n // 8192))
+        per = -(-n // n_shards)
+        for i in range(n_shards):
+            shard = turns.slice(i * per, per)
+            if shard.num_rows == 0:
+                break
+            pq.write_table(
+                shard, os.path.join(tmp, "turns", f"part-{i:04d}.parquet"),
+                row_group_size=4096)
         pq.write_table(alias_tbl, os.path.join(tmp, "aliases.parquet"))
         try:
             os.rename(tmp, out_dir)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
-    return {"turns": turns_p, "aliases": alias_p, "dir": out_dir}
+    return {
+        "turns": turns_d,
+        "turns_sql": os.path.join(turns_d, "*.parquet"),
+        "aliases": alias_p,
+        "dir": out_dir,
+    }
