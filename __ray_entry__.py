@@ -98,6 +98,81 @@ def _q_kg_mention_spans_rowsonly(sf_dir: str):
     return detect_mentions(turns, alias_rows)
 
 
+# ---------------------------------------------------------------------------
+# training-data corpus ops (documents / embeddings tables)
+
+def _docs(sf_dir: str):
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    return read_documents(sf_dir)
+
+
+def _vecs(sf_dir: str):
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    return read_embeddings(sf_dir)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8)
+
+
+def _q_dedup_minhash_rowsonly(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), n=3, threshold=0.8)
+
+
+def _q_dedup_simhash_rowsonly(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_vecs(sf_dir), threshold=0.45)
+
+
+def _q_ann_topk(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.similarity import knn_bruteforce
+
+    return knn_bruteforce(_vecs(sf_dir), n_queries=8, k=10)
+
+
+def _q_ann_ivf_rowsonly(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.similarity import knn_ivf
+
+    return knn_ivf(_vecs(sf_dir), n_queries=8, k=10)
+
+
+def _q_text_stats(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.textstats import doc_stats
+
+    return doc_stats(_docs(sf_dir))
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.textstats import doc_fingerprints
+
+    return doc_fingerprints(_docs(sf_dir))
+
+
+def _q_token_vocab(sf_dir: str):
+    from clinicaltransformerner_ray.pipelines.textstats import token_vocab
+
+    return token_vocab(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_mentions": _q_kg_mentions,
@@ -105,6 +180,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_turn_entities": _q_kg_turn_entities,
         "kg_mention_spans_rowsonly": _q_kg_mention_spans_rowsonly,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_rowsonly": _q_dedup_minhash_rowsonly,
+        "dedup_simhash_rowsonly": _q_dedup_simhash_rowsonly,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_rowsonly": _q_ann_ivf_rowsonly,
+        "text_stats": _q_text_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "token_vocab": _q_token_vocab,
     }
 
 
@@ -182,5 +267,127 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         "kg_turn_entities": cte + """
             SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm
+        """,
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(CASE
+                    WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                    ELSE list_transform(range(1, len(l) - 1),
+                                        i -> l[i]||' '||l[i+1]||' '||l[i+2])
+                    END)) AS s
+                FROM d
+            ),
+            sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id AS doc_a, b_id AS doc_b,
+                   CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
+        """,
+        "dedup_embedding": """
+            WITH unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
+                      FROM unn GROUP BY vec_id),
+            dots AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v*b.v) AS dot
+                FROM unn a JOIN unn b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id AS vec_a, b_id AS vec_b
+            FROM dots
+            JOIN norms na ON na.vec_id = a_id
+            JOIN norms nb ON nb.vec_id = b_id
+            WHERE dot / (na.nn * nb.nn) >= 0.45
+        """,
+        "ann_topk": """
+            WITH unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
+                      FROM unn GROUP BY vec_id),
+            q AS (SELECT * FROM unn WHERE vec_id < 8),
+            dots AS (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       sum(q.v*d.v) AS dot
+                FROM q JOIN unn d ON q.i = d.i AND q.vec_id <> d.vec_id
+                GROUP BY 1, 2
+            ),
+            sims AS (
+                SELECT query_id, neighbor_id,
+                       dot / (nq.nn * nd.nn) AS sim
+                FROM dots
+                JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nd ON nd.vec_id = neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "text_stats": """
+            WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l
+                       FROM documents),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(l) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(l)) AS BIGINT) AS n_uniq_tokens,
+                       CAST(len(list_filter(l, x -> x IN ('a','the')))
+                            AS BIGINT) AS n_stop,
+                       CAST(len(replace(text, ' ', '')) AS BIGINT) AS tok_chars
+                FROM d
+            )
+            SELECT doc_id, n_tokens, n_uniq_tokens,
+                   CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+                   CAST(tok_chars AS DOUBLE) / greatest(n_tokens, 1)
+                       AS mean_tok_len,
+                   CASE WHEN n_stop > 0 THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM c
+        """,
+        "doc_fingerprint": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(CASE
+                    WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                    ELSE list_transform(range(1, len(l) - 3),
+                        i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]
+                             ||' '||l[i+4])
+                    END) AS s
+                FROM d
+            )
+            SELECT doc_id, min(md5(s)) AS fingerprint
+            FROM sh GROUP BY doc_id
+        """,
+        "token_vocab": """
+            SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS tok
+                FROM documents
+            ) u
+            GROUP BY u.tok
         """,
     }

@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (`embeddings` table).
+
+  knn_bruteforce   exact cosine top-k: blocked matmul of every batch
+                   against a small broadcast query matrix, per-batch
+                   partial top-k, tiny final per-query merge
+  knn_ivf          IVF-style approximate top-k: vectors bucketed by
+                   nearest coarse centroid; queries probe only the
+                   ``n_probe`` closest buckets
+
+Scale shape: the data side streams — no stage holds the full vector
+set.  The query matrix (and the centroid table) is the broadcast small
+side, shipped once per actor via ``ray.put``.  All float math is
+float64 so rankings are reproducible across backends.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return ids, X
+
+
+def load_queries(vecs: rd.Dataset, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the vectors with vec_id < n_queries.
+    Small side — filtered at the read, materialized driver-side once."""
+    import pyarrow.compute as pc
+
+    tbls = [t for t in ray.get(vecs.to_arrow_refs())]
+    full = pa.concat_tables(tbls)
+    sel = full.filter(pc.less(full.column("vec_id"), n_queries))
+    ids = np.asarray(sel.column("vec_id").to_pylist(), dtype=np.int64)
+    Q = np.asarray(sel.column("embedding").to_pylist(), dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    return ids[order], Q[order]
+
+
+def knn_bruteforce(
+    vecs: rd.Dataset,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+) -> rd.Dataset:
+    """Exact top-k cosine neighbors for each query vector.
+
+    map_batches computes (B, nq) similarities and keeps only each
+    query's batch-local top-k (so the shuffle moves k*nq rows per batch,
+    not B*nq); the final per-query merge re-sorts the tiny candidate
+    set.  Self-matches excluded.  Ties break (sim desc, vec_id asc).
+
+    Output: (query_id, neighbor_id, rank) with rank 1-based."""
+    qids, Q = load_queries(vecs, n_queries)
+    qref = ray.put((qids, Q))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(qref)
+        ids, X = _batch_matrix(batch)
+        sims = X @ Q_.T  # (B, nq)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids_)):
+            s = sims[:, j]
+            mask = ids != qids_[j]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                idx = np.argpartition(-cand_s, k)[:k]
+                cand_ids, cand_s = cand_ids[idx], cand_s[idx]
+            out_q.extend([qids_[j]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": g["query_id"],
+            "neighbor_id": g["neighbor_id"],
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (approximate)
+
+def build_centroids(vecs: rd.Dataset, n_centroids: int = 16) -> np.ndarray:
+    """Deterministic coarse centroids: one averaging pass over vectors
+    seeded by ``vec_id % n_centroids`` assignment (a k-means step with a
+    deterministic init — enough structure for bucket pruning)."""
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        ids, X = _batch_matrix(batch)
+        assign = ids % n_centroids
+        out_c, out_v, out_n = [], [], []
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                out_c.append(c)
+                out_v.append(X[m].sum(axis=0).tolist())
+                out_n.append(int(m.sum()))
+        return pa.table({
+            "centroid": pa.array(out_c, pa.int64()),
+            "vsum": pa.array(out_v, pa.list_(pa.float64())),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    rows = vecs.map_batches(partial_sums, batch_format="pyarrow").take_all()
+    dim = len(rows[0]["vsum"])
+    sums = np.zeros((n_centroids, dim))
+    counts = np.zeros(n_centroids)
+    for r in rows:
+        sums[r["centroid"]] += np.asarray(r["vsum"])
+        counts[r["centroid"]] += r["n"]
+    counts[counts == 0] = 1.0
+    C = sums / counts[:, None]
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def knn_ivf(
+    vecs: rd.Dataset,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> rd.Dataset:
+    """IVF-bucketed approximate top-k: each vector scores only against
+    queries whose ``n_probe`` nearest centroids include the vector's
+    bucket.  Same output schema as knn_bruteforce; recall measured in
+    tests against the exact result."""
+    C = build_centroids(vecs, n_centroids)
+    qids, Q = load_queries(vecs, n_queries)
+    # per query: the probed centroid set
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    ref = ray.put((qids, Q, C, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_, C_, probes_ = ray.get(ref)
+        ids, X = _batch_matrix(batch)
+        buckets = np.argmax(X @ C_.T, axis=1)  # (B,)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids_)):
+            probe_set = probes_[j]
+            m = np.isin(buckets, probe_set) & (ids != qids_[j])
+            if not m.any():
+                continue
+            s = X[m] @ Q_[j]
+            cand_ids = ids[m]
+            if len(cand_ids) > k:
+                idx = np.argpartition(-s, k)[:k]
+                cand_ids, s = cand_ids[idx], s[idx]
+            out_q.extend([qids_[j]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(s.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": g["query_id"],
+            "neighbor_id": g["neighbor_id"],
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")

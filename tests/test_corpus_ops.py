@@ -1,0 +1,105 @@
+"""Training-data corpus operators: dedup family, similarity search,
+text analysis — oracle parity for the exact ops, recall gates for the
+approximate ones."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
+    "ann_topk", "text_stats", "doc_fingerprint", "token_vocab",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracle_parity(ray_session, con, name):
+    import __ray_entry__ as E
+
+    rdf = E.queries()[name](SF).to_pandas()
+    odf = con.execute(E.oracle_sql_for(SF)[name]).df()
+    a, b = _canon(rdf), _canon(odf)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), name
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
+
+
+def test_minhash_recall_vs_exact(ray_session):
+    """LSH candidate generation + signature estimate must recover almost
+    every exact-Jaccard>=0.8 pair (16 bands x 4 rows => ~99% recall at
+    j=0.8) and introduce few false positives."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    docs = read_documents(SF)
+    exact = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs, threshold=0.8)
+             .to_pandas().itertuples()}
+    approx = {(r.doc_a, r.doc_b)
+              for r in minhash_lsh_pairs(docs, threshold=0.8)
+              .to_pandas().itertuples()}
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+    # estimated-jaccard filter keeps precision reasonable
+    assert len(approx - exact) <= max(2, len(exact))
+
+
+def test_simhash_finds_planted_neardups(ray_session):
+    """SimHash hamming<=3 pairs should substantially overlap the exact
+    jaccard>=0.8 near-dup set (same planted duplicates)."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        ngram_jaccard_pairs, simhash_pairs)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    docs = read_documents(SF)
+    exact = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs, threshold=0.8)
+             .to_pandas().itertuples()}
+    sh = {(r.doc_a, r.doc_b)
+          for r in simhash_pairs(docs, max_hamming=3).to_pandas().itertuples()}
+    assert exact
+    assert len(exact & sh) / len(exact) >= 0.5, (len(exact), len(sh))
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        knn_bruteforce, knn_ivf)
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    vecs = read_embeddings(SF)
+    exact = knn_bruteforce(vecs, n_queries=8, k=10).to_pandas()
+    approx = knn_ivf(vecs, n_queries=8, k=10, n_centroids=8,
+                     n_probe=4).to_pandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5, len(e & a) / len(e)
+
+
+def test_exact_dedup_idempotent(ray_session):
+    """Every doc survives exactly once across keep groups."""
+    import __ray_entry__ as E
+
+    df = E.queries()["dedup_exact"](SF).to_pandas()
+    assert df["n_copies"].sum() == 500
+    assert df["keep_doc_id"].is_unique
