@@ -173,6 +173,47 @@ def _q_token_vocab(sf_dir: str):
     return token_vocab(_docs(sf_dir))
 
 
+def _q_brat_format_rowsonly(sf_dir: str):
+    """K2 brat writer over the mention table (per-doc T-id numbering +
+    newline discontinuous-offset repair); validated in pytest."""
+    from clinicaltransformerner_ray.pipelines.kg import detect_mentions
+    from clinicaltransformerner_ray.sinks.formatters import brat_annotations
+    from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
+
+    alias_rows = load_alias_rows(sf_dir)
+    turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    return brat_annotations(detect_mentions(turns, alias_rows))
+
+
+def _q_multimodal_features_rowsonly(sf_dir: str):
+    """Binary media column -> feature vectors via the decode actor pool
+    (stubbed codec, real Arrow plumbing)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.stages.multimodal import (
+        extract_media_features, synth_media_table)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return extract_media_features(rd.from_arrow(synth_media_table(docs)))
+
+
+def _q_kg_resume_rowsonly(sf_dir: str):
+    """Checkpoint-resume surface: shard-wise extraction with lineage,
+    triples recomputed from the checkpoint (north-rule resumability)."""
+    import hashlib
+
+    from clinicaltransformerner_ray.pipelines.resume import (
+        checkpointed_mentions, kg_from_checkpoint)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/graft_ckpt/{tag}"
+    checkpointed_mentions(sf_dir, out)
+    return kg_from_checkpoint(out)["triples"]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_mentions": _q_kg_mentions,
@@ -190,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
+        "brat_format_rowsonly": _q_brat_format_rowsonly,
+        "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
+        "kg_resume_rowsonly": _q_kg_resume_rowsonly,
     }
 
 

@@ -1,0 +1,181 @@
+"""Distributed BioEval: strict/relax span P/R/F as a Ray aggregate.
+
+The reference zips gold and prediction files positionally and mutates a
+counter object (`src/common_utils/bio_prf_eval.py:228-303`, SURVEY.md
+§2.4 T5, §2.5 J2).  Here both sides are Datasets of
+``(conv_id, turn_idx, labels: list<string>)`` rows; pairing is a
+sort-merge on the explicit key (never positional), counters are pure
+mergeable dicts (`functions/eval_bio.py`), and the reduction is
+batch-partial counts -> one tiny driver-side merge + finalize — the
+canonical partial+final aggregate over a result that is O(#categories).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from clinicaltransformerner_ray.functions.eval_bio import (
+    counts,
+    eval_sentence_pair,
+    merge_counters,
+    performance,
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _tag_side(ds: rd.Dataset, side: str) -> rd.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array([side] * batch.num_rows, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def span_prf(
+    gold: rd.Dataset,
+    pred: rd.Dataset,
+    *,
+    beta: float = 1.0,
+) -> dict:
+    """Merge-key pairing + distributed counting; returns the reference's
+    nested {performance, counts} structure.
+
+    Pairing: union both sides, sort on (conv_id, turn_idx) — equal keys
+    land whole in one block — then pair gold/pred rows per key inside a
+    vectorized per-block pass.  Keys present on only one side are
+    dropped (cardinality equality is the caller's assert, as in
+    `bio_prf_eval.py:291-297`)."""
+    both = _tag_side(gold, "g").union(_tag_side(pred, "p"))
+
+    def block_counters(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        partials = []
+        for _, g in df.groupby(KEY, sort=False):
+            gs = g[g["side"] == "g"]
+            pr = g[g["side"] == "p"]
+            if len(gs) == 1 and len(pr) == 1:
+                partials.append(eval_sentence_pair(
+                    list(gs["labels"].iloc[0]), list(pr["labels"].iloc[0])))
+        merged = merge_counters(partials) if partials else {
+            "acc_true": 0, "acc_false": 0, "cat": {}}
+        return pa.table({"counter_json": pa.array(
+            [json.dumps(merged)], pa.string())})
+
+    partial_rows = (
+        both.sort(KEY)
+        .map_batches(block_counters, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    merged = merge_counters(
+        [json.loads(r["counter_json"]) for r in partial_rows])
+    return {
+        "performance": performance(merged, beta=beta),
+        "counts": counts(merged),
+    }
+
+
+def labels_from_mentions(
+    mentions: rd.Dataset, turns: rd.Dataset
+) -> rd.Dataset:
+    """Project a mention span table back onto per-turn BIO label rows
+    (for evaluating span tables with the label-sequence machinery).
+
+    Joins mentions onto turn token grids by (conv_id, turn_idx) via the
+    same union/sort/block-pair shape used everywhere else."""
+    from clinicaltransformerner_ray.functions.spans import spans_to_bio
+    from clinicaltransformerner_ray.functions.text import tokenize_with_offsets
+
+    # one UNION schema for both sides (Ray union requires alignment)
+    UNION_SCHEMA = pa.schema([
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
+        ("side", pa.string()),
+        ("starts", pa.list_(pa.int64())),
+        ("n_tokens", pa.int64()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("type", pa.string()),
+    ])
+
+    def turn_tokens(batch: pa.Table) -> pa.Table:
+        cids, tis, starts_col, ntoks = [], [], [], []
+        for cid, ti, text in zip(batch.column("conv_id").to_pylist(),
+                                 batch.column("turn_idx").to_pylist(),
+                                 batch.column("text").to_pylist()):
+            tokens, offsets = tokenize_with_offsets(text or "")
+            cids.append(cid)
+            tis.append(int(ti))
+            starts_col.append([s for s, _ in offsets])
+            ntoks.append(len(tokens))
+        n = len(cids)
+        return pa.table({
+            "conv_id": pa.array(cids, pa.string()),
+            "turn_idx": pa.array(tis, pa.int64()),
+            "side": pa.array(["t"] * n, pa.string()),
+            "starts": pa.array(starts_col, pa.list_(pa.int64())),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "start": pa.array([None] * n, pa.int64()),
+            "end": pa.array([None] * n, pa.int64()),
+            "type": pa.array([None] * n, pa.string()),
+        }, schema=UNION_SCHEMA)
+
+    def mention_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = len(df)
+        return pa.table({
+            "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].astype("int64").tolist(), pa.int64()),
+            "side": pa.array(["m"] * n, pa.string()),
+            "starts": pa.array([None] * n, pa.list_(pa.int64())),
+            "n_tokens": pa.array([None] * n, pa.int64()),
+            "start": pa.array(df["start"].astype("int64").tolist(), pa.int64()),
+            "end": pa.array(df["end"].astype("int64").tolist(), pa.int64()),
+            "type": pa.array(df["type"].tolist(), pa.string()),
+        }, schema=UNION_SCHEMA)
+
+    t = turns.map_batches(turn_tokens, batch_format="pyarrow")
+    m = mentions.map_batches(mention_rows, batch_format="pyarrow")
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = []
+        for _, g in df.groupby(KEY, sort=False):
+            tr = g[g["side"] == "t"]
+            if len(tr) != 1:
+                continue
+            starts = list(tr["starts"].iloc[0])
+            n = int(tr["n_tokens"].iloc[0])
+            spans = []
+            ms = g[g["side"] == "m"]
+            pos = {s: i for i, s in enumerate(starts)}
+            for r in ms.itertuples():
+                if pd.isna(r.start):
+                    continue
+                si = pos.get(int(r.start))
+                if si is None:
+                    continue
+                # word span = tokens whose char start < mention end
+                ei = si
+                while ei < n and starts[ei] < int(r.end):
+                    ei += 1
+                spans.append((si, ei, r.type))
+            out.append({
+                "conv_id": g["conv_id"].iloc[0],
+                "turn_idx": g["turn_idx"].iloc[0],
+                "labels": spans_to_bio(n, spans),
+            })
+        return pa.Table.from_pandas(pd.DataFrame(out)) if out else pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "labels": pa.array([], pa.list_(pa.string())),
+        })
+
+    both = t.union(m)
+    return both.sort(KEY).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None)

@@ -2,21 +2,28 @@
 
     turns ──map_batches(MentionTagger actor pool)──▶ mentions
           ──map_batches(EntityLinker actor pool)──▶ linked mentions
-          ──batch-local dedup ➜ groupby(conv bucket).map_groups──▶ triples
-          ──groupby(subj,pred,obj).sum──▶ deduped edge table
-    linked mentions ──partial counts ➜ groupby(entity_id)──▶ entity table
+          ──dedup+salt combiner ➜ sort(bucket) ➜ vectorized block merges──▶ evidence
+          ──combine ➜ sort(subj,pred,obj) ➜ combine──▶ deduped edge table
+    linked mentions ──combine ➜ sort(entity_id) ➜ finalize──▶ entity table
 
-Shuffle inventory (SURVEY.md §7.4):
-  #1 triple emission groups by a *salted* conversation key
-     ``(conv_id, turn_idx // salt_span)`` — mega-conversations split into
-     bounded buckets; adjacency needs only ±1 turn of context, so each
-     bucket borrows its successor bucket's first turn as a read-only
-     "ghost" row (emits nothing itself; serves only as the follows target),
-     keeping the salted result byte-identical to the unsalted one.
-  #2 triple dedup groups by (subj, pred, obj) over *pre-deduped* per-batch
-     partials — the all-to-all moves candidate triples, not mention rows.
-  #3 entity canonicalization groups by entity_id over per-batch partial
-     counts (combiner before the shuffle).
+Shuffle inventory (SURVEY.md §7.4) — every wide op is the same shape:
+batch-local vectorized COMBINE (shrinks what moves), one SORT on a
+high-cardinality key (Ray's range partitioner keeps equal keys whole in
+one block), then a vectorized per-block pass that completes the
+aggregation.  No map_groups / Aggregate operators anywhere: per-group
+and per-key machinery serializes at high group counts, and sorting a
+LOW-cardinality key degenerates the range partitioner (empty partitions
+plus mega-partitions) — both measured failure modes, see emit_triples.
+
+  #1 triple emission sorts on the *salted* bucket key
+     ``(hash(conv_id) + turn_idx // salt_span) % 65536`` —
+     mega-conversations split across their turn spans; adjacency needs
+     only ±1 turn of context, so a span-boundary turn adds a ghost copy
+     to the previous span's bucket (a read-only `follows` target),
+     keeping salted output byte-identical to unsalted.
+  #2 triple dedup sorts (subj, pred, obj) over pre-combined partials —
+     the all-to-all moves candidate triples, not mention rows.
+  #3 entity canonicalization sorts entity_id over pre-combined counts.
 
 Mention rows never take part in a wide shuffle: they flow straight from
 the tagger pool into the linker pool under streaming execution.
@@ -30,7 +37,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+
 
 from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
 from clinicaltransformerner_ray.stages.linker import EntityLinker
@@ -44,15 +51,21 @@ FOLLOWS = "follows"
 DEFAULT_SALT_SPAN = 512
 
 
-def _auto_concurrency(frac: float, lo: int = 1) -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster: ``frac`` of
-    total CPUs as the max.  Pools must grow with the cluster or N->4N
-    scaling clamps at the pool cap."""
+def _auto_concurrency(frac: float, lo: int = 1) -> int:
+    """Fixed actor-pool size scaled to the cluster (``frac`` of total
+    CPUs).  Fixed, not autoscaling (1, N): the pool starts every actor
+    immediately instead of ramping on queue pressure, and pool size must
+    grow with the cluster or N->4N scaling clamps at the cap.
+
+    Pool fractions across concurrent stages MUST sum well below 1.0 —
+    actor pools reserve their CPUs for the stage lifetime, and a pool
+    set that covers every CPU starves the stateless read/shuffle tasks
+    feeding it (observed deadlock at num_cpus=4)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (lo, max(2, int(cpus * frac)))
+    return max(lo, int(cpus * frac))
 
 
 def detect_mentions(
@@ -65,13 +78,23 @@ def detect_mentions(
     batch_size: int = 1024,
 ) -> rd.Dataset:
     """turns -> mentions via the tagger actor pool. Alias rows ship once
-    per actor through a ray.put broadcast ref.
-
-    Default concurrency is an autoscaling (min, max) range sized to the
-    cluster so the pool never deadlocks waiting for CPUs another stage
-    holds and grows with added nodes."""
+    per actor through a ray.put broadcast ref."""
     if concurrency is None:
-        concurrency = _auto_concurrency(0.7)
+        # the dominant CPU consumer: a fixed 3/4 FRACTION of the cluster
+        # (not cluster-minus-constant) so the N vs 4N scaling comparison
+        # gives both sizes the same resource share — capped so tagger +
+        # linker + one reader never cover every CPU (starved readers
+        # deadlock the pipeline; observed at num_cpus=4)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        linker_n = max(1, cpus // 8)
+        # 5/8 of the cluster: EXACTLY proportional at the benchmark pair
+        # (8 -> 5, 32 -> 20) so the N-vs-4N comparison gives both sizes
+        # identical resource shares, with enough headroom that readers,
+        # the linker pool and Ray system threads don't contend the pool
+        concurrency = max(1, min(int(0.625 * cpus), cpus - linker_n - 1))
     ref = ray.put(alias_rows)
     return turns.map_batches(
         MentionTagger,
@@ -95,7 +118,7 @@ def link_mentions(
     batch_size: int = 8192,
 ) -> rd.Dataset:
     if concurrency is None:
-        concurrency = _auto_concurrency(0.25)
+        concurrency = _auto_concurrency(1 / 8)
     ref = ray.put(alias_rows)
     return mentions.map_batches(
         EntityLinker,
@@ -103,53 +126,93 @@ def link_mentions(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        # whole CPUs everywhere: fractional reservations let the nominal
+        # N-CPU session run more than N busy processes on a bigger
+        # physical host, silently inflating small-cluster throughput and
+        # corrupting the N-vs-4N scaling comparison
         num_cpus=1,
     )
 
 
-def canonical_entities(linked: rd.Dataset) -> rd.Dataset:
-    """Canonicalization groupby with a batch-local combiner: partial
-    (entity_id, type, surface_norm) counts inside map_batches, tiny final
-    groupby — the all-to-all moves one row per distinct key per batch."""
+#: combiner coalescing width: map_batches with a large batch_size merges
+#: many upstream blocks per combine call, shrinking what the sort moves
+COMBINE_BATCH = 1 << 19
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["entity_id", "type", "surface_norm"]).to_pandas()
-        g = df.groupby(["entity_id", "type", "surface_norm"], sort=False).size()
-        out = g.reset_index(name="pn")
+
+def _combine_sort_combine(
+    ds: rd.Dataset, keys: list[str], combine, finalize=None
+) -> rd.Dataset:
+    """The engine's grouped-aggregation shape: an idempotent vectorized
+    combiner applied (1) batch-locally pre-shuffle (coalesced batches),
+    then (2) per sorted block post-shuffle.  Ray's range partitioner
+    keeps equal keys in one block, so step 2 completes the aggregation
+    with plain pandas groupby — no per-group invocation, no Aggregate
+    operator (whose per-key machinery dominates at high key counts)."""
+    partials = ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=COMBINE_BATCH)
+    return partials.sort(keys).map_batches(
+        finalize or combine, batch_format="pyarrow", batch_size=None)
+
+
+def canonical_entities(linked: rd.Dataset) -> rd.Dataset:
+    """Canonicalization: partial (entity_id, type, surface_norm) counts
+    inside map_batches (combiner), one sort on entity_id, vectorized
+    per-block finalize (canonical surface = count-desc / lexicographic
+    argmax over the entity's surface variants)."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "pn" not in df.columns:
+            df = df[["entity_id", "type", "surface_norm"]].assign(pn=1)
+        g = df.groupby(["entity_id", "type", "surface_norm"],
+                       sort=False)["pn"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "entity_id": pa.array([], pa.string()),
+                "type": pa.array([], pa.string()),
+                "canonical_surface": pa.array([], pa.string()),
+                "n_mentions": pa.array([], pa.int64()),
+                "n_surfaces": pa.array([], pa.int64()),
+            })
+        g = df.groupby(["entity_id", "type", "surface_norm"],
+                       sort=False)["pn"].sum().reset_index()
+        tot = g.groupby(["entity_id", "type"], sort=False).agg(
+            n_mentions=("pn", "sum"),
+            n_surfaces=("surface_norm", "nunique")).reset_index()
+        top = (g.sort_values(["pn", "surface_norm"],
+                             ascending=[False, True])
+               .drop_duplicates("entity_id")
+               [["entity_id", "surface_norm"]]
+               .rename(columns={"surface_norm": "canonical_surface"}))
+        out = tot.merge(top, on="entity_id")
+        out = out[["entity_id", "type", "canonical_surface",
+                   "n_mentions", "n_surfaces"]]
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partials = linked.map_batches(partial, batch_format="pyarrow")
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        by_surf = (
-            g.groupby("surface_norm")["pn"].sum().reset_index()
-            .sort_values(["pn", "surface_norm"], ascending=[False, True])
-        )  # deterministic tie-break: count desc, then lexicographic
-        return pd.DataFrame({
-            "entity_id": [g["entity_id"].iloc[0]],
-            "type": [g["type"].iloc[0]],
-            "canonical_surface": [by_surf["surface_norm"].iloc[0]],
-            "n_mentions": [int(g["pn"].sum())],
-            "n_surfaces": [int(g["surface_norm"].nunique())],
-        })
-
-    return partials.groupby("entity_id").map_groups(finalize, batch_format="pandas")
+    return _combine_sort_combine(
+        linked.map_batches(
+            lambda b: b.select(["entity_id", "type", "surface_norm"]),
+            batch_format="pyarrow"),
+        ["entity_id"], combine, finalize)
 
 
 def mention_counts(mentions: rd.Dataset) -> rd.Dataset:
-    """(conv_id, turn_idx, surface_norm, type) -> n_mentions, with a
-    batch-local combiner before the groupby."""
+    """(conv_id, turn_idx, surface_norm, type) -> n_mentions via the
+    combine/sort/combine aggregation shape."""
+    keys = ["conv_id", "turn_idx", "surface_norm", "type"]
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["conv_id", "turn_idx", "surface_norm", "type"]).to_pandas()
-        g = df.groupby(["conv_id", "turn_idx", "surface_norm", "type"], sort=False).size()
-        return pa.Table.from_pandas(g.reset_index(name="pn"), preserve_index=False)
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "n_mentions" not in df.columns:
+            df = df[keys].assign(n_mentions=1)
+        g = df.groupby(keys, sort=False)["n_mentions"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
-        mentions.map_batches(partial, batch_format="pyarrow")
-        .groupby(["conv_id", "turn_idx", "surface_norm", "type"])
-        .aggregate(Sum("pn", alias_name="n_mentions"))
-    )
+    return _combine_sort_combine(mentions, keys, combine)
 
 
 def _bucketed_turn_entities(
@@ -181,7 +244,10 @@ def _bucketed_turn_entities(
         out = pd.concat([df, border], ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return linked.map_batches(dedup_and_bucket, batch_format="pyarrow")
+    # coalesced batches: fewer, larger te blocks keep the downstream
+    # sort's task count (and its fixed scheduling cost) low
+    return linked.map_batches(
+        dedup_and_bucket, batch_format="pyarrow", batch_size=COMBINE_BATCH)
 
 
 def emit_triples(
@@ -192,27 +258,30 @@ def emit_triples(
 ) -> rd.Dataset:
     """Adjacency triple emission (shuffle #1) + exact dedup (shuffle #2).
 
-    One hash shuffle moves pre-deduped (conv, turn, entity) rows into
-    ``n_buckets`` coarse buckets; inside each bucket ALL conversations
-    are processed by two vectorized pandas merges (no per-conversation
-    Python) — co_occurs is a self-merge on (conv_id, turn_idx),
-    follows a merge of turn t against t+1.  Bucket count, not group
-    count, bounds the number of per-group calls.
+    Shuffle #1 is a sort on a HIGH-cardinality salted bucket key
+    ``(hash(conv_id) + turn_idx // span) % n_buckets`` — cardinality must
+    far exceed the partition count or the range partitioner degenerates
+    (empty partitions + mega-partitions that serialize the stage).  Ray's
+    range partitioner never splits equal key values across partitions, so
+    every bucket arrives whole in exactly one block, and a plain
+    ``map_batches(batch_size=None)`` over sorted blocks can process ALL
+    the buckets in a block with two vectorized pandas merges — co_occurs
+    as a self-merge on (conv_id, turn_idx), follows as turn t against
+    t+1.  No per-group invocation anywhere (the map_groups API costs a
+    pandas call per group; at millions of groups that serializes).
 
     Output: (subj, pred, obj, n_evidence, first_conv_id, first_turn_idx).
     """
     if n_buckets is None:
-        try:
-            n_buckets = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            n_buckets = 32
+        n_buckets = 65536
     te = _bucketed_turn_entities(linked, salt_span, n_buckets)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()
         # finish the distinct the combiner started; a ghost copy and its
-        # original can share a bucket when two spans hash together, so
-        # dedup IGNORES the ghost flag, preferring the original (sort
-        # puts ghost=False first)
+        # original can share a block (two spans of one conv hashing to
+        # co-located buckets), so dedup IGNORES the ghost flag,
+        # preferring the original (sort puts ghost=False first)
         g = (g.sort_values("ghost")
              .drop_duplicates(["conv_id", "turn_idx", "entity_id"]))
         ng = g[~g["ghost"]]
@@ -225,7 +294,7 @@ def emit_triples(
             suffixes=("_x", "_y"),
         )
         fo = fo[fo["entity_id_x"] != fo["entity_id_y"]]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "subj": pd.concat([co["entity_id_x"], fo["entity_id_x"]],
                               ignore_index=True),
             "pred": [CO_OCCURS] * len(co) + [FOLLOWS] * len(fo),
@@ -236,25 +305,30 @@ def emit_triples(
             "turn_idx": pd.concat([co["turn_idx"], fo["turn_idx_x"]],
                                   ignore_index=True),
         })
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    raw = te.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    raw = te.sort("bucket").map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None)
 
-    def partial_dedup(batch: pa.Table) -> pa.Table:
+    def triple_combine(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        g = df.groupby(["subj", "pred", "obj"], sort=False).agg(
-            pn=("conv_id", "size"),
-            pc=("conv_id", "min"),
-            pt=("turn_idx", "min"),
-        ).reset_index()
+        keys = ["subj", "pred", "obj"]
+        if "n_evidence" in df.columns:
+            g = df.groupby(keys, sort=False).agg(
+                n_evidence=("n_evidence", "sum"),
+                first_conv_id=("first_conv_id", "min"),
+                first_turn_idx=("first_turn_idx", "min"),
+            ).reset_index()
+        else:
+            g = df.groupby(keys, sort=False).agg(
+                n_evidence=("conv_id", "size"),
+                first_conv_id=("conv_id", "min"),
+                first_turn_idx=("turn_idx", "min"),
+            ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = raw.map_batches(partial_dedup, batch_format="pyarrow")
-    deduped = partials.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("pn", alias_name="n_evidence"),
-        Min("pc", alias_name="first_conv_id"),
-        Min("pt", alias_name="first_turn_idx"),
-    )
-    return deduped
+    return _combine_sort_combine(raw, ["subj", "pred", "obj"],
+                                 triple_combine)
 
 
 def kg_pipeline(
