@@ -72,18 +72,17 @@ def _q_kg_turn_entities(sf_dir: str):
     linked = link_mentions(detect_mentions(turns, alias_rows), alias_rows)
 
     def dedup(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
         return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
 
-    # batch-local dedup then exact distinct via groupby-first
-    import pandas as pd
-
+    # exact distinct: batch-local combiner, one sort (equal keys land
+    # whole per block), block-local completion — no per-group calls
+    keys = ["conv_id", "turn_idx", "entity_id"]
     return (
-        linked.map_batches(dedup, batch_format="pyarrow")
-        .groupby(["conv_id", "turn_idx", "entity_id"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        linked.map_batches(dedup, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .sort(keys)
+        .map_batches(dedup, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -63,26 +63,31 @@ def _hash64(strings: list[str]) -> np.ndarray:
 # 1. exact dedup
 
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
-    """Exact dedup by full text: batch-local partial (hash -> min id,
-    count), then one small groupby on the 128-bit content hash.  The
-    shuffle moves one row per distinct text per batch, never the text
-    bytes themselves."""
+    """Exact dedup by full text: batch-local combine (content hash ->
+    min id, count), one sort on the 160-bit hash (high cardinality, so
+    the range partitioner balances), vectorized per-block completion.
+    The shuffle moves one row per distinct text per batch, never the
+    text bytes themselves."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "doc_id": batch.column("doc_id").to_pandas(),
-            "h": [hashlib.sha1((t or "").encode()).hexdigest()
-                  for t in batch.column("text").to_pylist()],
-        })
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "h" not in df.columns:
+            df = pd.DataFrame({
+                "h": [hashlib.sha1((t or "").encode()).hexdigest()
+                      for t in df["text"]],
+                "keep_doc_id": df["doc_id"],
+                "n_copies": 1,
+            })
         g = df.groupby("h", sort=False).agg(
-            pmin=("doc_id", "min"), pn=("doc_id", "size")).reset_index()
+            keep_doc_id=("keep_doc_id", "min"),
+            n_copies=("n_copies", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("pmin", alias_name="keep_doc_id"),
-                   Sum("pn", alias_name="n_copies"))
+        docs.map_batches(combine, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("h")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
     return agg.select_columns(["keep_doc_id", "n_copies"])
 
@@ -122,33 +127,57 @@ def ngram_jaccard_pairs(
 
     posts = docs.map_batches(postings, batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        if max_df is not None and len(g) > max_df:
-            # hot-shingle cap (frequency filter); off by default
-            return pd.DataFrame(columns=["a", "b", "sa", "sb"])
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sz = g["set_size"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({
-            "a": ids[ii], "b": ids[jj], "sa": sz[ii], "sb": sz[jj],
-        })
+    # sort co-locates every posting of a shingle in one block (Ray's
+    # range partitioner never splits equal keys); pair emission is pure
+    # index arithmetic over the block — per-group work is one
+    # np.triu_indices call, and ONE output frame is built per block
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["shingle", "doc_id"])
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "sa": pd.Series(dtype="int64"),
+                              "sb": pd.Series(dtype="int64")})
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        _, first, counts = np.unique(
+            df["shingle"].to_numpy(), return_index=True, return_counts=True)
+        ids = df["doc_id"].to_numpy()
+        sz = df["set_size"].to_numpy()
+        i_parts, j_parts = [], []
+        for start, c in zip(first, counts):
+            if c < 2 or (max_df is not None and c > max_df):
+                continue  # df=1, or hot-shingle cap (off by default)
+            ii, jj = np.triu_indices(int(c), k=1)
+            i_parts.append(start + ii)
+            j_parts.append(start + jj)
+        if not i_parts:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        I = np.concatenate(i_parts)
+        J = np.concatenate(j_parts)
+        out = pd.DataFrame({"a": ids[I], "b": ids[J],
+                            "sa": sz[I], "sb": sz[J]})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    pairs = posts.groupby("shingle").map_groups(
-        pairs_of_group, batch_format="pandas")
+    pairs = posts.sort("shingle").map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None)
 
-    def partial_count(batch: pa.Table) -> pa.Table:
+    def pair_combine(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        g = df.groupby(["a", "b"], sort=False).agg(
-            pi=("sa", "size"), sa=("sa", "min"), sb=("sb", "min")).reset_index()
+        if "i" in df.columns:
+            g = df.groupby(["a", "b"], sort=False).agg(
+                i=("i", "sum"), fsa=("fsa", "min"),
+                fsb=("fsb", "min")).reset_index()
+        else:
+            g = df.groupby(["a", "b"], sort=False).agg(
+                i=("sa", "size"), fsa=("sa", "min"),
+                fsb=("sb", "min")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        pairs.map_batches(partial_count, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Sum("pi", alias_name="i"),
-                   Min("sa", alias_name="fsa"),
-                   Min("sb", alias_name="fsb"))
+        pairs.map_batches(pair_combine, batch_format="pyarrow",
+                          batch_size=1 << 19)
+        .sort(["a", "b"])
+        .map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -219,33 +248,44 @@ def minhash_lsh_pairs(
 
     bucketed = docs.map_batches(signatures, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
-                         for s in g["sig"]])  # (D, P)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        est = (sigs[ii] == sigs[jj]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({
-            "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
-            "est_jaccard": est[keep],
-        })
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dup = df[df.duplicated("bucket", keep=False)]
+        frames = []
+        for _b, g in dup.groupby("bucket", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                             for s in g["sig"]])  # (D, P)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            est = (sigs[ii] == sigs[jj]).mean(axis=1)
+            keep = est >= threshold
+            frames.append(pd.DataFrame({
+                "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+                "est_jaccard": est[keep]}))
+        out = (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                  "doc_b": pd.Series(dtype="int64"),
+                                  "est_jaccard": pd.Series(dtype="float64")}))
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    pairs = bucketed.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = bucketed.sort("bucket").map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None)
 
-    # a pair can surface from several bands: exact distinct via groupby
-    def partial_dedup(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+    # a pair can surface from several bands: exact distinct
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["doc_a", "doc_b"], sort=False)[
+            "est_jaccard"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        pairs.map_batches(partial_dedup, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+        pairs.map_batches(pair_combine, batch_format="pyarrow",
+                          batch_size=1 << 19)
+        .sort(["doc_a", "doc_b"])
+        .map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -298,34 +338,46 @@ def simhash_pairs(
 
     bucketed = docs.map_batches(sigs, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-        s = g["sig"].to_numpy().astype(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = s[ii] ^ s[jj]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(SIMHASH_BITS):  # popcount via shifts (vectorized)
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({
-            "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
-            "hamming": ham[keep],
-        })
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dup = df[df.duplicated("bucket", keep=False)]
+        frames = []
+        for _b, g in dup.groupby("bucket", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            s = g["sig"].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            x = s[ii] ^ s[jj]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(SIMHASH_BITS):  # popcount via shifts (vectorized)
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= max_hamming
+            frames.append(pd.DataFrame({
+                "doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+                "hamming": ham[keep]}))
+        out = (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                  "doc_b": pd.Series(dtype="int64"),
+                                  "hamming": pd.Series(dtype="int64")}))
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    pairs = bucketed.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = bucketed.sort("bucket").map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None)
+
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["doc_a", "doc_b"], sort=False)[
+            "hamming"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     return (
-        pairs.map_batches(
-            lambda b: pa.Table.from_pandas(
-                b.to_pandas().drop_duplicates(["doc_a", "doc_b"]),
-                preserve_index=False),
-            batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        pairs.map_batches(pair_combine, batch_format="pyarrow",
+                          batch_size=1 << 19)
+        .sort(["doc_a", "doc_b"])
+        .map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -19,6 +19,7 @@ one artifact per document.  Cited: `output_format_converter.py:18`
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -40,48 +41,77 @@ def brat_annotations(mentions: rd.Dataset) -> rd.Dataset:
     """(conv_id, turn_idx, ann) — one brat .ann document per turn.
 
     Sequential T ids restart per document after an intra-doc sort by
-    (start, end) — deterministic regardless of upstream block order."""
+    (start, end) — deterministic regardless of upstream block order.
+    One sort on the doc key; line construction is vectorized pandas
+    string ops over the whole block (per-doc work is only the final
+    newline join), so millions of documents never invoke per-group
+    Python."""
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["start", "end", "type"]).reset_index(drop=True)
-        lines = []
-        for n, r in enumerate(g.itertuples(), start=1):
-            field, text = discontinuous_offsets(r.surface, r.start, r.end)
-            lines.append(BRAT_TEMPLATE.format(n=n, t=r.type, o=field, text=text))
-        return pd.DataFrame({
-            "conv_id": [g["conv_id"].iloc[0]],
-            "turn_idx": [g["turn_idx"].iloc[0]],
-            "ann": ["\n".join(lines) + ("\n" if lines else "")],
-        })
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "ann": pa.array([], pa.string()),
+            })
+        key = ["conv_id", "turn_idx"]
+        df = df.sort_values(key + ["start", "end", "type"])
+        df["n"] = df.groupby(key, sort=False).cumcount() + 1
+        # vectorized M12 newline repair
+        surf = df["surface"].astype(str)
+        nl = surf.str.find("\n")
+        s, e = df["start"].astype(str), df["end"].astype(str)
+        plain = s + " " + e
+        split_at = (df["start"] + nl.clip(lower=0)).astype(str)
+        split_next = (df["start"] + nl.clip(lower=0) + 1).astype(str)
+        disc = s + " " + split_at + ";" + split_next + " " + e
+        field = plain.where(nl < 0, disc)
+        text = surf.str.replace("\n", " ", regex=False)
+        df["line"] = ("T" + df["n"].astype(str) + "\t" + df["type"]
+                      + " " + field + "\t" + text)
+        out = (df.groupby(key, sort=False)["line"]
+               .agg(lambda ls: "\n".join(ls) + "\n").reset_index()
+               .rename(columns={"line": "ann"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return mentions.groupby(["conv_id", "turn_idx"]).map_groups(
-        per_doc, batch_format="pandas")
+    return mentions.sort(["conv_id", "turn_idx"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None)
 
 
 def bioc_documents(mentions: rd.Dataset) -> rd.Dataset:
     """(conv_id, turn_idx, xml) — minimal BioC annotation block per turn
     (reference templates `output_format_converter.py:19-41`)."""
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["start", "end", "type"]).reset_index(drop=True)
-        parts = [f'<document><id>{g["conv_id"].iloc[0]}:'
-                 f'{g["turn_idx"].iloc[0]}</id><passage><offset>0</offset>']
-        for n, r in enumerate(g.itertuples(), start=1):
-            _field, text = discontinuous_offsets(r.surface, r.start, r.end)
-            parts.append(
-                f'<annotation id="{n}">'
-                f'<infon key="type">{r.type}</infon>'
-                f'<location offset="{r.start}" length="{r.end - r.start}"/>'
-                f"<text>{text}</text></annotation>")
-        parts.append("</passage></document>")
-        return pd.DataFrame({
-            "conv_id": [g["conv_id"].iloc[0]],
-            "turn_idx": [g["turn_idx"].iloc[0]],
-            "xml": ["".join(parts)],
-        })
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "xml": pa.array([], pa.string()),
+            })
+        key = ["conv_id", "turn_idx"]
+        df = df.sort_values(key + ["start", "end", "type"])
+        df["n"] = df.groupby(key, sort=False).cumcount() + 1
+        text = df["surface"].astype(str).str.replace("\n", " ", regex=False)
+        df["annot"] = (
+            '<annotation id="' + df["n"].astype(str) + '">'
+            + '<infon key="type">' + df["type"] + "</infon>"
+            + '<location offset="' + df["start"].astype(str)
+            + '" length="' + (df["end"] - df["start"]).astype(str) + '"/>'
+            + "<text>" + text + "</text></annotation>")
+        out = (df.groupby(key, sort=False)["annot"].agg("".join)
+               .reset_index())
+        out["xml"] = ("<document><id>" + out["conv_id"].astype(str) + ":"
+                      + out["turn_idx"].astype(str)
+                      + "</id><passage><offset>0</offset>"
+                      + out["annot"] + "</passage></document>")
+        out = out[["conv_id", "turn_idx", "xml"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return mentions.groupby(["conv_id", "turn_idx"]).map_groups(
-        per_doc, batch_format="pandas")
+    return mentions.sort(["conv_id", "turn_idx"]).map_batches(
+        per_block, batch_format="pyarrow", batch_size=None)
 
 
 def bio_lines(tokens: list[str], labels: list[str]) -> str:
