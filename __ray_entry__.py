@@ -213,6 +213,18 @@ def _q_kg_resume_rowsonly(sf_dir: str):
     return kg_from_checkpoint(out)["triples"]
 
 
+def _q_kg_mentions_biaffine(sf_dir: str):
+    """Same mention-count table as kg_mentions but through the biaffine
+    span-grid model family — grid decode must agree with BIO decode."""
+    from clinicaltransformerner_ray.pipelines.kg import (
+        detect_mentions_biaffine, mention_counts)
+    from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
+
+    alias_rows = load_alias_rows(sf_dir)
+    turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    return mention_counts(detect_mentions_biaffine(turns, alias_rows))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_mentions": _q_kg_mentions,
@@ -220,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_turn_entities": _q_kg_turn_entities,
         "kg_mention_spans_rowsonly": _q_kg_mention_spans_rowsonly,
+        "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_rowsonly": _q_dedup_minhash_rowsonly,
@@ -264,6 +277,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     cte = _MENTION_CTE.format(turns=p["turns_sql"], aliases=p["aliases"])
     return {
         "kg_mentions": cte + """
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   surface_norm, type, n AS n_mentions
+            FROM mm
+        """,
+        "kg_mentions_biaffine": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    surface_norm, type, n AS n_mentions
             FROM mm

@@ -110,6 +110,35 @@ def detect_mentions(
     )
 
 
+def detect_mentions_biaffine(
+    turns: rd.Dataset,
+    alias_rows: list[dict],
+    *,
+    max_sub_len: int = 2048,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 512,
+) -> rd.Dataset:
+    """turns -> mentions via the biaffine span-grid actor pool (the
+    reference's second model family; stages/biaffine.py).  Same output
+    schema as detect_mentions, so the whole KG suffix composes
+    unchanged.  Smaller batch_size: the O(L^2 x C) grids live per
+    sentence inside the actor and long turns make them large."""
+    from clinicaltransformerner_ray.stages.biaffine import BiaffineTagger
+
+    if concurrency is None:
+        concurrency = _auto_concurrency(0.5)
+    ref = ray.put(alias_rows)
+    return turns.map_batches(
+        BiaffineTagger,
+        fn_constructor_kwargs={"alias_rows_ref": ref,
+                               "max_sub_len": max_sub_len},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def link_mentions(
     mentions: rd.Dataset,
     alias_rows: list[dict],

@@ -1,0 +1,142 @@
+"""BIO/brat text-format readers, writer round-trips, and the brat-style
+strict/lenient micro/macro evaluator (expected values produced by running
+the reference `eval_scripts/brat_eval.py` on the same fixture corpus)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+GOLD_DOC1 = """T1\tproblem 10 20\theadache x
+T2\tdrug 30 38\taspirin1
+T3\ttest 50 60\tblood test
+"""
+SYS_DOC1 = """T1\tproblem 10 20\theadache x
+T2\tdrug 31 38\tspirin1
+T3\tproblem 12 18\tadache
+T4\ttest 70 80\tother test
+"""
+GOLD_DOC2 = "T1\tdrug 5 12\tstatin x\n"
+SYS_DOC2 = "T1\tdrug 5 12\tstatin x\nT2\tdrug 5 12\tstatin x\n"
+
+
+@pytest.fixture()
+def brat_dirs(tmp_path):
+    g = tmp_path / "gold"
+    s = tmp_path / "sys"
+    g.mkdir(); s.mkdir()
+    (g / "doc1.ann").write_text(GOLD_DOC1)
+    (s / "doc1.ann").write_text(SYS_DOC1)
+    (g / "doc2.ann").write_text(GOLD_DOC2)
+    (s / "doc2.ann").write_text(SYS_DOC2)
+    return str(g), str(s)
+
+
+def test_brat_reader(ray_session, brat_dirs):
+    from clinicaltransformerner_ray.sources.brat import read_brat
+
+    g, _ = brat_dirs
+    tags, rels = read_brat(g)
+    rows = sorted(tags.take_all(), key=lambda r: (r["doc_id"], r["tid"]))
+    assert len(rows) == 4
+    assert rows[0] == {"doc_id": "doc1", "tid": "T1", "type": "problem",
+                       "start": 10, "end": 20, "text": "headache x"}
+    assert rels.count() == 0
+
+
+def test_brat_reader_discontinuous_and_relations(ray_session, tmp_path):
+    from clinicaltransformerner_ray.sources.brat import parse_ann
+
+    txt = ("T1\tproblem 5 9;10 15\tfoo bar\n"
+           "T2\tdrug 20 25\tzap\n"
+           "R1\ttreats Arg1:T2 Arg2:T1\n")
+    tags, rels = parse_ann("d", txt)
+    assert tags[0]["start"] == 5 and tags[0]["end"] == 15
+    assert rels == [{"doc_id": "d", "rid": "R1", "rtype": "treats",
+                     "arg1": "T2", "arg2": "T1"}]
+
+
+@pytest.mark.parametrize("mode,exp", [
+    # expected values from running the reference brat_eval.py on this corpus
+    ("strict", {"tp": 2, "fp": 3, "fn": 2,
+                "micro": (0.4, 0.5, 0.4444),
+                "macro": (0.625, 0.6667, 0.6429)}),
+    ("lenient", {"tp": 3, "fp": 1, "fn": 1,
+                 "micro": (0.75, 0.75, 0.75),
+                 "macro": (0.8333, 0.8333, 0.8333)}),
+])
+def test_brat_eval_matches_reference(ray_session, brat_dirs, mode, exp):
+    from clinicaltransformerner_ray.pipelines.brat_eval_pipeline import (
+        brat_span_eval)
+    from clinicaltransformerner_ray.sources.brat import read_brat
+
+    g, s = brat_dirs
+    gold, _ = read_brat(g)
+    sys_, _ = read_brat(s)
+    res = brat_span_eval(gold, sys_, mode=mode)
+    assert (res["tp"], res["fp"], res["fn"]) == (exp["tp"], exp["fp"], exp["fn"])
+    for key, (p, r, f1) in (("micro", exp["micro"]), ("macro", exp["macro"])):
+        assert round(res[key]["precision"], 4) == p
+        assert round(res[key]["recall"], 4) == r
+        assert round(res[key]["f1"], 4) == f1
+    assert res["unpaired_gold"] == [] and res["unpaired_sys"] == []
+
+
+def test_brat_eval_reports_unpaired_docs(ray_session, tmp_path):
+    from clinicaltransformerner_ray.pipelines.brat_eval_pipeline import (
+        brat_span_eval)
+    from clinicaltransformerner_ray.sources.brat import read_brat
+
+    g = tmp_path / "g"; s = tmp_path / "s"
+    g.mkdir(); s.mkdir()
+    (g / "a.ann").write_text(GOLD_DOC2)
+    (g / "only_gold.ann").write_text(GOLD_DOC2)
+    (s / "a.ann").write_text(SYS_DOC2)
+    (s / "only_sys.ann").write_text(SYS_DOC2)
+    gold, _ = read_brat(str(g))
+    sys_, _ = read_brat(str(s))
+    res = brat_span_eval(gold, sys_)
+    assert res["unpaired_gold"] == ["only_gold"]
+    assert res["unpaired_sys"] == ["only_sys"]
+    assert res["n_docs"] == 1
+
+
+def test_bio_roundtrip(ray_session, tmp_path):
+    """read_bio ∘ format_bio == identity on token/label content."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.sources.bio_text import (
+        format_bio, parse_bio_text, read_bio)
+
+    bio = ("Patient O\nhas O\nsevere B-problem\npain I-problem\n\n"
+           "Taking O\naspirin B-drug\n")
+    (tmp_path / "note1.txt").write_text(bio)
+    ds = read_bio(str(tmp_path / "note1.txt"))
+    rows = sorted(ds.take_all(), key=lambda r: r["sent_idx"])
+    assert [list(r["tokens"]) for r in rows] == [
+        ["Patient", "has", "severe", "pain"], ["Taking", "aspirin"]]
+    assert list(rows[0]["labels"]) == ["O", "O", "B-problem", "I-problem"]
+
+    out = format_bio(rd.from_items([
+        {k: (list(v) if isinstance(v, (list, tuple)) or
+             hasattr(v, "__len__") and not isinstance(v, str) else v)
+         for k, v in r.items()} for r in rows])).take_all()
+    assert out[0]["bio_text"] == bio
+
+    # offset-bearing variant parses the reference 6-field format
+    rows6 = parse_bio_text("d", "word 3 7 3 7 B-x\n")
+    assert rows6[0]["offsets"] == [[3, 7]]
+    # malformed lines are skipped with a count (data_utils.py:150-158)
+    rows_bad = parse_bio_text("d", "one 1 2 X\nok O\n")
+    assert rows_bad[0]["tokens"] == ["ok"]
+    assert rows_bad[0]["n_malformed"] == 1
+
+
+def test_bio_test_mode_forces_O(ray_session, tmp_path):
+    from clinicaltransformerner_ray.sources.bio_text import parse_bio_text
+
+    rows = parse_bio_text("d", "a B-x\nb I-x\n", test_mode=True)
+    assert rows[0]["labels"] == ["O", "O"]
