@@ -213,6 +213,26 @@ def _q_kg_resume_rowsonly(sf_dir: str):
     return kg_from_checkpoint(out)["triples"]
 
 
+def _q_events_windowed(sf_dir: str):
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import windowed_counts
+
+    return windowed_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "value"]))
+
+
+def _q_events_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import sessionize
+
+    return sessionize(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]))
+
+
 def _q_kg_mentions_biaffine(sf_dir: str):
     """Same mention-count table as kg_mentions but through the biaffine
     span-grid model family — grid decode must agree with BIO decode."""
@@ -233,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_entities": _q_kg_turn_entities,
         "kg_mention_spans_rowsonly": _q_kg_mention_spans_rowsonly,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_rowsonly": _q_dedup_minhash_rowsonly,
@@ -328,6 +350,35 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         "kg_turn_entities": cte + """
             SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm
+        """,
+        "events_windowed": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT *, CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+                FROM e
+            ), numbered AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
+                    AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM numbered GROUP BY user_id, session_idx
         """,
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,

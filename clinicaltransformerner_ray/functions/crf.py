@@ -1,0 +1,78 @@
+"""CRF Viterbi decoding (SURVEY.md §2.4 T3).
+
+The reference's CRF head decodes each sequence with learned transition
+scores via dynamic programming (`src/common_utils/model_utils.py:582-657`
+``New_Transformer_CRF._viterbi_decode``).  This is the numpy equivalent:
+max-product DP over (emissions + transitions), backpointer walk, batched
+over windows.  It slots into the scorer actor after the model forward —
+``argmax`` is the degenerate case with zero transition scores — so the
+CRF variant reuses the whole window/guard/decode pipeline unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def viterbi_decode(
+    emissions: np.ndarray,       # (T, C) or (B, T, C)
+    transitions: np.ndarray,     # (C, C): score of moving from i to j
+    mask: np.ndarray | None = None,  # (T,) / (B, T) 1 = real position
+) -> np.ndarray:
+    """Best label path(s) under emission + transition scores.
+
+    Returns int64 paths shaped like ``emissions`` without the class
+    axis; masked positions get label 0 (PAD id, by the label-vocab
+    convention control ids < id('O'))."""
+    single = emissions.ndim == 2
+    if single:
+        emissions = emissions[None]
+        mask = None if mask is None else np.asarray(mask)[None]
+    B, T, C = emissions.shape
+    if mask is None:
+        mask = np.ones((B, T), dtype=bool)
+    mask = mask.astype(bool)
+
+    score = emissions[:, 0, :].astype(np.float64).copy()  # (B, C)
+    history = np.zeros((B, T, C), dtype=np.int64)
+    for t in range(1, T):
+        # (B, C_prev, 1) + (C_prev, C_next) -> best previous per next
+        cand = score[:, :, None] + transitions[None, :, :]
+        best_prev = cand.argmax(axis=1)                   # (B, C)
+        best_score = np.take_along_axis(
+            cand, best_prev[:, None, :], axis=1)[:, 0, :]
+        step = best_score + emissions[:, t, :]
+        alive = mask[:, t][:, None]
+        score = np.where(alive, step, score)
+        history[:, t, :] = np.where(alive, best_prev,
+                                    np.arange(C)[None, :])
+
+    paths = np.zeros((B, T), dtype=np.int64)
+    lengths = mask.sum(axis=1)
+    for b in range(B):
+        L = int(lengths[b])
+        if L == 0:
+            continue
+        lab = int(score[b].argmax())
+        paths[b, L - 1] = lab
+        for t in range(L - 1, 0, -1):
+            lab = int(history[b, t, lab])
+            paths[b, t - 1] = lab
+    return paths[0] if single else paths
+
+
+def brute_force_decode(
+    emissions: np.ndarray, transitions: np.ndarray
+) -> np.ndarray:
+    """O(C^T) exhaustive reference for tests."""
+    from itertools import product
+
+    T, C = emissions.shape
+    best, best_s = None, -np.inf
+    for path in product(range(C), repeat=T):
+        s = emissions[0, path[0]]
+        for t in range(1, T):
+            s += transitions[path[t - 1], path[t]] + emissions[t, path[t]]
+        if s > best_s:
+            best_s, best = s, path
+    return np.asarray(best, dtype=np.int64)

@@ -215,3 +215,38 @@ def test_argmax_decode_matches_plain_argmax():
     rng = np.random.RandomState(0)
     logits = rng.normal(size=(7, 9)).astype(np.float32)
     assert np.array_equal(argmax_decode(logits), logits.argmax(-1))
+
+
+def test_viterbi_matches_brute_force():
+    """T3: DP decode == exhaustive search on random small problems."""
+    from clinicaltransformerner_ray.functions.crf import (
+        brute_force_decode, viterbi_decode)
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        T, C = int(rng.randint(2, 6)), int(rng.randint(2, 5))
+        em = rng.normal(size=(T, C))
+        tr = rng.normal(size=(C, C))
+        assert list(viterbi_decode(em, tr)) == list(brute_force_decode(em, tr))
+
+
+def test_viterbi_zero_transitions_is_argmax():
+    from clinicaltransformerner_ray.functions.crf import viterbi_decode
+
+    rng = np.random.RandomState(3)
+    em = rng.normal(size=(4, 9, 6))
+    tr = np.zeros((6, 6))
+    out = viterbi_decode(em, tr)
+    assert (out == em.argmax(axis=-1)).all()
+
+
+def test_viterbi_respects_mask():
+    from clinicaltransformerner_ray.functions.crf import viterbi_decode
+
+    rng = np.random.RandomState(5)
+    em = rng.normal(size=(2, 5, 3))
+    tr = rng.normal(size=(3, 3))
+    mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]])
+    out = viterbi_decode(em, tr, mask=mask)
+    full = viterbi_decode(em[0, :3], tr)
+    assert (out[0, :3] == full).all() and (out[0, 3:] == 0).all()

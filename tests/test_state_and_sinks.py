@@ -183,3 +183,43 @@ def test_labels_from_mentions_roundtrip(ray_session):
     res = span_prf(labels, labels)
     perf = res["performance"]["overall"]["strict"]
     assert perf["precision"] == 1.0 and perf["recall"] == 1.0
+
+
+def test_events_windowed_and_sessions_parity(ray_session):
+    """Windowed aggregate + sessionization match the SQL oracle at
+    sf0.001 (same check the driver runs at sf0.01)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name in ["events_windowed", "events_sessions"]:
+        rdf = E.queries()[name](SF).to_pandas()
+        odf = con.execute(E.oracle_sql_for(SF)[name]).df()
+        pd.testing.assert_frame_equal(
+            canon(rdf), canon(odf), check_dtype=False, obj=name)
+
+
+def test_biaffine_oracle_parity(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    rdf = E.queries()["kg_mentions_biaffine"](SF).to_pandas()
+    odf = duckdb.connect().execute(
+        E.oracle_sql_for(SF)["kg_mentions_biaffine"]).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(rdf), canon(odf), check_dtype=False)
