@@ -116,16 +116,26 @@ def main() -> None:
         # memory-bandwidth contention that real 4N-node clusters don't)
         pair = tuple(int(x) for x in
                      os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+        # repeat each leg and keep the fastest run: wall time on this
+        # shared host varies ~±20% with external load, and the minimum
+        # is the least-interfered measurement of the engine itself
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
         results = {}
         for cpus in pair:
-            env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_single", str(cpus)],
-                capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)
+            best = None
+            for _ in range(reps):
+                env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--_single", str(cpus)],
+                    capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                r = json.loads(line)
+                if best is None or r["sec"] < best["sec"]:
+                    best = r
+            results[cpus] = best
         lo, hi = pair
         t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
         factor = hi / lo

@@ -3,7 +3,7 @@
 Five dedup families, all Ray-Data-first (map_batches partials before any
 wide shuffle; broadcast small sides via ``ray.put``):
 
-  exact_dedup          hash-partition groupby + per-group first (exact)
+  exact_dedup          content-hash combine/sort/combine (exact)
   ngram_jaccard_pairs  exact word n-gram Jaccard via a distributed
                        posting-list self-join (shingle -> docs -> pairs)
   minhash_lsh_pairs    MinHash signatures + LSH banding -> candidate
@@ -20,9 +20,9 @@ Scale notes (100 TB path):
   - the broadcast embedding matrix works to ~10M x small-dim; beyond
     that, the IVF/LSH-bucketed path in pipelines/similarity.py co-locates
     candidates by bucket so no stage holds the full matrix.
-  - all pair emission happens inside per-key ``map_groups`` after a
-    single hash shuffle on the bucket key; outputs are pre-deduped per
-    batch before the final distinct.
+  - all pair emission happens in vectorized per-block passes after ONE
+    sort on the bucket/shingle key (equal keys arrive whole per block);
+    outputs are pre-combined per batch before the final distinct.
 """
 
 from __future__ import annotations
@@ -35,7 +35,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -105,10 +104,10 @@ def ngram_jaccard_pairs(
     """All document pairs with word-``n``-gram Jaccard >= ``threshold``.
 
     Distributed exact algorithm: explode distinct shingles into postings
-    ``(shingle, doc_id, set_size)``, group by shingle, emit co-occurrence
-    pairs carrying both set sizes, then one (a, b) groupby sums the
-    intersection — Jaccard = i / (sa + sb - i).  No stage ever holds two
-    documents' texts together."""
+    ``(shingle, doc_id, set_size)``, co-locate by shingle (one sort),
+    emit co-occurrence pairs carrying both set sizes, then sum the
+    per-pair intersection — Jaccard = i / (sa + sb - i).  No stage ever
+    holds two documents' texts together."""
 
     def postings(batch: pa.Table) -> pa.Table:
         ids, shs, sizes = [], [], []

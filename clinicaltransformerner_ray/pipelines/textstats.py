@@ -21,11 +21,9 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 #: tiny function-word lexicon for the language-ID heuristic
 STOPWORDS = ("a", "the")
@@ -102,21 +100,28 @@ def doc_fingerprints(docs: rd.Dataset, *, n: int = 5) -> rd.Dataset:
 def token_vocab(docs: rd.Dataset) -> rd.Dataset:
     """Corpus token-frequency table under the BPE-ish regex tokenizer.
 
-    Output: (token, n).  Partial counts per batch, then one grouped sum
-    — the classic combiner-before-shuffle wordcount."""
+    Output: (token, n).  The classic combiner-before-shuffle wordcount
+    in the engine's combine/sort/combine shape — the shuffle moves one
+    row per distinct token per batch, and a million-token vocabulary
+    never hits per-key Aggregate machinery."""
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        if "n" in batch.column_names:
+            df = batch.to_pandas()
+            g = df.groupby("token", sort=False)["n"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
         counts: dict[str, int] = {}
         for t in batch.column("text").to_pylist():
             for tok in TOKEN_RE.findall(t or ""):
                 counts[tok] = counts.get(tok, 0) + 1
         return pa.table({
             "token": pa.array(list(counts.keys()), pa.string()),
-            "pn": pa.array(list(counts.values()), pa.int64()),
+            "n": pa.array(list(counts.values()), pa.int64()),
         })
 
     return (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("pn", alias_name="n"))
+        docs.map_batches(combine, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("token")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )

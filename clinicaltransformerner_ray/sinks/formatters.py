@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from clinicaltransformerner_ray.functions.spans import discontinuous_offsets
+
 
 BRAT_TEMPLATE = "T{n}\t{t} {o}\t{text}"
 
