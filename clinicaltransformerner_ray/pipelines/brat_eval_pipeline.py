@@ -93,14 +93,17 @@ def brat_span_eval(
         df = batch.to_pandas()
         rows = []
         for doc, g in df.groupby("doc_id", sort=False):
+            # side presence comes from the group BEFORE the tag_type
+            # filter (pairing is per document, not per type); the group
+            # already holds every row of the doc, so no full-block scan
+            has_g = (g["side"] == "g").any()
+            has_s = (g["side"] == "s").any()
             if tag_type is not None:
                 g = g[g["type"] == tag_type]
             gol = [(r.tid, r.start, r.end, r.type)
                    for r in g[g["side"] == "g"].itertuples()]
             sys = [(r.tid, r.start, r.end, r.type)
                    for r in g[g["side"] == "s"].itertuples()]
-            has_g = (df[df["doc_id"] == doc]["side"] == "g").any()
-            has_s = (df[df["doc_id"] == doc]["side"] == "s").any()
             if not (has_g and has_s):
                 rows.append({"doc_id": doc, "paired": False,
                              "has_gold": bool(has_g),

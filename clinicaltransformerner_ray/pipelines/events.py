@@ -29,6 +29,11 @@ import ray.data as rd
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """Round half away from zero (DuckDB round() semantics), int64."""
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
 def windowed_counts(events: rd.Dataset, *, window: str = "hour") -> rd.Dataset:
     """(user_id, window_start, n_events, sum_value_cents) via the
     combine/sort/combine aggregation shape (no Aggregate operator)."""
@@ -43,9 +48,11 @@ def windowed_counts(events: rd.Dataset, *, window: str = "hour") -> rd.Dataset:
                 "window_start": ts.dt.floor("h"),
                 "n_events": 1,
                 # exact integer-cents sum: float accumulation order would
-                # differ between engines and break value-hash comparison
-                "sum_value_cents": np.round(
-                    df["value"].to_numpy() * 100).astype(np.int64),
+                # differ between engines and break value-hash comparison.
+                # Half-away-from-zero, matching DuckDB round() — np.round
+                # is half-to-even and diverges on exact .5 cents
+                "sum_value_cents": _round_half_away(
+                    df["value"].to_numpy() * 100),
             })
         g = df.groupby(["user_id", "window_start"], sort=False).agg(
             n_events=("n_events", "sum"),

@@ -260,15 +260,24 @@ def _bucketed_turn_entities(
     def dedup_and_bucket(batch: pa.Table) -> pa.Table:
         df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
         df = df.drop_duplicates()
+        # ALL bucket arithmetic stays in uint64: h is uint64 and numpy
+        # promotes uint64 + int64 to float64, which absorbs the span
+        # offset for ~all hashes (salting silently a no-op) and can
+        # round a ghost into the wrong bucket.  uint64 wraparound is
+        # harmless because n_buckets divides 2**64.
+        nb = np.uint64(n_buckets)
         h = pd.util.hash_pandas_object(df["conv_id"], index=False).to_numpy()
-        spans = (df["turn_idx"] // span).to_numpy()
+        spans = (df["turn_idx"] // span).to_numpy().astype(np.uint64)
         df["ghost"] = False
-        df["bucket"] = ((h + spans) % n_buckets).astype(np.int64)
-        border = df[(df["turn_idx"] % span == 0) & (df["turn_idx"] > 0)].copy()
+        df["bucket"] = ((h + spans) % nb).astype(np.int64)
+        border_mask = (df["turn_idx"] % span == 0) & (df["turn_idx"] > 0)
+        border = df[border_mask].copy()
         border["ghost"] = True
+        # same uint64 expression evaluated at span-1, so the ghost lands
+        # in exactly the bucket the previous span's turns computed
         border["bucket"] = (
-            (pd.util.hash_pandas_object(border["conv_id"], index=False).to_numpy()
-             + (border["turn_idx"] // span).to_numpy() - 1) % n_buckets
+            (h[border_mask.to_numpy()] + spans[border_mask.to_numpy()]
+             - np.uint64(1)) % nb
         ).astype(np.int64)
         out = pd.concat([df, border], ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)

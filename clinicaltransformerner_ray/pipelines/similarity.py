@@ -32,14 +32,19 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 def load_queries(vecs: rd.Dataset, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic query set: the vectors with vec_id < n_queries.
-    Small side — filtered at the read, materialized driver-side once."""
+
+    The predicate is applied DISTRIBUTED (per-batch pyarrow filter under
+    streaming execution), so only the handful of matching rows ever
+    reach the driver — the data side never materializes."""
     import pyarrow.compute as pc
 
-    tbls = [t for t in ray.get(vecs.to_arrow_refs())]
-    full = pa.concat_tables(tbls)
-    sel = full.filter(pc.less(full.column("vec_id"), n_queries))
-    ids = np.asarray(sel.column("vec_id").to_pylist(), dtype=np.int64)
-    Q = np.asarray(sel.column("embedding").to_pylist(), dtype=np.float64)
+    small = vecs.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+        batch_format="pyarrow",
+    )
+    rows = small.take_all()  # O(n_queries) rows only
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(ids)
     return ids[order], Q[order]
@@ -72,8 +77,11 @@ def knn_bruteforce(
             mask = ids != qids_[j]
             cand_ids, cand_s = ids[mask], s[mask]
             if len(cand_ids) > k:
-                idx = np.argpartition(-cand_s, k)[:k]
-                cand_ids, cand_s = cand_ids[idx], cand_s[idx]
+                # exact (sim desc, neighbor_id asc) cut — the same order
+                # the final merge uses, so a tie at the k boundary can
+                # never drop a lower-id candidate the global top-k keeps
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[order], cand_s[order]
             out_q.extend([qids_[j]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(cand_s.tolist())
@@ -167,8 +175,8 @@ def knn_ivf(
             s = X[m] @ Q_[j]
             cand_ids = ids[m]
             if len(cand_ids) > k:
-                idx = np.argpartition(-s, k)[:k]
-                cand_ids, s = cand_ids[idx], s[idx]
+                order = np.lexsort((cand_ids, -s))[:k]  # tie-exact cut
+                cand_ids, s = cand_ids[order], s[order]
             out_q.extend([qids_[j]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(s.tolist())

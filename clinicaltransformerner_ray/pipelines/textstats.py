@@ -28,10 +28,13 @@ import ray.data as rd
 #: tiny function-word lexicon for the language-ID heuristic
 STOPWORDS = ("a", "the")
 
-#: BPE-ish pre-tokenizer: letter runs | digit runs | single punct
-TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single punct.
+#: The punct class excludes exactly space/tab/newline — NOT \s — so the
+#: Python and SQL tokenizers agree byte-for-byte on \r, \f, \v and
+#: unicode spaces (those count as punct tokens on both sides).
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]")
 
-#: SQL twin of TOKEN_RE (same RE2/PCRE semantics for this alphabet)
+#: SQL twin of TOKEN_RE (identical character classes)
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
 
 

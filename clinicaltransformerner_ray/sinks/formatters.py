@@ -121,6 +121,8 @@ def bio_lines(tokens: list[str], labels: list[str]) -> str:
 
 
 def write_partitioned(ds: rd.Dataset, out_dir: str, *, column: str) -> None:
-    """Streamed sink: one parquet directory, files sized by Ray's block
-    layout — never a single giant file (resumable-output rule)."""
-    ds.write_parquet(out_dir, partition_cols=None)
+    """Streamed hive-partitioned sink: one directory per value of
+    ``column`` (`out_dir/column=value/…`), files sized by Ray's block
+    layout — never a single giant file, and a resumed run can skip
+    finished partitions by directory (resumable-output rule)."""
+    ds.write_parquet(out_dir, partition_cols=[column])

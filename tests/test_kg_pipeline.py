@@ -82,6 +82,43 @@ def test_salted_equals_unsalted(ray_session, kg_out):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_ghost_buckets_mega_conversation(ray_session):
+    """A single conversation spanning many salt spans: salted triple
+    emission (n_buckets large, uint64 hash+span arithmetic) must equal
+    the unsalted single-bucket grouping exactly — every span boundary
+    exercises a ghost row, so a dropped/misrouted ghost loses `follows`
+    triples and fails this test."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.kg import emit_triples
+
+    span = 8
+    n_turns = 10 * span  # >2*span boundaries, all ghosts exercised
+    rows = []
+    for t in range(n_turns):
+        # two entities per turn, rotating, so every adjacent pair of
+        # turns emits follows triples and every turn emits co_occurs
+        rows.append({"conv_id": "mega", "turn_idx": t,
+                     "entity_id": f"E{t % 7}"})
+        rows.append({"conv_id": "mega", "turn_idx": t,
+                     "entity_id": f"E{(t + 3) % 7}"})
+    # a second small conversation so hashing mixes conv ids
+    for t in range(5):
+        rows.append({"conv_id": "tiny", "turn_idx": t, "entity_id": "E9"})
+        rows.append({"conv_id": "tiny", "turn_idx": t,
+                     "entity_id": f"E{t % 3}"})
+    linked = rd.from_items(rows)
+    key = ["subj", "pred", "obj"]
+    salted = (emit_triples(linked, salt_span=span, n_buckets=65536)
+              .to_pandas().sort_values(key).reset_index(drop=True))
+    single = (emit_triples(rd.from_items(rows), salt_span=span, n_buckets=1)
+              .to_pandas().sort_values(key).reset_index(drop=True))
+    unsalted = (emit_triples(rd.from_items(rows), salt_span=10 ** 9)
+                .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(salted, single)
+    pd.testing.assert_frame_equal(salted, unsalted)
+
+
 def test_vectorized_decode_equals_reference_walk(alias_rows, synth_paths):
     """MentionTagger fast path (boolean-mask decode) == the sequential
     guard-walk decode (task.py:406-429 semantics) on real turns."""
