@@ -28,6 +28,7 @@ Scale notes (100 TB path):
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -40,6 +41,8 @@ import ray.data as rd
 # shared helpers
 
 MERSENNE_P = (1 << 61) - 1
+
+_LOG = logging.getLogger(__name__)
 
 
 def _token_shingles(text: str, n: int) -> list[str]:
@@ -99,7 +102,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> rd.Dataset:
     """All document pairs with word-``n``-gram Jaccard >= ``threshold``.
 
@@ -107,7 +110,16 @@ def ngram_jaccard_pairs(
     ``(shingle, doc_id, set_size)``, co-locate by shingle (one sort),
     emit co-occurrence pairs carrying both set sizes, then sum the
     per-pair intersection — Jaccard = i / (sa + sb - i).  No stage ever
-    holds two documents' texts together."""
+    holds two documents' texts together.
+
+    ``max_df`` (ON by default — the hot-shingle guard): a shingle in
+    more than ``max_df`` documents emits no pairs; without it one
+    stopword shingle squares the join at corpus scale.  Skipped shingles
+    are counted and logged per block (no silent caps).  Pass
+    ``max_df=None`` for bit-exact parity with the naive SQL oracle; a
+    shingle above the cap only matters when two documents share NOTHING
+    but ubiquitous shingles, so at threshold >= 0.8 results are
+    unchanged in practice."""
 
     def postings(batch: pa.Table) -> pa.Table:
         ids, shs, sizes = [], [], []
@@ -143,12 +155,19 @@ def ngram_jaccard_pairs(
         ids = df["doc_id"].to_numpy()
         sz = df["set_size"].to_numpy()
         i_parts, j_parts = [], []
+        n_hot = 0
         for start, c in zip(first, counts):
-            if c < 2 or (max_df is not None and c > max_df):
-                continue  # df=1, or hot-shingle cap (off by default)
+            if c < 2:
+                continue  # df=1: no pairs
+            if max_df is not None and c > max_df:
+                n_hot += 1  # hot-shingle guard: see docstring
+                continue
             ii, jj = np.triu_indices(int(c), k=1)
             i_parts.append(start + ii)
             j_parts.append(start + jj)
+        if n_hot:
+            _LOG.warning("ngram_jaccard_pairs: skipped %d shingles with "
+                         "df > max_df=%d in this block", n_hot, max_df)
         if not i_parts:
             return pa.Table.from_pandas(empty, preserve_index=False)
         I = np.concatenate(i_parts)
@@ -211,14 +230,19 @@ def minhash_lsh_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = 10_000,
 ) -> rd.Dataset:
     """Approximate near-dup pairs: 64-perm MinHash -> 16-band LSH bucket
     groupby -> pairwise signature-estimated Jaccard >= threshold.
 
     The only wide shuffle moves (bucket_key, doc_id, 512-byte signature)
-    rows.  Buckets are tiny except for true duplicate clusters, so the
-    per-bucket pair loop is bounded in practice; a bucket-size cap would
-    be the guard at adversarial scale."""
+    rows.  Buckets are tiny except for true duplicate clusters;
+    ``max_bucket`` caps the quadratic per-bucket pair loop — an
+    adversarial bucket larger than the cap emits pairs only for its
+    first ``max_bucket`` members (doc_id order, deterministic) and logs
+    what was truncated.  A pair of genuinely near-dup documents agrees
+    on many bands, so it still surfaces through a smaller bucket in
+    practice."""
     A, B = _minhash_params()
 
     def signatures(batch: pa.Table) -> pa.Table:
@@ -253,6 +277,12 @@ def minhash_lsh_pairs(
         frames = []
         for _b, g in dup.groupby("bucket", sort=False):
             g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if max_bucket is not None and len(g) > max_bucket:
+                _LOG.warning(
+                    "minhash_lsh_pairs: bucket %r has %d docs > "
+                    "max_bucket=%d; pairing only the first %d",
+                    _b, len(g), max_bucket, max_bucket)
+                g = g.head(max_bucket)
             ids = g["doc_id"].to_numpy()
             if len(ids) < 2:
                 continue
@@ -387,35 +417,82 @@ def embedding_dup_pairs(
     vecs: rd.Dataset,
     *,
     threshold: float = 0.45,
-    matrix_ref=None,
+    n_chunks: int = 8,
 ) -> rd.Dataset:
-    """Pairs (a < b) with cosine similarity >= threshold, via blocked
-    matmul: each batch multiplies against the broadcast full matrix
-    (``ray.put`` once, read per actor — never shipped per batch).
-    float64 math so results are reproducible across backends."""
-    if matrix_ref is None:
-        tbl = vecs.to_arrow_refs()
-        mats = [ray.get(r) for r in tbl]
-        full = pa.concat_tables(mats)
-        ids = np.asarray(full.column("vec_id").to_pylist(), dtype=np.int64)
-        M = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
-        order = np.argsort(ids)
-        ids, M = ids[order], M[order]
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        matrix_ref = ray.put((ids, M))
+    """Pairs (a < b) with cosine similarity >= threshold — EXACT, with
+    no driver-side materialization and no broadcast of the full matrix.
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, M = ray.get(matrix_ref)
-        bid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    Chunk-pair co-location join (distributed block-nested-loop): every
+    vector is assigned ``chunk = vec_id % n_chunks`` and replicated once
+    into each pair-bucket ``(min(chunk, p), max(chunk, p))``; one sort
+    on the bucket key brings both chunks of a bucket into one block, and
+    a vectorized per-block pass runs the bucket-local float64 matmul.
+    Each unordered vector pair meets in exactly one bucket, so output is
+    exact with no dedup pass.
+
+    Scale shape: shuffle volume = n_chunks x input (the price of an
+    exact all-pairs join); per-bucket memory = 2·N/n_chunks vectors, so
+    n_chunks grows ~N/(worker heap); bucket count n_chunks·(n_chunks+1)/2
+    must exceed target parallelism — raise n_chunks at scale (64 chunks
+    = 2080 buckets).  For approximate near-dup at 100 TB use
+    minhash_lsh_pairs / knn_ivf instead; exact O(N^2) cosine is the
+    small-to-mid-scale tool."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         X = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
-        sims = X @ M.T  # (B, N)
-        rr, cc = np.nonzero(sims >= threshold)
-        a, b = bid[rr], all_ids[cc]
-        keep = a < b  # each unordered pair emitted once
+        chunk = ids % n_chunks
+        out_bucket, out_id, out_chunk, out_vec = [], [], [], []
+        for p in range(n_chunks):
+            lo = np.minimum(chunk, p)
+            hi = np.maximum(chunk, p)
+            out_bucket.append(lo * n_chunks + hi)
+            out_id.append(ids)
+            out_chunk.append(chunk)
+            out_vec.append(X)
         return pa.table({
-            "vec_a": pa.array(a[keep], pa.int64()),
-            "vec_b": pa.array(b[keep], pa.int64()),
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "chunk": pa.array(np.concatenate(out_chunk), pa.int64()),
+            "embedding": pa.array(list(np.concatenate(out_vec)),
+                                  pa.list_(pa.float64())),
         })
 
-    return vecs.map_batches(block, batch_format="pyarrow")
+    replicated = vecs.map_batches(replicate, batch_format="pyarrow")
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_a, out_b = [], []
+        for b, g in df.groupby("bucket", sort=False):
+            i, j = int(b) // n_chunks, int(b) % n_chunks
+            gi = g[g["chunk"] == i]
+            ids_i = gi["vec_id"].to_numpy()
+            Xi = np.stack(gi["embedding"].to_numpy())
+            if i == j:
+                sims = Xi @ Xi.T
+                rr, cc = np.nonzero(sims >= threshold)
+                keep = ids_i[rr] < ids_i[cc]
+                a, bb = ids_i[rr][keep], ids_i[cc][keep]
+            else:
+                gj = g[g["chunk"] == j]
+                ids_j = gj["vec_id"].to_numpy()
+                if not len(ids_i) or not len(ids_j):
+                    continue
+                Xj = np.stack(gj["embedding"].to_numpy())
+                sims = Xi @ Xj.T
+                rr, cc = np.nonzero(sims >= threshold)
+                ai, bj = ids_i[rr], ids_j[cc]
+                a, bb = np.minimum(ai, bj), np.maximum(ai, bj)
+            out_a.append(a)
+            out_b.append(bb)
+        if not out_a:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
+        return pa.table({
+            "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+        })
+
+    return replicated.sort("bucket").map_batches(
+        bucket_pairs, batch_format="pyarrow", batch_size=None)

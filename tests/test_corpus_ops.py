@@ -96,6 +96,46 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     assert len(e & a) / len(e) >= 0.5, len(e & a) / len(e)
 
 
+def test_ngram_hot_shingle_cap_bounds_pairs(ray_session):
+    """A shingle shared by every doc would square the posting join; with
+    max_df set, the hot shingle emits no pairs and the job completes
+    with bounded output (only genuinely similar pairs remain)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    hot = "the common header line"
+    rows = [{"doc_id": i, "text": f"{hot} unique{i} body{i} tail{i}"}
+            for i in range(60)]
+    rows += [{"doc_id": 100, "text": "same near dup text here okay"},
+             {"doc_id": 101, "text": "same near dup text here okay"}]
+    docs = rd.from_items(rows)
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                 max_df=10).to_pandas()
+    # the 60 header-only docs share 2 of ~6 shingles -> jaccard < 0.5
+    # anyway; the identical pair must survive the cap
+    assert (100, 101) in {(r.doc_a, r.doc_b) for r in capped.itertuples()}
+    # no pair may arise from the hot shingle alone
+    assert len(capped) < 60
+
+
+def test_minhash_bucket_cap_completes(ray_session):
+    """An adversarial bucket (many identical docs) is truncated at
+    max_bucket deterministically instead of squaring."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import minhash_lsh_pairs
+
+    rows = [{"doc_id": i, "text": "identical text body for every doc"}
+            for i in range(40)]
+    docs = rd.from_items(rows)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8,
+                              max_bucket=5).to_pandas()
+    # first 5 doc_ids per bucket pair up: exactly C(5,2) distinct pairs
+    assert len(pairs) == 10
+    assert set(pairs["doc_a"]) <= set(range(5))
+
+
 def test_exact_dedup_idempotent(ray_session):
     """Every doc survives exactly once across keep groups."""
     import __ray_entry__ as E
