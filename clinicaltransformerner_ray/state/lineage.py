@@ -2,7 +2,8 @@
 
 Layout under ``out_dir``::
 
-    part-0000.parquet          one output partition per INPUT shard
+    part-0000/                 one output partition DIR per INPUT shard
+        <worker-written>.parquet ...
     ...
     _lineage/part-0000.json    {input, fingerprint, rows_in, rows_out,
                                 n_quarantined, wall_s, status}
@@ -21,15 +22,21 @@ dedup) is cheap relative to extraction and recomputes from the
 checkpoint, which is how a 100 TB run restarts without re-running the
 model stage.
 
-Partition files are written atomically (tmp + rename) so a crash
-mid-write never yields a partition that lineage considers done.
+Scale shape: shards run CONCURRENTLY (a driver thread per in-flight
+shard, each owning its own streaming Dataset execution), and partition
+bytes are written by the WORKERS via ``write_parquet`` — the driver
+never holds a partition in memory.  Partition directories appear
+atomically (tmp dir + rename) so a crash mid-write never yields a
+partition that lineage considers done.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow.parquet as pq
 
@@ -46,7 +53,7 @@ def _lineage_path(out_dir: str, idx: int) -> str:
 
 
 def _part_path(out_dir: str, idx: int) -> str:
-    return os.path.join(out_dir, f"part-{idx:04d}.parquet")
+    return os.path.join(out_dir, f"part-{idx:04d}")
 
 
 def load_lineage(out_dir: str) -> dict[int, dict]:
@@ -71,9 +78,45 @@ def pending_shards(shards: list[str], out_dir: str) -> list[int]:
         rec = done.get(i)
         if (rec is None or rec.get("status") != "done"
                 or rec.get("fingerprint") != shard_fingerprint(shard)
-                or not os.path.exists(_part_path(out_dir, i))):
+                or not os.path.isdir(_part_path(out_dir, i))):
             todo.append(i)
     return todo
+
+
+def _default_shard_concurrency() -> int:
+    """How many shard pipelines to fly at once.  Each shard pipeline
+    spins its own small actor pools + a reader, so in-flight shards x
+    per-shard CPU demand must stay below the cluster CPU count or the
+    readers starve (the measured pool-deadlock mode, CLAUDE.md #3)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, cpus // 8)
+
+
+def _write_part(out: rd.Dataset, part_dir: str) -> int:
+    """Workers write the partition parquet; the driver only renames.
+    Returns rows_out (from file metadata, never loading the data)."""
+    tmp = part_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    out.write_parquet(tmp)
+    files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    if not files:  # empty partition: keep the schema so readers still work
+        schema = out.schema().base_schema
+        pq.write_table(schema.empty_table(),
+                       os.path.join(tmp, "empty-0.parquet"))
+        files = ["empty-0.parquet"]
+    rows_out = sum(
+        pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+        for f in files)
+    if os.path.isdir(part_dir):
+        shutil.rmtree(part_dir)
+    os.replace(tmp, part_dir)
+    return rows_out
 
 
 def run_resumable(
@@ -82,9 +125,14 @@ def run_resumable(
     out_dir: str,
     *,
     metrics_fn=None,            # Callable[[pa.Table], dict] extra metrics
+    max_concurrent: int | None = None,
 ) -> dict:
     """Process every not-yet-done input shard through ``build`` and write
     one output partition + lineage record each.  Returns a summary.
+
+    Shards are processed ``max_concurrent`` at a time (driver threads,
+    each running its own streaming Dataset; default scales with cluster
+    CPUs).  Partition bytes stream from the workers straight to parquet.
 
     Per-shard failures are quarantined in the lineage record (status
     "failed") and do NOT abort the run — the reference's skip-but-report
@@ -94,7 +142,8 @@ def run_resumable(
     todo = pending_shards(shards, out_dir)
     n_done_prior = len(shards) - len(todo)
     results = {"skipped": n_done_prior, "processed": 0, "failed": 0}
-    for i in todo:
+
+    def run_one(i: int) -> bool:
         shard = shards[i]
         rec = {
             "input": shard,
@@ -102,48 +151,58 @@ def run_resumable(
             "status": "running",
         }
         t0 = time.perf_counter()
+        ok = False
         try:
             ds = rd.read_parquet(shard)
-            rows_in = ds.count()
+            rows_in = ds.count()  # parquet metadata only
             out = build(ds)
-            tbl = out.to_arrow_refs()
-            import pyarrow as pa
-            import ray
-
-            tables = [t for t in (ray.get(r) for r in tbl) if t.num_rows]
-            if tables:
-                full = pa.concat_tables(tables)
-            else:  # empty partition: keep the schema so readers still work
-                full = out.schema().base_schema.empty_table()
-            tmp = _part_path(out_dir, i) + ".tmp"
-            pq.write_table(full, tmp)
-            os.replace(tmp, _part_path(out_dir, i))
+            rows_out = _write_part(out, _part_path(out_dir, i))
             rec.update({
                 "status": "done",
                 "rows_in": rows_in,
-                "rows_out": full.num_rows,
+                "rows_out": rows_out,
                 "wall_s": round(time.perf_counter() - t0, 3),
             })
             if metrics_fn is not None:
-                rec["metrics"] = metrics_fn(full)
-            results["processed"] += 1
+                # metrics read the written partition back (O(shard
+                # output), column-pruned by the metrics fn if it cares);
+                # for huge shards compute metrics inside `build` instead
+                rec["metrics"] = metrics_fn(
+                    pq.read_table(_part_path(out_dir, i)))
+            ok = True
         except Exception as ex:  # quarantine, don't abort the job
             rec.update({
                 "status": "failed",
                 "error": repr(ex)[:500],
                 "wall_s": round(time.perf_counter() - t0, 3),
             })
-            results["failed"] += 1
         tmp = _lineage_path(out_dir, i) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, _lineage_path(out_dir, i))
+        return ok
+
+    workers = max(1, min(max_concurrent or _default_shard_concurrency(),
+                         len(todo) or 1))
+    if workers == 1:
+        outcomes = [run_one(i) for i in todo]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            outcomes = list(pool.map(run_one, todo))
+    results["processed"] = sum(outcomes)
+    results["failed"] = len(outcomes) - sum(outcomes)
     return results
 
 
 def read_checkpoint(out_dir: str) -> rd.Dataset:
     """Dataset over all done partitions of a checkpointed stage."""
     done = load_lineage(out_dir)
-    paths = [_part_path(out_dir, i) for i, rec in sorted(done.items())
-             if rec.get("status") == "done"]
-    return rd.read_parquet(paths)
+    files = []
+    for i, rec in sorted(done.items()):
+        if rec.get("status") != "done":
+            continue
+        part = _part_path(out_dir, i)
+        files.extend(sorted(
+            os.path.join(part, f) for f in os.listdir(part)
+            if f.endswith(".parquet")))
+    return rd.read_parquet(files)

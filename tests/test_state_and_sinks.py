@@ -37,7 +37,7 @@ def test_checkpointed_mentions_resume(ray_session, ckpt_dir):
     assert r2 == {"skipped": n_shards, "processed": 0, "failed": 0}
 
     # damage one partition -> exactly one reprocessed
-    os.remove(os.path.join(ckpt_dir, "part-0001.parquet"))
+    shutil.rmtree(os.path.join(ckpt_dir, "part-0001"))
     r3 = checkpointed_mentions(SF, ckpt_dir)
     assert r3["processed"] == 1 and r3["skipped"] == n_shards - 1
 
@@ -72,7 +72,9 @@ def test_lineage_quarantines_failed_shard(ray_session, tmp_path):
     def build(ds):
         return ds.map_batches(add_one, batch_format="pyarrow")
 
-    r = run_resumable([good, bad], build, out)
+    # max_concurrent=2 exercises the threaded path: concurrent shard
+    # pipelines, isolated failure
+    r = run_resumable([good, bad], build, out, max_concurrent=2)
     assert r["processed"] == 1 and r["failed"] == 1
     recs = load_lineage(out)
     assert recs[0]["status"] == "done"
