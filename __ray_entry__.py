@@ -54,6 +54,20 @@ def _q_kg_mentions(sf_dir: str):
     return mention_counts(mentions)
 
 
+def _q_kg_mentions_crf(sf_dir: str):
+    """Same mention-count table as kg_mentions but decoded with the CRF
+    Viterbi route (reference --use_crf) — transitions are structured but
+    sub-margin, so the DP path must reproduce the argmax path exactly."""
+    from clinicaltransformerner_ray.pipelines.kg import (
+        detect_mentions, mention_counts)
+    from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
+
+    alias_rows = load_alias_rows(sf_dir)
+    turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    mentions = detect_mentions(turns, alias_rows, decode="crf")
+    return mention_counts(mentions)
+
+
 def _q_kg_entities(sf_dir: str):
     return _kg(sf_dir)["entities"]
 
@@ -248,6 +262,7 @@ def _q_kg_mentions_biaffine(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_mentions": _q_kg_mentions,
+        "kg_mentions_crf": _q_kg_mentions_crf,
         "kg_entities": _q_kg_entities,
         "kg_triples": _q_kg_triples,
         "kg_turn_entities": _q_kg_turn_entities,
@@ -304,6 +319,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM mm
         """,
         "kg_mentions_biaffine": cte + """
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   surface_norm, type, n AS n_mentions
+            FROM mm
+        """,
+        "kg_mentions_crf": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    surface_norm, type, n AS n_mentions
             FROM mm

@@ -61,6 +61,38 @@ def viterbi_decode(
     return paths[0] if single else paths
 
 
+def bio_transitions(label2idx: dict[str, int],
+                    penalty: float = -0.4) -> np.ndarray:
+    """Deterministic BIO-structured transition matrix for the CRF route.
+
+    The reference learns its transitions (`src/common_utils/
+    model_utils.py:352-657`); this sandbox has no training, so the CRF
+    variant ships a fixed matrix that penalizes illegal BIO moves
+    (``O -> I-t``, ``B-s/I-s -> I-t`` for s != t) and is neutral
+    elsewhere.  'X' continuation subtokens sit between first-pieces in
+    the subtoken sequence, so any label may follow or precede 'X'.
+
+    |penalty| is kept far below the mock emission margin (8.0), so the
+    Viterbi path over well-formed emissions equals positionwise argmax —
+    which is what lets `kg_mentions_crf` be oracle-checked against the
+    same SQL as `kg_mentions` while genuinely exercising the DP decode.
+    """
+    idx2label = {v: k for k, v in label2idx.items()}
+    C = len(label2idx)
+    T = np.zeros((C, C), dtype=np.float64)
+    for ib in range(C):
+        b = idx2label[ib]
+        if not b.startswith("I-"):
+            continue
+        t = b[2:]
+        for ia in range(C):
+            a = idx2label[ia]
+            legal = a in (f"B-{t}", f"I-{t}", "X", "PAD", "CLS")
+            if not legal:
+                T[ia, ib] = penalty
+    return T
+
+
 def brute_force_decode(
     emissions: np.ndarray, transitions: np.ndarray
 ) -> np.ndarray:

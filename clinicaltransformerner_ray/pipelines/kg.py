@@ -76,9 +76,11 @@ def detect_mentions(
     noise_mod: int = 5,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
+    decode: str = "argmax",
 ) -> rd.Dataset:
     """turns -> mentions via the tagger actor pool. Alias rows ship once
-    per actor through a ray.put broadcast ref."""
+    per actor through a ray.put broadcast ref.  ``decode="crf"`` selects
+    the Viterbi route (reference --use_crf)."""
     if concurrency is None:
         # the dominant CPU consumer: a fixed 3/4 FRACTION of the cluster
         # (not cluster-minus-constant) so the N vs 4N scaling comparison
@@ -102,6 +104,7 @@ def detect_mentions(
             "alias_rows_ref": ref,
             "max_seq_length": max_seq_length,
             "noise_mod": noise_mod,
+            "decode": decode,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -86,6 +86,7 @@ class MentionTagger:
         max_seq_length: int = 64,
         noise_mod: int = 5,
         fast_decode: bool = True,
+        decode: str = "argmax",
     ):
         alias_rows = _maybe_get(alias_rows_ref)
         self.lexicon = Lexicon(
@@ -100,13 +101,30 @@ class MentionTagger:
         self.max_seq_length = max_seq_length
         self.noise_mod = noise_mod
         self.fast_decode = fast_decode
+        # decode route: "argmax" (M7) or "crf" (T3) — the reference's
+        # --use_crf model option (`src/run_transformer_ner.py`,
+        # `src/common_utils/model_utils.py:582-657`); CRF runs Viterbi
+        # over emissions + a fixed BIO transition matrix built once here
+        assert decode in ("argmax", "crf"), decode
+        self.decode = decode
+        if decode == "crf":
+            from clinicaltransformerner_ray.functions.crf import bio_transitions
+
+            self.transitions = bio_transitions(self.label2idx)
         self.n_failed = 0
 
     # -- model stand-in ----------------------------------------------------
-    def _forward(self, label_id_mat: np.ndarray) -> np.ndarray:
+    def _forward(self, label_id_mat: np.ndarray,
+                 mask: np.ndarray | None = None) -> np.ndarray:
         """Batched mock forward: (n_windows, L) target ids -> (n_windows, L)
-        predicted ids via real logits + argmax(log_softmax)."""
+        predicted ids via real logits + argmax(log_softmax), or Viterbi
+        DP when the CRF route is selected (task.py:390-391: CRF skips
+        the log_softmax/argmax and decodes inside the model)."""
         logits = ids_to_logits(label_id_mat, self.n_labels)
+        if self.decode == "crf":
+            from clinicaltransformerner_ray.functions.crf import viterbi_decode
+
+            return viterbi_decode(logits, self.transitions, mask)
         return argmax_decode(logits)
 
     # -- per-turn featurize ------------------------------------------------
@@ -138,7 +156,10 @@ class MentionTagger:
             self.label2idx["O"],
             np.where(first, tag_ids[word_pos], self.label2idx["X"]),
         )
-        preds = self._forward(target)
+        mask_mat = (np.asarray([w.attention_mask for w in wins],
+                               dtype=np.int8)
+                    if self.decode == "crf" else None)
+        preds = self._forward(target, mask_mat)
 
         if self.fast_decode:
             sel = (guards_mat > 0) & first

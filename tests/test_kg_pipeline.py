@@ -130,6 +130,44 @@ def test_vectorized_decode_equals_reference_walk(alias_rows, synth_paths):
     assert fast.to_pydict() == slow.to_pydict()
 
 
+def test_crf_route_equals_argmax_route(alias_rows, synth_paths):
+    """MentionTagger(decode='crf') runs real Viterbi DP over the mock
+    emissions + BIO transition matrix; with sub-margin transitions the
+    best path must equal the argmax path, so the mention tables agree
+    exactly (the kg_mentions_crf oracle gate)."""
+    from clinicaltransformerner_ray.stages.tagger import MentionTagger
+
+    turns = pq.read_table(synth_paths["turns"]).slice(0, 300)
+    crf = MentionTagger(alias_rows, decode="crf")(turns)
+    base = MentionTagger(alias_rows, decode="argmax")(turns)
+    assert crf.to_pydict() == base.to_pydict()
+    assert crf.num_rows > 0
+
+
+def test_crf_transitions_break_near_ties():
+    """With a genuine near-tie in the emissions, the BIO transition
+    penalty decides the path — proving the DP is not a no-op."""
+    from clinicaltransformerner_ray.functions.crf import (
+        bio_transitions, viterbi_decode)
+    from clinicaltransformerner_ray.labels import build_label_vocab
+
+    l2i = build_label_vocab(["drug", "symptom"])
+    T = bio_transitions(l2i)
+    C = len(l2i)
+    em = np.full((3, C), -1.0)
+    em[0, l2i["B-drug"]] = 5.0
+    # position 1: I-drug vs I-symptom tie at emission level
+    em[1, l2i["I-drug"]] = 5.0
+    em[1, l2i["I-symptom"]] = 5.0 + 0.1  # slightly better emission...
+    em[2, l2i["O"]] = 5.0
+    path = viterbi_decode(em, T)
+    # ...but B-drug -> I-symptom costs 0.4 > 0.1, so CRF picks I-drug
+    assert path[1] == l2i["I-drug"]
+    # with zero transitions the tie-broken emission wins instead
+    path0 = viterbi_decode(em, np.zeros_like(T))
+    assert path0[1] == l2i["I-symptom"]
+
+
 def test_sql_oracle_parity_small(ray_session):
     """The DuckDB oracle (mention CTE + triple joins) agrees with the Ray
     pipeline at sf0.001 — same check the driver runs at sf0.01."""
@@ -143,7 +181,8 @@ def test_sql_oracle_parity_small(ray_session):
         df = df[sorted(df.columns)].copy()
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    for name in ["kg_mentions", "kg_triples", "kg_entities", "kg_turn_entities"]:
+    for name in ["kg_mentions", "kg_mentions_crf", "kg_triples",
+                 "kg_entities", "kg_turn_entities"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
