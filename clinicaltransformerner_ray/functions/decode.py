@@ -33,19 +33,25 @@ def decode_windows(
     pred_ids: list[list[int]] | np.ndarray,
     guards: list[list[int]] | np.ndarray,
     idx2label: dict[int, str],
+    *,
+    skip_masked: bool = False,
 ) -> list[str]:
     """M6 guard-walk over the windows of ONE sentence (task.py:406-429).
 
     The reference carries ``prev_gd`` and a ``connect_sent_flag`` across
     dataloader rows; because our windows are nested per sentence row, the
-    carried state here is a plain local variable.
+    carried state here is a plain local variable.  ``skip_masked``
+    selects the XLNet behavior at mask==0 (continue past pre-padding,
+    task.py:411-414) instead of the post-pad early break.
     """
     y_pred: list[str] = []
     prev_gd = 0
     for mks, lgt, gds in zip(masks, pred_ids, guards):
         for mk, p, gd in zip(mks, lgt, gds):
             if mk == 0:
-                break  # all further positions are pad (BERT-family post-pad)
+                if skip_masked:
+                    continue  # xlnet pre-padding precedes real tokens
+                break  # all further positions are pad (post-pad families)
             if gd == 0 or prev_gd == gd:
                 continue
             if gd == NEXT_GUARD:

@@ -24,7 +24,11 @@ SEP_TOKEN = "[SEP]"
 PAD_TOKEN = "[PAD]"
 from clinicaltransformerner_ray.labels import NEXT_TOKEN  # noqa: E402
 
-_SPECIAL_IDS = {PAD_TOKEN: 0, CLS_TOKEN: 1, SEP_TOKEN: 2, NEXT_TOKEN: 3}
+_SPECIAL_IDS = {
+    PAD_TOKEN: 0, CLS_TOKEN: 1, SEP_TOKEN: 2, NEXT_TOKEN: 3,
+    # roberta/xlnet-family specials (data_utils.py:180-189)
+    "<s>": 4, "</s>": 5, "<pad>": 6, "<cls>": 7, "<sep>": 8,
+}
 _VOCAB_BASE = len(_SPECIAL_IDS)
 _VOCAB_SIZE = 30_000
 
@@ -76,3 +80,52 @@ class MockWordpieceTokenizer:
     def is_continuation(tok: str) -> bool:
         """BERT-family partial-token test (src/transformer_ner/task.py:158-161)."""
         return tok.startswith("##")
+
+
+class MockBPETokenizer(MockWordpieceTokenizer):
+    """Roberta/BART/Longformer-style byte-BPE mock: the word-initial
+    piece carries the ``Ġ`` space marker (add_prefix_space,
+    `src/transformer_ner/task.py:587-593`); continuations are bare —
+    so the partial-token test is *missing* ``Ġ``
+    (`src/transformer_ner/task.py:163-167`)."""
+
+    MARK = "Ġ"  # Ġ
+
+    def tokenize(self, word: str) -> list[str]:
+        if not word:
+            return []
+        cached = self._piece_cache.get(word)
+        if cached is not None:
+            return cached
+        n = self.piece_len
+        pieces = [word[i:i + n] for i in range(0, len(word), n)]
+        out = [self.MARK + pieces[0]] + pieces[1:]
+        if len(self._piece_cache) < 500_000:
+            self._piece_cache[word] = out
+        return out
+
+    @classmethod
+    def is_continuation(cls, tok: str) -> bool:
+        return not tok.startswith(cls.MARK)
+
+
+class MockSentencePieceTokenizer(MockBPETokenizer):
+    """XLNet/ALBERT-style sentencepiece mock: word-initial ``▁`` marker;
+    partial-token test is *missing* ``▁``
+    (`src/transformer_ner/task.py:168-172`)."""
+
+    MARK = "▁"  # ▁
+
+
+def tokenizer_for_family(name: str):
+    """T1 registry: family name -> mock tokenizer instance (the analog
+    of MODEL_CLASSES, `src/transformer_ner/task.py:53-66`)."""
+    if name in ("bert", "albert"):  # albert is sentencepiece in HF, but
+        # its framing (not its piece marks) is what the engine models;
+        # wordpiece marks keep id-space overlap with bert for tests
+        return MockWordpieceTokenizer()
+    if name == "roberta":
+        return MockBPETokenizer()
+    if name == "xlnet":
+        return MockSentencePieceTokenizer()
+    raise ValueError(f"unknown tokenizer family: {name}")

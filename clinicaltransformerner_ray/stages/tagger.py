@@ -51,12 +51,12 @@ from clinicaltransformerner_ray.functions.lexicon import (
     perturb_tags,
 )
 from clinicaltransformerner_ray.functions.spans import tag2entity_turn
-from clinicaltransformerner_ray.functions.subword import MockWordpieceTokenizer
+from clinicaltransformerner_ray.functions.subword import tokenizer_for_family
 from clinicaltransformerner_ray.functions.text import (
     normalize_surface,
     tokenize_with_offsets,
 )
-from clinicaltransformerner_ray.functions.windowing import make_windows
+from clinicaltransformerner_ray.functions.windowing import FAMILIES, make_windows
 
 MENTION_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -87,6 +87,7 @@ class MentionTagger:
         noise_mod: int = 5,
         fast_decode: bool = True,
         decode: str = "argmax",
+        family: str = "bert",
     ):
         alias_rows = _maybe_get(alias_rows_ref)
         self.lexicon = Lexicon(
@@ -97,7 +98,11 @@ class MentionTagger:
         self.idx2label = invert(self.label2idx)
         self.system_labels = system_labels(self.label2idx)
         self.n_labels = len(self.label2idx)
-        self.tokenizer = MockWordpieceTokenizer()
+        # tokenizer-family strategy (M3/M5/M19 variance): framing,
+        # padding side, continuation-label policy and partial-token
+        # convention all come from one strategy object
+        self.family = FAMILIES[family]
+        self.tokenizer = tokenizer_for_family(family)
         self.max_seq_length = max_seq_length
         self.noise_mod = noise_mod
         self.fast_decode = fast_decode
@@ -139,10 +144,11 @@ class MentionTagger:
 
         # featurize with all-'O' labels (predict mode, data_utils.py:167-168)
         wins = make_windows(tokens, ["O"] * len(tokens), self.tokenizer,
-                            self.max_seq_length, self.label2idx)
+                            self.max_seq_length, self.label2idx,
+                            family=self.family)
         guards_mat = np.asarray([w.guards for w in wins], dtype=np.int32)
         # what a trained model would emit per subtoken: word tag on first
-        # piece, X on continuations, O on specials (vectorized projection)
+        # piece, X on continuations (XLNet: the tag again), O on specials
         tag_ids = np.asarray(
             [self.label2idx[t] for t in word_tags] + [self.label2idx["O"]],
             dtype=np.int32,
@@ -151,10 +157,13 @@ class MentionTagger:
         first[:, 0] = True
         first[:, 1:] = guards_mat[:, 1:] != guards_mat[:, :-1]
         word_pos = np.clip(guards_mat - 1, 0, len(word_tags) - 1)
+        cont = (tag_ids[word_pos]
+                if self.family.repeat_label_on_continuation
+                else self.label2idx["X"])
         target = np.where(
             guards_mat <= 0,
             self.label2idx["O"],
-            np.where(first, tag_ids[word_pos], self.label2idx["X"]),
+            np.where(first, tag_ids[word_pos], cont),
         )
         mask_mat = (np.asarray([w.attention_mask for w in wins],
                                dtype=np.int8)
@@ -167,7 +176,8 @@ class MentionTagger:
         else:
             masks = [w.attention_mask for w in wins]
             y_pred = decode_windows(masks, preds.tolist(),
-                                    guards_mat.tolist(), self.idx2label)
+                                    guards_mat.tolist(), self.idx2label,
+                                    skip_masked=self.family.pre_pad)
         y_pred = fix_system_labels(y_pred, self.system_labels)
         y_pred = fix_bio(y_pred)
         spans = tag2entity_turn(tokens, offsets, y_pred)
