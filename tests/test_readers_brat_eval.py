@@ -140,3 +140,85 @@ def test_bio_test_mode_forces_O(ray_session, tmp_path):
 
     rows = parse_bio_text("d", "a B-x\nb I-x\n", test_mode=True)
     assert rows[0]["labels"] == ["O", "O"]
+
+
+# ---------------------------------------------------------------------------
+# relation evaluation (A5 complete: tags + relations micro/macro)
+
+GOLD_RELS = {
+    "doc1": ("T1\tdrug 10 18\twarfarin\n"
+             "T2\tsymptom 25 33\theadache\n"
+             "T3\tdrug 40 47\taspirin\n"
+             "R1\tcauses Arg1:T1 Arg2:T2\n"
+             "R2\ttreats Arg1:T3 Arg2:T2\n"),
+    "doc2": ("T1\tdrug 5 12\tlisinop\n"
+             "T2\tsymptom 20 25\tcough\n"
+             "R1\tcauses Arg1:T1 Arg2:T2\n"),
+    "doc3": "T1\tdrug 0 4\tdrugx\n",
+}
+SYS_RELS = {
+    "doc1": ("T1\tdrug 10 18\twarfarin\n"
+             "T2\tsymptom 26 33\teadache\n"
+             "T3\tdrug 40 47\taspirin\n"
+             "T4\tdrug 60 65\textra\n"
+             "R1\tcauses Arg1:T1 Arg2:T2\n"
+             "R2\ttreats Arg1:T4 Arg2:T2\n"),
+    "doc2": ("T1\tdrug 5 12\tlisinop\n"
+             "T2\tsymptom 20 25\tcough\n"
+             "R1\tcauses Arg1:T2 Arg2:T1\n"),
+    "doc3": ("T1\tdrug 0 4\tdrugx\n"
+             "R1\tcauses Arg1:T1 Arg2:T1\n"),
+}
+
+# expected values produced by running the REFERENCE evaluator
+# (src/eval_scripts/brat_eval.py MultipleEvaluator.track2) on exactly
+# these fixture files — see brat_eval.py:264-364
+EXPECTED = {
+    "strict": {
+        "tags": {"tp": 5, "fp": 2, "fn": 1,
+                 "micro": (0.7142857142857143, 0.8333333333333334,
+                           0.7692307692307692),
+                 "macro": (0.8333333333333334, 0.8888888888888888,
+                           0.8571428571428572)},
+        "relations": {"tp": 0, "fp": 4, "fn": 3,
+                      "micro": (0.0, 0.0, 0.0),
+                      "macro": (0.0, 0.0, 0.0)},
+    },
+    "lenient": {
+        "tags": {"tp": 6, "fp": 1, "fn": 0,
+                 "micro": (0.8571428571428571, 1.0, 0.923076923076923),
+                 "macro": (0.9166666666666666, 1.0, 0.9523809523809524)},
+        "relations": {"tp": 1, "fp": 3, "fn": 2,
+                      "micro": (0.25, 0.3333333333333333,
+                                0.28571428571428575),
+                      "macro": (0.16666666666666666, 0.16666666666666666,
+                                0.16666666666666666)},
+    },
+}
+
+
+@pytest.mark.parametrize("mode", ["strict", "lenient"])
+def test_brat_full_eval_matches_reference(ray_session, tmp_path, mode):
+    from clinicaltransformerner_ray.pipelines.brat_eval_pipeline import (
+        brat_full_eval)
+    from clinicaltransformerner_ray.sources.brat import read_brat
+
+    g = tmp_path / "gold"; s = tmp_path / "sys"
+    g.mkdir(); s.mkdir()
+    for d, content in GOLD_RELS.items():
+        (g / f"{d}.ann").write_text(content)
+    for d, content in SYS_RELS.items():
+        (s / f"{d}.ann").write_text(content)
+    gt, gr = read_brat(str(g))
+    st, sr = read_brat(str(s))
+    res = brat_full_eval(gt, gr, st, sr, mode=mode)
+    assert res["n_docs"] == 3
+    for target in ("tags", "relations"):
+        want = EXPECTED[mode][target]
+        got = res[target]
+        assert (got["tp"], got["fp"], got["fn"]) == (
+            want["tp"], want["fp"], want["fn"]), (mode, target)
+        for level in ("micro", "macro"):
+            for i, metric in enumerate(("precision", "recall", "f1")):
+                assert got[level][metric] == pytest.approx(
+                    want[level][i], abs=1e-12), (mode, target, level, metric)
