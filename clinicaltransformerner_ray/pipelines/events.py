@@ -11,11 +11,15 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
                     block) + a vectorized per-block pass
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
-lands in one block.  The 100 TB path salts the key with a coarse time
-bucket and stitches sessions across bucket boundaries with 1-event ghost
-overlap — same construction as the KG triple emitter's salted buckets
-(pipelines/kg.py); not needed at test scale and kept out of the oracle
-path for exact SQL parity.
+lands in one block.  `sessionize_salted` is the 100 TB path: the sort
+key is salted with a coarse TIME bucket (same construction as the KG
+triple emitter's salted buckets, pipelines/kg.py), events within
+``gap_us`` of a bucket boundary ghost into the next bucket so each
+block can tell whether its first session continues, and a second tiny
+pass over per-bucket session aggregates stitches boundary-crossing
+sessions and assigns global session indices.  Output is byte-identical
+to `sessionize` (asserted in tests); the oracle entry keeps the
+unsalted version for directness.
 """
 
 from __future__ import annotations
@@ -96,3 +100,134 @@ def sessionize(events: rd.Dataset, *, gap_us: int = SESSION_GAP_US) -> rd.Datase
 
     return events.sort("user_id").map_batches(
         per_block, batch_format="pyarrow", batch_size=None)
+
+
+def sessionize_salted(
+    events: rd.Dataset,
+    *,
+    gap_us: int = SESSION_GAP_US,
+    bucket_us: int = 24 * 3600 * 1_000_000,
+    n_buckets: int = 65536,
+) -> rd.Dataset:
+    """Skew-safe sessionize: identical output to :func:`sessionize`,
+    but no single user ever serializes into one block.
+
+    1. COMBINE: tag each event with ``skey = (hash(user) + ts//bucket_us)
+       % n_buckets`` (uint64 arithmetic, kg.py construction); events in
+       the last ``gap_us`` of their bucket also ghost into the next
+       bucket (requires ``bucket_us > gap_us``, which also guarantees a
+       session can never skip an empty bucket).
+    2. SORT on the high-cardinality salted key; a vectorized per-block
+       pass sessionizes each (user, bucket) group locally and emits one
+       aggregate row per LOCAL session, plus whether the group's first
+       session continues the previous bucket (gap to the youngest ghost
+       <= gap_us).
+    3. STITCH: one more sort over the per-session aggregates (tiny —
+       one row per session, so even a hyperactive user is a short run)
+       chain-merges boundary-crossing sessions and numbers sessions
+       globally per user.
+    """
+    assert bucket_us > gap_us, "bucket must exceed the session gap"
+
+    def bucket_and_ghost(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["user_id", "ts", "event_id"]]
+        ts = df["ts"].astype("int64").to_numpy()
+        bucket = (ts // bucket_us).astype(np.int64)
+        h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
+        nb = np.uint64(n_buckets)
+        df["bucket"] = bucket
+        df["ghost"] = False
+        df["skey"] = ((h + bucket.astype(np.uint64)) % nb).astype(np.int64)
+        near_end = (bucket + 1) * bucket_us - ts <= gap_us
+        g = df[near_end].copy()
+        g["bucket"] = g["bucket"] + 1
+        g["ghost"] = True
+        g["skey"] = ((h[near_end] + (bucket[near_end] + 1).astype(np.uint64))
+                     % nb).astype(np.int64)
+        out = pd.concat([df, g], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = events.map_batches(bucket_and_ghost, batch_format="pyarrow",
+                                batch_size=1 << 19)
+
+    def local_sessions(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "bucket": pd.Series(dtype="int64"),
+            "local_idx": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "start_ts": pd.Series(dtype="int64"),
+            "end_ts": pd.Series(dtype="int64"),
+            "continues_prev": pd.Series(dtype="bool"),
+        })
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        df = df.sort_values(["user_id", "bucket", "ts", "event_id"])
+        ts = df["ts"].astype("int64")
+        real = ~df["ghost"].to_numpy()
+        grp = df["user_id"].astype(str) + ":" + df["bucket"].astype(str)
+        new_grp = grp.ne(grp.shift()).to_numpy()
+        gap = (ts.diff() > gap_us).to_numpy()
+        # youngest ghost precedes the first real event after sorting
+        # (ghost ts < bucket start <= real ts); a first real event
+        # continues iff its gap to the previous (ghost) row is small
+        prev_is_ghost = np.roll(~real, 1)
+        prev_is_ghost[0] = False
+        # local session break among real events only
+        rdf = df[real].copy()
+        rts = rdf["ts"].astype("int64")
+        rgrp = rdf["user_id"].astype(str) + ":" + rdf["bucket"].astype(str)
+        rnew = rgrp.ne(rgrp.shift())
+        rgap = rts.diff() > gap_us
+        rdf["local_idx"] = (rnew | rgap).groupby(
+            [rdf["user_id"], rdf["bucket"]]).cumsum().astype("int64") - 1
+        # continues flag: for each (user,bucket) group, does the first
+        # REAL event sit within gap of the youngest ghost of the group?
+        cont = (~new_grp) & gap.__invert__() & prev_is_ghost & real
+        rdf["continues_prev"] = cont[real]
+        agg = rdf.groupby(["user_id", "bucket", "local_idx"],
+                          sort=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            continues_prev=("continues_prev", "any")).reset_index()
+        # only a group's FIRST local session can continue
+        agg.loc[agg["local_idx"] != 0, "continues_prev"] = False
+        agg["start_ts"] = agg["start_ts"].astype("int64")
+        agg["end_ts"] = agg["end_ts"].astype("int64")
+        return pa.Table.from_pandas(agg[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    local = tagged.sort("skey").map_batches(
+        local_sessions, batch_format="pyarrow", batch_size=None)
+
+    def stitch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+            })
+        df = df.sort_values(["user_id", "bucket", "local_idx"])
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        merge = df["continues_prev"].to_numpy() & ~new_user.to_numpy()
+        chain = (~merge).cumsum()
+        g = df.groupby(chain, sort=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("n_events", "sum"),
+            start_ts=("start_ts", "min"),
+            end_ts=("end_ts", "max")).reset_index(drop=True)
+        g["session_idx"] = g.groupby("user_id").cumcount().astype("int64")
+        g["start_ts"] = g["start_ts"].astype("datetime64[us]")
+        g["end_ts"] = g["end_ts"].astype("datetime64[us]")
+        cols = ["user_id", "session_idx", "n_events", "start_ts", "end_ts"]
+        return pa.Table.from_pandas(g[cols], preserve_index=False)
+
+    # the stitch input is one tiny row per session — sorting it on
+    # user_id is safe even for hyperactive users
+    return local.sort(["user_id", "bucket", "local_idx"]).map_batches(
+        stitch, batch_format="pyarrow", batch_size=None)

@@ -225,3 +225,72 @@ def test_biaffine_oracle_parity(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(rdf), canon(odf), check_dtype=False)
+
+
+def test_salted_sessionize_equals_unsalted(ray_session):
+    """sessionize_salted (time-bucket salt + ghost stitch) must be
+    byte-identical to the plain per-user sort on the real events
+    fixture."""
+    import pandas as pd
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        sessionize, sessionize_salted)
+
+    SF_E = "/root/testdata/sf0.001/events.parquet"
+    cols = ["event_id", "user_id", "ts"]
+    a = (sessionize(rd.read_parquet(SF_E, columns=cols))
+         .to_pandas().sort_values(["user_id", "session_idx"])
+         .reset_index(drop=True))
+    b = (sessionize_salted(rd.read_parquet(SF_E, columns=cols))
+         .to_pandas().sort_values(["user_id", "session_idx"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
+                                  check_dtype=False)
+
+
+def test_salted_sessionize_hyperactive_user_crosses_buckets(ray_session):
+    """A session chain spanning MANY salt buckets (hyperactive user with
+    sub-gap inter-event times for days) must stitch into one session;
+    separate sessions across quiet gaps keep exact global numbering."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        sessionize, sessionize_salted)
+
+    HOUR = 3600 * 1_000_000
+    rows = []
+    eid = 0
+    # user 7: one 50-hour session, event every 20 min (gap 30 min)
+    for k in range(150):
+        rows.append({"event_id": eid, "user_id": 7,
+                     "ts": k * 20 * 60 * 1_000_000})
+        eid += 1
+    # then 3 quiet hours, then a short second session
+    base = 150 * 20 * 60 * 1_000_000 + 3 * HOUR
+    for k in range(5):
+        rows.append({"event_id": eid, "user_id": 7,
+                     "ts": base + k * 10 * 60 * 1_000_000})
+        eid += 1
+    # a normal user for contrast
+    for k in range(4):
+        rows.append({"event_id": eid, "user_id": 8,
+                     "ts": k * 2 * HOUR})
+        eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    # bucket = 2h so the long session crosses ~25 bucket boundaries
+    salted = (sessionize_salted(rd.from_arrow(tbl), bucket_us=2 * HOUR)
+              .to_pandas().sort_values(["user_id", "session_idx"])
+              .reset_index(drop=True))
+    plain = (sessionize(rd.from_arrow(tbl))
+             .to_pandas().sort_values(["user_id", "session_idx"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        salted[sorted(salted.columns)], plain[sorted(plain.columns)],
+        check_dtype=False)
+    u7 = salted[salted["user_id"] == 7]
+    assert len(u7) == 2 and int(u7["n_events"].iloc[0]) == 150
