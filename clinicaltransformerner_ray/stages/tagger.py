@@ -88,13 +88,25 @@ class MentionTagger:
         fast_decode: bool = True,
         decode: str = "argmax",
         family: str = "bert",
+        label2idx: dict[str, int] | None = None,
     ):
         alias_rows = _maybe_get(alias_rows_ref)
         self.lexicon = Lexicon(
             (tuple(r["alias"].split(" ")), r["type"], r["entity_id"]) for r in alias_rows
         )
         types = sorted({r["type"] for r in alias_rows})
-        self.label2idx = build_label_vocab(types)
+        # a persisted label2idx.json (state/artifacts.load_label_vocab,
+        # the reference's frozen train-time vocab, task.py:556-577) can
+        # replace the synthesized vocab; the keyset must agree — the
+        # resume discipline of check_resume_vocab
+        if label2idx is not None:
+            from clinicaltransformerner_ray.state.artifacts import (
+                check_resume_vocab)
+
+            self.label2idx = check_resume_vocab(
+                build_label_vocab(types), label2idx)
+        else:
+            self.label2idx = build_label_vocab(types)
         self.idx2label = invert(self.label2idx)
         self.system_labels = system_labels(self.label2idx)
         self.n_labels = len(self.label2idx)
