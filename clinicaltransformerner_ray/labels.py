@@ -34,6 +34,18 @@ def invert(label2idx: dict[str, int]) -> dict[int, str]:
     return {v: k for k, v in label2idx.items()}
 
 
+def dev_label_gap(train_labels: set[str], dev_labels: set[str]) -> set[str]:
+    """D2: labels in the dev set that never appear in train — warned,
+    not fatal (`src/transformer_ner/data_utils.py:99-101`)."""
+    import logging
+
+    missing = set(dev_labels) - set(train_labels)
+    if missing:
+        logging.getLogger(__name__).warning(
+            "dev set has label (%s) not appeared in train set.", missing)
+    return missing
+
+
 def system_labels(label2idx: dict[str, int]) -> set[str]:
     """Labels whose id is below id('O') — the set the prediction fix maps
     to 'O' (src/transformer_ner/task.py:497-498)."""

@@ -120,6 +120,23 @@ def bio_lines(tokens: list[str], labels: list[str]) -> str:
     return "\n".join(f"{w} {lb}" for w, lb in zip(tokens, labels))
 
 
+def copy_source_texts(src_dir: str, out_dir: str) -> int:
+    """K7: copy the raw ``.txt`` sources next to the formatted output
+    (the reference's ``do_copy`` flag, `src/common_utils/
+    output_format_converter.py:142-144,234-236`).  Driver-side metadata
+    op; returns the number of files copied."""
+    import glob as _glob
+    import os
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for fn in sorted(_glob.glob(os.path.join(src_dir, "*.txt"))):
+        shutil.copy2(fn, os.path.join(out_dir, os.path.basename(fn)))
+        n += 1
+    return n
+
+
 def write_partitioned(ds: rd.Dataset, out_dir: str, *, column: str) -> None:
     """Streamed hive-partitioned sink: one directory per value of
     ``column`` (`out_dir/column=value/…`), files sized by Ray's block

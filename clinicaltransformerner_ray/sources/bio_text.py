@@ -31,9 +31,15 @@ SENT_SCHEMA = pa.schema([
 ])
 
 
-def parse_bio_text(doc_id: str, text: str, *, test_mode: bool = False) -> list[dict]:
+def parse_bio_text(doc_id: str, text: str, *, test_mode: bool = False,
+                   do_lower: bool = False) -> list[dict]:
     """One BIO file -> sentence rows.  ``test_mode`` forces labels 'O'
-    (`data_utils.py:167-168`)."""
+    (`data_utils.py:167-168`); ``do_lower`` lowercases the WHOLE text
+    before parsing — labels included — exactly like the reference
+    (`common_io.py:43-47`, used by the eval scripts where labels are
+    lowercased anyway, M18)."""
+    if do_lower:
+        text = text.lower()
     rows: list[dict] = []
     toks: list[str] = []
     offs: list[list[int]] = []
@@ -79,7 +85,8 @@ def parse_bio_text(doc_id: str, text: str, *, test_mode: bool = False) -> list[d
     return rows
 
 
-def read_bio(path: str, *, test_mode: bool = False) -> rd.Dataset:
+def read_bio(path: str, *, test_mode: bool = False,
+             do_lower: bool = False) -> rd.Dataset:
     """Directory (or single file) of .bio.txt -> sentence Dataset."""
     files = rd.read_binary_files(path, include_paths=True)
 
@@ -89,7 +96,8 @@ def read_bio(path: str, *, test_mode: bool = False) -> rd.Dataset:
                         batch.column("bytes").to_pylist()):
             doc = os.path.splitext(os.path.basename(p))[0]
             out.extend(parse_bio_text(doc, b.decode("utf-8"),
-                                      test_mode=test_mode))
+                                      test_mode=test_mode,
+                                      do_lower=do_lower))
         if not out:
             return SENT_SCHEMA.empty_table()
         return pa.Table.from_pylist(out, schema=SENT_SCHEMA)

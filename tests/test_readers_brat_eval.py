@@ -222,3 +222,28 @@ def test_brat_full_eval_matches_reference(ray_session, tmp_path, mode):
             for i, metric in enumerate(("precision", "recall", "f1")):
                 assert got[level][metric] == pytest.approx(
                     want[level][i], abs=1e-12), (mode, target, level, metric)
+
+
+def test_do_lower_and_label_gap_and_copier(ray_session, tmp_path):
+    """S2 do_lower (whole-text lowercasing, common_io.py:43-47), D2
+    dev-label gap warning (data_utils.py:99-101), K7 text copier
+    (output_format_converter.py:142-144)."""
+    from clinicaltransformerner_ray.labels import dev_label_gap
+    from clinicaltransformerner_ray.sinks.formatters import copy_source_texts
+    from clinicaltransformerner_ray.sources.bio_text import parse_bio_text
+
+    rows = parse_bio_text("d", "Foo B-X\nBAR O\n", do_lower=True)
+    assert rows[0]["tokens"] == ["foo", "bar"]
+    assert rows[0]["labels"] == ["b-x", "o"]  # labels lowered too, as ref
+
+    assert dev_label_gap({"B-a", "O"}, {"B-a", "B-b", "O"}) == {"B-b"}
+    assert dev_label_gap({"B-a", "O"}, {"O"}) == set()
+
+    src = tmp_path / "src"; dst = tmp_path / "dst"
+    src.mkdir()
+    (src / "n1.txt").write_text("hello")
+    (src / "n2.txt").write_text("world")
+    (src / "skip.ann").write_text("x")
+    assert copy_source_texts(str(src), str(dst)) == 2
+    assert (dst / "n1.txt").read_text() == "hello"
+    assert not (dst / "skip.ann").exists()
