@@ -380,14 +380,20 @@ def kg_pipeline(
     tagger_concurrency: int | tuple[int, int] | None = None,
     salt_span: int = DEFAULT_SALT_SPAN,
     materialize_linked: bool = True,
+    linked_checkpoint_dir: str | None = None,
 ) -> dict[str, rd.Dataset]:
     """Compose the full build; returns lazy Datasets keyed by stage.
 
-    ``materialize_linked`` pins the linked-mention table (the extraction is
-    a large reduction of the input, so this is bounded) so the entity and
-    triple branches don't re-run the tagger; at 100 TB scale the equivalent
-    is a write_parquet checkpoint of the mention table re-read by both
-    branches (see state/lineage.py)."""
+    The linked-mention table feeds BOTH the entity and triple branches,
+    so it must not re-run the tagger twice.  Two cache strategies:
+
+    - ``materialize_linked`` (default) pins it in the object store —
+      right for single-job runs where the reduction fits (spilling
+      covers overflow);
+    - ``linked_checkpoint_dir`` writes it as partitioned parquet from
+      the workers and re-reads it for both branches — the 100 TB /
+      restartable path (the full lineage-tracked version of this is
+      pipelines/resume.py + state/lineage.py)."""
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
     mentions = detect_mentions(
@@ -397,7 +403,10 @@ def kg_pipeline(
         concurrency=tagger_concurrency,
     )
     linked = link_mentions(mentions, alias_rows)
-    if materialize_linked:
+    if linked_checkpoint_dir is not None:
+        linked.write_parquet(linked_checkpoint_dir)
+        linked = rd.read_parquet(linked_checkpoint_dir)
+    elif materialize_linked:
         linked = linked.materialize()
     return {
         "mentions": mentions,

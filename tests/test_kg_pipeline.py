@@ -119,6 +119,22 @@ def test_ghost_buckets_mega_conversation(ray_session):
     pd.testing.assert_frame_equal(salted, unsalted)
 
 
+def test_parquet_checkpoint_variant_matches(ray_session, kg_out, tmp_path):
+    """The 100 TB cache strategy (worker-written parquet checkpoint of
+    the linked table, re-read by both branches) produces identical
+    triples to the object-store materialize default."""
+    from clinicaltransformerner_ray.pipelines.kg import kg_pipeline
+
+    ck = kg_pipeline(
+        SF, linked_checkpoint_dir=str(tmp_path / "linked"),
+    )["triples"].to_pandas()
+    base = kg_out["triples"].to_pandas()
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        ck.sort_values(key).reset_index(drop=True),
+        base.sort_values(key).reset_index(drop=True))
+
+
 def test_vectorized_decode_equals_reference_walk(alias_rows, synth_paths):
     """MentionTagger fast path (boolean-mask decode) == the sequential
     guard-walk decode (task.py:406-429 semantics) on real turns."""
