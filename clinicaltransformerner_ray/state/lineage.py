@@ -38,9 +38,41 @@ import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
 
+import pyarrow.fs as pafs
 import pyarrow.parquet as pq
 
 import ray.data as rd
+
+#: explicit local filesystem for every read/write in this module —
+#: pinning the filesystem skips most of Ray's fsspec probing
+_LOCAL_FS = pafs.LocalFileSystem()
+
+
+def _stabilize_fsspec_http() -> None:
+    """Ray's path resolution re-imports ``fsspec.implementations.http``
+    on EVERY call, catching only ModuleNotFoundError (aiohttp absent in
+    this environment).  Two shard threads racing that always-failing
+    import can observe a partially-initialized module and raise a plain
+    ImportError Ray does NOT catch, randomly failing shards.  Install a
+    sentinel module with an inert HTTPFileSystem class so the import
+    succeeds deterministically; it is only ever isinstance-checked for
+    local-path workloads, never instantiated."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — never instantiated
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
+_stabilize_fsspec_http()
 
 
 def shard_fingerprint(path: str) -> str:
@@ -103,7 +135,8 @@ def _write_part(out: rd.Dataset, part_dir: str) -> int:
     tmp = part_dir + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    out.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    out.write_parquet(tmp, filesystem=_LOCAL_FS)
     files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
     if not files:  # empty partition: keep the schema so readers still work
         schema = out.schema().base_schema
@@ -153,7 +186,7 @@ def run_resumable(
         t0 = time.perf_counter()
         ok = False
         try:
-            ds = rd.read_parquet(shard)
+            ds = rd.read_parquet(shard, filesystem=_LOCAL_FS)
             rows_in = ds.count()  # parquet metadata only
             out = build(ds)
             rows_out = _write_part(out, _part_path(out_dir, i))
@@ -205,4 +238,4 @@ def read_checkpoint(out_dir: str) -> rd.Dataset:
         files.extend(sorted(
             os.path.join(part, f) for f in os.listdir(part)
             if f.endswith(".parquet")))
-    return rd.read_parquet(files)
+    return rd.read_parquet(files, filesystem=_LOCAL_FS)
