@@ -145,10 +145,16 @@ class MentionTagger:
         return argmax_decode(logits)
 
     # -- per-turn featurize ------------------------------------------------
-    def _tag_turn(self, text: str) -> list[tuple[str, str, int, int, str]]:
+    def _featurize_turn(self, text: str):
+        """Tokenize/window one turn; returns (tokens, offsets, wins,
+        guards_mat, first, target) or None for empty turns.  The model
+        forward is NOT run here — windows of the whole batch stack into
+        one forward/Viterbi call (the reference batches the same way:
+        DataLoader batches windows regardless of sentence,
+        data_utils.py:356-389)."""
         tokens, offsets = tokenize_with_offsets(text)
         if not tokens:
-            return []
+            return None
         norm = [normalize_surface(t) for t in tokens]
         word_tags = self.lexicon.tag_words(norm)
         if self.noise_mod:
@@ -177,11 +183,13 @@ class MentionTagger:
             self.label2idx["O"],
             np.where(first, tag_ids[word_pos], cont),
         )
-        mask_mat = (np.asarray([w.attention_mask for w in wins],
-                               dtype=np.int8)
-                    if self.decode == "crf" else None)
-        preds = self._forward(target, mask_mat)
+        mask_mat = np.asarray([w.attention_mask for w in wins],
+                              dtype=np.int8)
+        return tokens, offsets, wins, guards_mat, first, target, mask_mat
 
+    def _decode_turn(self, feat, preds: np.ndarray):
+        """preds: this turn's (n_windows, L) predicted label ids."""
+        tokens, offsets, wins, guards_mat, first, _target, _mask = feat
         if self.fast_decode:
             sel = (guards_mat > 0) & first
             y_pred = [self.idx2label[int(p)] for p in preds[sel]]
@@ -193,7 +201,8 @@ class MentionTagger:
         y_pred = fix_system_labels(y_pred, self.system_labels)
         y_pred = fix_bio(y_pred)
         spans = tag2entity_turn(tokens, offsets, y_pred)
-        return [(surf, normalize_surface(surf), s, e, t) for surf, s, e, t in spans]
+        return [(surf, normalize_surface(surf), s, e, t)
+                for surf, s, e, t in spans]
 
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -201,12 +210,38 @@ class MentionTagger:
         tidx = batch.column("turn_idx").to_pylist()
         texts = batch.column("text").to_pylist()
         o_conv, o_tidx, o_mid, o_surf, o_norm, o_s, o_e, o_type = ([] for _ in range(8))
+
+        # phase 1: featurize every turn; collect windows for ONE stacked
+        # model call (argmax is cheap either way; Viterbi's DP loop is
+        # overhead-dominated per call, so batching is a ~5x win)
+        feats = []
         for cid, ti, text in zip(conv, tidx, texts):
             try:
-                spans = self._tag_turn(text or "")
+                feat = self._featurize_turn(text or "")
             except Exception:
                 # poison-row quarantine, reference skip semantics
                 # (run_transformer_batch_prediction.py:70-72)
+                self.n_failed += 1
+                continue
+            if feat is not None:
+                feats.append((cid, ti, feat))
+        if not feats:
+            return MENTION_SCHEMA.empty_table()
+
+        targets = np.concatenate([f[2][5] for f in feats], axis=0)
+        masks = (np.concatenate([f[2][6] for f in feats], axis=0)
+                 if self.decode == "crf" else None)
+        preds_all = self._forward(targets, masks)
+
+        # phase 2: split predictions back per turn and decode
+        pos = 0
+        for cid, ti, feat in feats:
+            n_wins = feat[3].shape[0]
+            preds = preds_all[pos:pos + n_wins]
+            pos += n_wins
+            try:
+                spans = self._decode_turn(feat, preds)
+            except Exception:
                 self.n_failed += 1
                 continue
             for mid, (surf, snorm, s, e, t) in enumerate(spans):
