@@ -43,15 +43,27 @@ def checkpointed_mentions(
     sf_dir: str,
     out_dir: str,
     *,
-    concurrency: int | None = 2,
+    concurrency: int | None = None,
 ) -> dict:
-    """Resumable extraction: one linked-mention partition per turn shard."""
+    """Resumable extraction: one linked-mention partition per turn shard.
+
+    Default pool sizing splits the cluster across the concurrent shard
+    pipelines (state/lineage runs cpus//8 of them at once): per shard,
+    tagger + linker + reader must fit its CPU share or readers starve
+    (the measured pool-deadlock mode, kg._auto_concurrency)."""
     alias_rows = load_alias_rows(sf_dir)
+    if concurrency is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        threads = max(1, cpus // 8)
+        concurrency = max(1, (cpus - 2 * threads) // threads - 1)
 
     def build(ds: rd.Dataset) -> rd.Dataset:
         ds = ds.select_columns(["conv_id", "turn_idx", "text"])
-        # small fixed pools: tagger + linker + reader must stay below the
-        # session CPU count or the readers starve (see kg._auto_concurrency)
         mentions = detect_mentions(ds, alias_rows, concurrency=concurrency)
         return link_mentions(mentions, alias_rows, concurrency=1)
 
