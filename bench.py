@@ -121,8 +121,10 @@ def main() -> None:
         # is the least-interfered measurement of the engine itself
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
         results = {}
+        all_secs: dict[int, list[float]] = {}
         for cpus in pair:
             best = None
+            all_secs[cpus] = []
             for _ in range(reps):
                 env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
                 proc = subprocess.run(
@@ -133,6 +135,7 @@ def main() -> None:
                 )
                 line = proc.stdout.strip().splitlines()[-1]
                 r = json.loads(line)
+                all_secs[cpus].append(round(r["sec"], 3))
                 if best is None or r["sec"] < best["sec"]:
                     best = r
             results[cpus] = best
@@ -155,6 +158,10 @@ def main() -> None:
             },
             f"speedup_{lo}_to_{hi}": round(t_lo / t_hi, 3),
             "scaling_efficiency": round(efficiency, 4),
+            # full distribution across reps (best-of-N picks the
+            # least-interfered sample on this shared host, but report
+            # every sample so the spread is visible)
+            "all_runs_sec": {f"cpus{c}": v for c, v in all_secs.items()},
         }))
         return
 

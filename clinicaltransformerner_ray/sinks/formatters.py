@@ -114,6 +114,44 @@ def bioc_documents(mentions: rd.Dataset) -> rd.Dataset:
         per_block, batch_format="pyarrow", batch_size=None)
 
 
+#: the reference's full per-document BioC wrapper
+#: (`output_format_converter.py:25-41`: xml decl, collection with empty
+#: source/date/key, one document/passage at offset 0)
+BIOC_FILE_HEADER = (
+    "<?xml version='1.0' encoding='utf-8' standalone='yes'?>\n"
+    "<collection>\n  <source></source>\n  <date></date>\n  <key></key>\n"
+    "  <document>\n    <id>{doc_id}</id>\n    <passage>\n"
+    "      <offset>0</offset>\n")
+BIOC_FILE_FOOTER = "    </passage>\n  </document>\n</collection>\n"
+
+
+def bioc_files(mentions: rd.Dataset) -> rd.Dataset:
+    """(conv_id, turn_idx, xml) — COMPLETE per-document BioC files with
+    the reference's collection header/footer (K3 in full,
+    `output_format_converter.py:19-41,226-241`), wrapping the
+    annotation blocks from :func:`bioc_documents`."""
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "xml": pa.array([], pa.string()),
+            })
+        doc_id = df["conv_id"].astype(str) + ":" + df["turn_idx"].astype(str)
+        body = (df["xml"].str.replace(r"^<document>.*?<offset>0</offset>",
+                                      "", regex=True)
+                .str.replace("</passage></document>", "", regex=False))
+        header = doc_id.map(lambda d: BIOC_FILE_HEADER.format(doc_id=d))
+        df["xml"] = header + body + BIOC_FILE_FOOTER
+        return pa.Table.from_pandas(
+            df[["conv_id", "turn_idx", "xml"]], preserve_index=False)
+
+    return bioc_documents(mentions).map_batches(
+        wrap, batch_format="pyarrow")
+
+
 def bio_lines(tokens: list[str], labels: list[str]) -> str:
     """K1: one sentence's BIO block (space-joined `word label` lines,
     `common_io.py:63-70`)."""

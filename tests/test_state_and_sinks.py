@@ -294,3 +294,24 @@ def test_salted_sessionize_hyperactive_user_crosses_buckets(ray_session):
         check_dtype=False)
     u7 = salted[salted["user_id"] == 7]
     assert len(u7) == 2 and int(u7["n_events"].iloc[0]) == 150
+
+
+def test_bioc_files_full_collection_wrapper(ray_session):
+    """K3 complete: per-doc BioC files carry the reference's collection
+    header/footer (output_format_converter.py:25-41)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.sinks.formatters import bioc_files
+
+    mentions = rd.from_items([
+        {"conv_id": "c1", "turn_idx": 0, "surface": "foo",
+         "start": 2, "end": 5, "type": "drug"},
+    ])
+    [row] = bioc_files(mentions).take_all()
+    xml = row["xml"]
+    assert xml.startswith(
+        "<?xml version='1.0' encoding='utf-8' standalone='yes'?>")
+    assert "<collection>" in xml and xml.rstrip().endswith("</collection>")
+    assert "<id>c1:0</id>" in xml and "<offset>0</offset>" in xml
+    assert '<infon key="type">drug</infon>' in xml
+    assert xml.count("<passage>") == 1 == xml.count("</passage>")
