@@ -179,3 +179,64 @@ def labels_from_mentions(
     both = t.union(m)
     return both.sort(KEY).map_batches(
         per_block, batch_format="pyarrow", batch_size=None)
+
+
+def binary_span_prf(
+    gold: rd.Dataset,
+    pred: rd.Dataset,
+    *,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    span_cols: tuple[str, ...] = ("type", "start", "end"),
+) -> dict:
+    """A9: the biaffine dev metric — per-sentence BINARY span F1 via set
+    intersection of (type, start, end) tuples, summed then smoothed with
+    the reference's +1e-10 (`src/transformer_biaffine_ner/
+    task_utils.py:73-89`).
+
+    Distribution shape: union both sides with a side column, one sort on
+    the sentence key, vectorized per-block set ops, driver-side finalize
+    of three integers."""
+
+    def side(s):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array([s] * batch.num_rows, pa.string()))
+        return add
+
+    cols = list(keys) + list(span_cols)
+    both = (gold.select_columns(cols)
+            .map_batches(side("g"), batch_format="pyarrow")
+            .union(pred.select_columns(cols)
+                   .map_batches(side("p"), batch_format="pyarrow")))
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        if df.empty:
+            return pa.table({"tp": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64()),
+                             "fn": pa.array([], pa.int64())})
+        # a span present on both sides of its sentence = tp; the
+        # per-sentence sets are implicit in the (keys + span) identity
+        wide = df.assign(n=1).pivot_table(
+            index=cols, columns="side", values="n",
+            aggfunc="max", fill_value=0)
+        g = wide.get("g", 0)
+        p = wide.get("p", 0)
+        tp = int(((g == 1) & (p == 1)).sum())
+        fp = int(((g == 0) & (p == 1)).sum())
+        fn = int(((g == 1) & (p == 0)).sum())
+        return pa.table({"tp": pa.array([tp], pa.int64()),
+                         "fp": pa.array([fp], pa.int64()),
+                         "fn": pa.array([fn], pa.int64())})
+
+    parts = (both.sort(list(keys))
+             .map_batches(block_counts, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())  # O(blocks) rows
+    tp, fp, fn = (int(parts["tp"].sum()), int(parts["fp"].sum()),
+                  int(parts["fn"].sum()))
+    precision = tp / (tp + fp + 1e-10)
+    recall = tp / (tp + fn + 1e-10)
+    f1 = 2 * precision * recall / (precision + recall + 1e-10)
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": precision, "recall": recall, "f1": f1}

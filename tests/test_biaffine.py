@@ -69,3 +69,54 @@ def test_biaffine_grid_decode_unit(alias_rows):
     assert words == [(0, 1, 2)]
     # CLS row/col masked: a fake span at grid 0 never decodes
     assert bt._score_and_decode(sub_idx, [(0, 2, 1)]) == []
+
+
+def test_binary_span_prf_reference_semantics(ray_session):
+    """A9: set-intersection binary F1 with the reference's 1e-10
+    smoothing (task_utils.py:73-89) on a hand-checked case."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.eval_pipeline import (
+        binary_span_prf)
+
+    gold = rd.from_items([
+        {"conv_id": "c", "turn_idx": 0, "type": "drug", "start": 1, "end": 2},
+        {"conv_id": "c", "turn_idx": 0, "type": "sym", "start": 4, "end": 6},
+        {"conv_id": "c", "turn_idx": 1, "type": "drug", "start": 0, "end": 1},
+    ])
+    pred = rd.from_items([
+        {"conv_id": "c", "turn_idx": 0, "type": "drug", "start": 1, "end": 2},
+        {"conv_id": "c", "turn_idx": 0, "type": "sym", "start": 4, "end": 7},
+        {"conv_id": "c", "turn_idx": 1, "type": "drug", "start": 0, "end": 1},
+        {"conv_id": "c", "turn_idx": 1, "type": "sym", "start": 3, "end": 4},
+    ])
+    r = binary_span_prf(gold, pred)
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 2, 1)
+    assert abs(r["precision"] - 2 / (4 + 1e-10)) < 1e-12
+    assert abs(r["recall"] - 2 / (3 + 1e-10)) < 1e-12
+
+
+def test_binary_span_prf_biaffine_vs_bio_routes(ray_session):
+    """Cross-model parity, scored with the reference's own dev metric:
+    the biaffine route's mention spans vs the BIO route's = perfect F1."""
+    import pyarrow.parquet as pq
+
+    from clinicaltransformerner_ray.pipelines.eval_pipeline import (
+        binary_span_prf)
+    from clinicaltransformerner_ray.pipelines.kg import (
+        detect_mentions, detect_mentions_biaffine)
+    from clinicaltransformerner_ray.sources.turns import (
+        load_alias_rows, read_turns)
+
+    SF = "/root/testdata/sf0.001"
+    alias_rows = load_alias_rows(SF)
+    turns = read_turns(SF, columns=["conv_id", "turn_idx", "text"])
+    # explicit pool sizes: both routes execute in ONE streaming run via
+    # the union inside binary_span_prf — default pools would cover every
+    # session CPU and starve the readers (CLAUDE.md deadlock rule)
+    bio = detect_mentions(turns, alias_rows, concurrency=1)
+    grid = detect_mentions_biaffine(
+        read_turns(SF, columns=["conv_id", "turn_idx", "text"]),
+        alias_rows, concurrency=1)
+    r = binary_span_prf(bio, grid)
+    assert r["f1"] > 0.999999 and r["fp"] == 0 and r["fn"] == 0
