@@ -150,6 +150,17 @@ def _q_dedup_simhash_rowsonly(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def _q_dedup_clusters_rowsonly(sf_dir: str):
+    """Connected components over exact n-gram near-dup pairs:
+    (doc_id, cluster_id = min doc of component).  Iterative min-label
+    propagation; verified against a sequential union-find in pytest."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        dup_clusters, ngram_jaccard_pairs)
+
+    return dup_clusters(ngram_jaccard_pairs(_docs(sf_dir), n=3,
+                                            threshold=0.8))
+
+
 def _q_dedup_embedding(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import embedding_dup_pairs
 
@@ -166,6 +177,15 @@ def _q_ann_ivf_rowsonly(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.similarity import knn_ivf
 
     return knn_ivf(_vecs(sf_dir), n_queries=8, k=10)
+
+
+def _q_kmeans_rowsonly(sf_dir: str):
+    """Spherical k-means assignments (deterministic Lloyd's, 5 iters);
+    verified against a sequential numpy replica in pytest."""
+    from clinicaltransformerner_ray.pipelines.similarity import kmeans
+
+    _, assignments = kmeans(_vecs(sf_dir), k=16, iters=5)
+    return assignments
 
 
 def _q_text_stats(sf_dir: str):
@@ -275,8 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_rowsonly": _q_dedup_minhash_rowsonly,
         "dedup_simhash_rowsonly": _q_dedup_simhash_rowsonly,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_clusters_rowsonly": _q_dedup_clusters_rowsonly,
         "ann_topk": _q_ann_topk,
         "ann_ivf_rowsonly": _q_ann_ivf_rowsonly,
+        "kmeans_rowsonly": _q_kmeans_rowsonly,
         "text_stats": _q_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,

@@ -42,6 +42,9 @@ import ray.data as rd
 
 MERSENNE_P = (1 << 61) - 1
 
+#: combiner coalescing width (same as pipelines/kg.py)
+COMBINE_BATCH = 1 << 19
+
 _LOG = logging.getLogger(__name__)
 
 
@@ -496,3 +499,137 @@ def embedding_dup_pairs(
 
     return replicated.sort("bucket").map_batches(
         bucket_pairs, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# 6. duplicate clustering (connected components over near-dup pairs)
+
+def dup_clusters(
+    pairs: rd.Dataset,
+    *,
+    max_iters: int = 16,
+) -> rd.Dataset:
+    """Connected components over dup pairs -> (doc_id, cluster_id) with
+    ``cluster_id = min doc_id`` of the component; keep-one dedup is then
+    ``doc_id == cluster_id``.
+
+    Iterative min-label propagation, each round two of the engine's
+    standard sorted joins (labels co-located with their outgoing edges
+    emit label messages; a min-groupby folds messages into new labels).
+    Labels are monotonically nonincreasing, so rounds = O(component
+    diameter) — near-dup clusters are shallow (a hub + members), so 2-3
+    rounds typical.  Each round MATERIALIZES the label table (one small
+    row per node) — iterative algorithms on lazy Datasets would
+    otherwise re-execute the whole upstream lineage every round.
+
+    Input pairs may be any of this module's pair outputs (columns
+    doc_a, doc_b); only documents appearing in a pair get a row."""
+
+    def edges_both(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(
+        edges_both, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy()
+        u = np.unique(src)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "label": pa.array(u, pa.int64())})
+
+    def label_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("node", sort=False)["label"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow",
+                                batch_size=COMBINE_BATCH)
+              .sort("node")
+              .map_batches(label_combine, batch_format="pyarrow",
+                           batch_size=None)
+              .materialize())
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        """Label row joins the union as (src=node, dst=-1, label)."""
+        return pa.table({
+            "src": batch.column("node"),
+            "dst": pa.array([-1] * batch.num_rows, pa.int64()),
+            "label": batch.column("label"),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "label": pa.array([-1] * batch.num_rows, pa.int64()),
+        })
+
+    def propagate(batch: pa.Table) -> pa.Table:
+        """Block holds each node's label row (dst == -1) and its
+        outgoing edges, co-located by the sort on src; emit (dst,
+        label) messages plus the node's own (node, label, old) row."""
+        df = batch.to_pandas()
+        lab = df[df["dst"] == -1][["src", "label"]]
+        edg = df[df["dst"] != -1][["src", "dst"]]
+        msgs = edg.merge(lab, on="src")
+        sentinel = np.iinfo(np.int64).max
+        out = pd.DataFrame({
+            "node": pd.concat([lab["src"], msgs["dst"]],
+                              ignore_index=True).astype("int64"),
+            "label": pd.concat([lab["label"], msgs["label"]],
+                               ignore_index=True).astype("int64"),
+            # `old` survives the min-fold only from the node's own row
+            "old": pd.concat(
+                [lab["label"],
+                 pd.Series(np.full(len(msgs), sentinel))],
+                ignore_index=True).astype("int64"),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("node", sort=False).agg(
+            label=("label", "min"), old=("old", "min")).reset_index()
+        g["changed"] = (g["label"] != g["old"]).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def changed_count(folded: rd.Dataset) -> int:
+        import pyarrow.compute as pc
+
+        parts = folded.map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [int(pc.sum(b.column("changed")).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow").take_all()
+        return sum(r["c"] for r in parts)
+
+    for _ in range(max_iters):
+        both = (labels.map_batches(lab_rows, batch_format="pyarrow")
+                .union(edges.map_batches(edge_rows,
+                                         batch_format="pyarrow")))
+        folded = (both.sort("src")
+                  .map_batches(propagate, batch_format="pyarrow",
+                               batch_size=None)
+                  .sort("node")
+                  .map_batches(fold, batch_format="pyarrow",
+                               batch_size=None)
+                  .materialize())
+        n_changed = changed_count(folded)
+        labels = folded.map_batches(
+            lambda b: b.select(["node", "label"]), batch_format="pyarrow"
+        ).materialize()
+        if n_changed == 0:
+            break
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("node"),
+            "cluster_id": batch.column("label"),
+        })
+
+    return labels.map_batches(finalize, batch_format="pyarrow")

@@ -92,11 +92,18 @@ def detect_mentions(
         except Exception:
             cpus = 8
         linker_n = max(1, cpus // 8)
-        # 5/8 of the cluster: EXACTLY proportional at the benchmark pair
-        # (8 -> 5, 32 -> 20) so the N-vs-4N comparison gives both sizes
-        # identical resource shares, with enough headroom that readers,
-        # the linker pool and Ray system threads don't contend the pool
-        concurrency = max(1, min(int(0.625 * cpus), cpus - linker_n - 1))
+        # fraction of the cluster for the tagger pool: must be EXACTLY
+        # proportional at the benchmark pair (8 -> N, 32 -> 4N) so the
+        # N-vs-4N comparison gives both sizes identical resource
+        # shares, with enough headroom that readers, the linker pool
+        # and Ray system threads don't contend the pool.  GRAFT_TAGGER_FRAC
+        # tunes the share (0.5 keeps whole-actor proportionality at
+        # 8/32 AND leaves 1/4+ headroom per leg for object-store and
+        # system threads — see BASELINE.md scaling notes)
+        import os as _os
+
+        frac = float(_os.environ.get("GRAFT_TAGGER_FRAC", "0.625"))
+        concurrency = max(1, min(int(frac * cpus), cpus - linker_n - 1))
     ref = ray.put(alias_rows)
     return turns.map_batches(
         MentionTagger,

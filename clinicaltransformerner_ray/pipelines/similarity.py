@@ -144,6 +144,77 @@ def build_centroids(vecs: rd.Dataset, n_centroids: int = 16) -> np.ndarray:
     return C
 
 
+def kmeans(
+    vecs: rd.Dataset,
+    *,
+    k: int = 16,
+    iters: int = 5,
+) -> tuple[np.ndarray, rd.Dataset]:
+    """Deterministic spherical k-means (Lloyd's) over the embedding
+    column — the multi-iteration upgrade of build_centroids' single
+    averaging step, and the real IVF training path at scale.
+
+    Each iteration: centroids broadcast via ``ray.put`` (k x dim —
+    tiny), every batch assigns its vectors by max cosine and emits
+    per-centroid partial sums (the combiner), and the k-row reduction
+    finalizes on the driver.  The data side streams every iteration;
+    nothing driver-side ever exceeds k x dim.
+
+    Returns (centroids, assignments Dataset of (vec_id, centroid))."""
+    C = build_centroids(vecs, k)  # deterministic init (vec_id % k)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            C_ = ray.get(ref)
+            ids, X = _batch_matrix(batch)
+            assign = np.argmax(X @ C_.T, axis=1)
+            out_c, out_v, out_n = [], [], []
+            for c in np.unique(assign):
+                m = assign == c
+                out_c.append(int(c))
+                out_v.append(X[m].sum(axis=0).tolist())
+                out_n.append(int(m.sum()))
+            return pa.table({
+                "centroid": pa.array(out_c, pa.int64()),
+                "vsum": pa.array(out_v, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            })
+
+        rows = vecs.map_batches(partial_sums,
+                                batch_format="pyarrow").take_all()
+        dim = C.shape[1]
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in rows:
+            sums[r["centroid"]] += np.asarray(r["vsum"])
+            counts[r["centroid"]] += r["n"]
+        # empty centroids keep their previous position (deterministic)
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        newC = newC / np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+
+    ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(ref)
+        ids, X = _batch_matrix(batch)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "centroid": pa.array(
+                np.argmax(X @ C_.T, axis=1).astype(np.int64), pa.int64()),
+        })
+
+    return C, vecs.map_batches(assign, batch_format="pyarrow")
+
+
 def knn_ivf(
     vecs: rd.Dataset,
     *,

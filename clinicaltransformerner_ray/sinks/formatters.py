@@ -158,6 +158,95 @@ def bio_lines(tokens: list[str], labels: list[str]) -> str:
     return "\n".join(f"{w} {lb}" for w, lb in zip(tokens, labels))
 
 
+def mentions_via_offset_mapping(
+    spans: rd.Dataset,
+    mapping: rd.Dataset,
+) -> rd.Dataset:
+    """M17: the biaffine->brat offset-mapping route
+    (`src/common_utils/output_format_converter.py:96-144`): word-index
+    span predictions join a per-sentence side table of original char
+    offsets, producing mention rows ready for :func:`brat_annotations`.
+
+    ``spans``: (doc_idx, text, type, start, end) — word-INDEX inclusive
+    spans (the biaffine JSON reader's gold_spans shape).
+    ``mapping``: (doc_idx, note_id, word_starts: list<int>,
+    word_ends: list<int>) — the engine's Dataset analog of the
+    reference's pickle zip (`:104-107`), joined by key instead of
+    positionally.
+
+    Join shape: union both sides with a kind column, one sort on
+    doc_idx, per-block resolution (equal keys arrive whole).  Spans
+    whose word index falls outside the mapping are dropped with the
+    reference's skip-and-warn semantics (`task_utils.py:183-188`)."""
+
+    # union requires one schema: each side projects onto the superset
+    def span_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_idx": batch.column("doc_idx").cast(pa.int64()),
+            "kind": pa.array(["s"] * n, pa.string()),
+            "text": batch.column("text"),
+            "type": batch.column("type"),
+            "start": batch.column("start").cast(pa.int64()),
+            "end": batch.column("end").cast(pa.int64()),
+            "note_id": pa.array([None] * n, pa.string()),
+            "word_starts": pa.array([None] * n, pa.list_(pa.int64())),
+            "word_ends": pa.array([None] * n, pa.list_(pa.int64())),
+        })
+
+    def map_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_idx": batch.column("doc_idx").cast(pa.int64()),
+            "kind": pa.array(["m"] * n, pa.string()),
+            "text": pa.array([None] * n, pa.string()),
+            "type": pa.array([None] * n, pa.string()),
+            "start": pa.array([-1] * n, pa.int64()),
+            "end": pa.array([-1] * n, pa.int64()),
+            "note_id": batch.column("note_id"),
+            "word_starts": batch.column("word_starts").cast(
+                pa.list_(pa.int64())),
+            "word_ends": batch.column("word_ends").cast(
+                pa.list_(pa.int64())),
+        })
+
+    both = (spans.map_batches(span_side, batch_format="pyarrow")
+            .union(mapping.map_batches(map_side, batch_format="pyarrow")))
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_conv, out_tidx, out_surf, out_s, out_e, out_t = \
+            [], [], [], [], [], []
+        for doc, g in df.groupby("doc_idx", sort=False):
+            maps = g[g["kind"] == "m"]
+            if maps.empty:
+                continue
+            m = maps.iloc[0]
+            ws, we = list(m["word_starts"]), list(m["word_ends"])
+            note = m["note_id"]
+            for r in g[g["kind"] == "s"].itertuples():
+                s, e = int(r.start), int(r.end)
+                if s < 0 or e >= len(ws) or s > e:
+                    continue  # unmappable span: skip-and-warn semantics
+                out_conv.append(note)
+                out_tidx.append(int(doc))
+                out_surf.append(r.text)
+                out_s.append(int(ws[s]))
+                out_e.append(int(we[e]))
+                out_t.append(r.type)
+        return pa.table({
+            "conv_id": pa.array(out_conv, pa.string()),
+            "turn_idx": pa.array(out_tidx, pa.int64()),
+            "surface": pa.array(out_surf, pa.string()),
+            "start": pa.array(out_s, pa.int64()),
+            "end": pa.array(out_e, pa.int64()),
+            "type": pa.array(out_t, pa.string()),
+        })
+
+    return both.sort("doc_idx").map_batches(
+        per_block, batch_format="pyarrow", batch_size=None)
+
+
 def copy_source_texts(src_dir: str, out_dir: str) -> int:
     """K7: copy the raw ``.txt`` sources next to the formatted output
     (the reference's ``do_copy`` flag, `src/common_utils/

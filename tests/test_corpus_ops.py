@@ -143,3 +143,100 @@ def test_exact_dedup_idempotent(ray_session):
     df = E.queries()["dedup_exact"](SF).to_pandas()
     assert df["n_copies"].sum() == 500
     assert df["keep_doc_id"].is_unique
+
+
+def _union_find_clusters(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dup_clusters_matches_union_find(ray_session):
+    """Distributed min-label propagation == sequential union-find on
+    the fixture's real near-dup pairs."""
+    import __ray_entry__ as E
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        dup_clusters, ngram_jaccard_pairs)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    pairs_ds = ngram_jaccard_pairs(read_documents(SF), threshold=0.8)
+    pairs = [(r.doc_a, r.doc_b)
+             for r in pairs_ds.to_pandas().itertuples()]
+    assert pairs
+    want = _union_find_clusters(pairs)
+    got = {r.doc_id: r.cluster_id
+           for r in E.queries()["dedup_clusters_rowsonly"](SF)
+           .to_pandas().itertuples()}
+    assert got == want
+
+
+def test_dup_clusters_long_chain(ray_session):
+    """A 12-node path (diameter 11) needs many propagation rounds —
+    exercises the iteration-until-converged loop, not just 1-hop."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import dup_clusters
+
+    chain = [{"doc_a": i, "doc_b": i + 1} for i in range(100, 111)]
+    ring = [{"doc_a": 200, "doc_b": 201}, {"doc_a": 201, "doc_b": 202},
+            {"doc_a": 200, "doc_b": 202}]
+    out = dup_clusters(rd.from_items(chain + ring)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(got[i] == 100 for i in range(100, 112))
+    assert all(got[i] == 200 for i in (200, 201, 202))
+
+
+def test_kmeans_matches_sequential_lloyds(ray_session):
+    """Distributed spherical k-means == a sequential numpy replica of
+    the identical deterministic algorithm (float64 throughout)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from clinicaltransformerner_ray.pipelines.similarity import kmeans
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    X = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    k = 8
+
+    def norm(C):
+        return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                              1e-12)
+
+    # sequential replica: same init (vec_id % k mean), same updates
+    C = np.zeros((k, X.shape[1]))
+    for c in range(k):
+        C[c] = X[ids % k == c].mean(axis=0)
+    C = norm(C)
+    for _ in range(3):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = C.copy()
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                newC[c] = X[m].sum(axis=0) / m.sum()
+        C = norm(newC)
+    want = np.argmax(X @ C.T, axis=1)
+
+    Cd, assignments = kmeans(read_embeddings(SF), k=k, iters=3)
+    df = assignments.to_pandas().sort_values("vec_id")
+    assert np.allclose(Cd, C, atol=1e-9)
+    assert (df["centroid"].to_numpy() == want).all()
+    # clustering is non-trivial: more than one populated centroid
+    assert df["centroid"].nunique() > 1

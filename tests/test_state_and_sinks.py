@@ -315,3 +315,34 @@ def test_bioc_files_full_collection_wrapper(ray_session):
     assert "<id>c1:0</id>" in xml and "<offset>0</offset>" in xml
     assert '<infon key="type">drug</infon>' in xml
     assert xml.count("<passage>") == 1 == xml.count("</passage>")
+
+
+def test_mentions_via_offset_mapping(ray_session):
+    """M17: word-index biaffine spans ⋈ offset-mapping side table ->
+    original char offsets; unmappable spans dropped
+    (output_format_converter.py:96-144)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.sinks.formatters import (
+        brat_annotations, mentions_via_offset_mapping)
+
+    # note text: "take aspirin now" -> word char offsets
+    mapping = rd.from_items([
+        {"doc_idx": 0, "note_id": "note1",
+         "word_starts": [0, 5, 13], "word_ends": [4, 12, 16]},
+    ])
+    spans = rd.from_items([
+        {"doc_idx": 0, "text": "aspirin", "type": "drug",
+         "start": 1, "end": 1},
+        {"doc_idx": 0, "text": "aspirin now", "type": "x",
+         "start": 1, "end": 2},
+        {"doc_idx": 0, "text": "bad", "type": "x", "start": 2, "end": 9},
+    ])
+    out = (mentions_via_offset_mapping(spans, mapping)
+           .to_pandas().sort_values("start").reset_index(drop=True))
+    assert len(out) == 2  # out-of-range span dropped
+    assert list(out["start"]) == [5, 5] and list(out["end"]) == [12, 16]
+    # composes with the brat formatter
+    [row] = brat_annotations(
+        mentions_via_offset_mapping(spans, mapping)).take_all()
+    assert row["ann"].startswith("T1\t")
