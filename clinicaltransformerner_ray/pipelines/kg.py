@@ -177,6 +177,10 @@ def link_mentions(
 #: many upstream blocks per combine call, shrinking what the sort moves
 COMBINE_BATCH = 1 << 19
 
+#: output chunk for the turn-entity combiner: wide COMBINE input (good
+#: dedup) but many small output blocks (good sort/pair parallelism)
+TE_OUTPUT_CHUNK = 1 << 16
+
 
 def _combine_sort_combine(
     ds: rd.Dataset, keys: list[str], combine, finalize=None
@@ -290,12 +294,73 @@ def _bucketed_turn_entities(
              - np.uint64(1)) % nb
         ).astype(np.int64)
         out = pd.concat([df, border], ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        # yield in chunks: the downstream sort emits one output
+        # partition per INPUT block, and block_pairs' heavy merges run
+        # one task per sorted block — coalescing to 512k-row combiner
+        # batches alone would leave the whole cluster waiting on a
+        # handful of fat pair tasks (measured: 14 tasks, 15s critical
+        # path at 32 CPUs; chunked: 4x faster phase)
+        for i in range(0, tbl.num_rows, TE_OUTPUT_CHUNK):
+            yield tbl.slice(i, TE_OUTPUT_CHUNK)
 
     # coalesced batches: fewer, larger te blocks keep the downstream
     # sort's task count (and its fixed scheduling cost) low
     return linked.map_batches(
         dedup_and_bucket, batch_format="pyarrow", batch_size=COMBINE_BATCH)
+
+
+def _sorted_factorize(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted uniques, codes in sorted-unique order) — code comparisons
+    equal lexicographic string comparisons.  pd.factorize hashes (fast);
+    only the SMALL unique set is sorted, never the row array (np.unique
+    on big string arrays sorts rows with python comparisons — measured
+    hot spot)."""
+    codes, uniq = pd.factorize(arr)
+    uniq = np.asarray(uniq)
+    order = np.argsort(uniq)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    return uniq[order], rank[codes]
+
+
+def _triu_pairs(starts: np.ndarray, counts: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """All (i<j) index pairs within each [start, start+count) group.
+    Vectorized per distinct group size (sizes are tiny and few)."""
+    I, J = [], []
+    for c in np.unique(counts):
+        c = int(c)
+        if c < 2:
+            continue
+        ii, jj = np.triu_indices(c, k=1)
+        s = starts[counts == c]
+        I.append((s[:, None] + ii[None, :]).ravel())
+        J.append((s[:, None] + jj[None, :]).ravel())
+    if not I:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(I), np.concatenate(J)
+
+
+def _cross_pairs(s1: np.ndarray, c1: np.ndarray,
+                 s2: np.ndarray, c2: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Full cross-product index pairs between matched group ranges
+    [s1, s1+c1) x [s2, s2+c2), vectorized per distinct (c1, c2)."""
+    if len(s1) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    combo = c1.astype(np.int64) * (np.int64(1) << 32) + c2.astype(np.int64)
+    I, J = [], []
+    for cv in np.unique(combo):
+        a, b = int(cv >> 32), int(cv & 0xFFFFFFFF)
+        m = combo == cv
+        ii = np.repeat(np.arange(a), b)
+        jj = np.tile(np.arange(b), a)
+        I.append((s1[m][:, None] + ii[None, :]).ravel())
+        J.append((s2[m][:, None] + jj[None, :]).ravel())
+    return np.concatenate(I), np.concatenate(J)
 
 
 def emit_triples(
@@ -325,55 +390,125 @@ def emit_triples(
     te = _bucketed_turn_entities(linked, salt_span, n_buckets)
 
     def block_pairs(batch: pa.Table) -> pa.Table:
+        """Pair emission per sorted block — pure integer index
+        arithmetic.  conv/entity strings np.unique-encode ONCE (sorted
+        uniques, so code comparisons == lexicographic string
+        comparisons), turns key as ``conv_code * 2^32 + turn_idx``, and
+        both joins (same-turn co_occurs, turn+1 follows) become
+        searchsorted + vectorized cross-product expansion.  Replaced
+        the original string-keyed pandas merges (measured 10x CPU of
+        this path at sf10)."""
         g = batch.to_pandas()
-        # finish the distinct the combiner started; a ghost copy and its
-        # original can share a block (two spans of one conv hashing to
-        # co-located buckets), so dedup IGNORES the ghost flag,
-        # preferring the original (sort puts ghost=False first)
-        g = (g.sort_values("ghost")
-             .drop_duplicates(["conv_id", "turn_idx", "entity_id"]))
-        ng = g[~g["ghost"]]
-        key = ["conv_id", "turn_idx"]
-        co = ng.merge(ng, on=key)
-        co = co[co["entity_id_x"] < co["entity_id_y"]]
-        left = ng.assign(_nt=ng["turn_idx"] + 1)
-        fo = left.merge(
-            g, left_on=["conv_id", "_nt"], right_on=["conv_id", "turn_idx"],
-            suffixes=("_x", "_y"),
-        )
-        fo = fo[fo["entity_id_x"] != fo["entity_id_y"]]
+        empty = pa.table({
+            "subj": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+        })
+        if g.empty:
+            return empty
+        conv_uniq, conv_code = _sorted_factorize(g["conv_id"].to_numpy())
+        ent_uniq, ent_code = _sorted_factorize(g["entity_id"].to_numpy())
+        turn = g["turn_idx"].to_numpy().astype(np.int64)
+        ghost = g["ghost"].to_numpy()
+        key = conv_code.astype(np.int64) * (np.int64(1) << 33) + turn
+        # finish the distinct the combiner started; a ghost copy and
+        # its original can share a block, so dedup IGNORES the ghost
+        # flag, preferring the original (lexsort puts ghost=False first)
+        order = np.lexsort((ghost, ent_code, key))
+        key, ent_code, ghost = key[order], ent_code[order], ghost[order]
+        turn, conv_code = turn[order], conv_code[order]
+        keep = np.ones(len(key), dtype=bool)
+        keep[1:] = (key[1:] != key[:-1]) | (ent_code[1:] != ent_code[:-1])
+        key, ent_code, ghost = key[keep], ent_code[keep], ghost[keep]
+        turn, conv_code = turn[keep], conv_code[keep]
+
+        ng = ~ghost
+        k_ng, e_ng = key[ng], ent_code[ng]
+        t_ng, c_ng = turn[ng], conv_code[ng]
+        uk, starts, counts = np.unique(
+            k_ng, return_index=True, return_counts=True)
+        # co_occurs: all (i<j) entity pairs within a turn (rows within
+        # a key group are ent-code-sorted = string-sorted)
+        I_co, J_co = _triu_pairs(starts, counts)
+        # follows: non-ghost turn t against ALL rows of turn t+1
+        ak, astarts, acounts = np.unique(
+            key, return_index=True, return_counts=True)
+        pos = np.searchsorted(ak, uk + 1)
+        safe = np.minimum(pos, len(ak) - 1)
+        valid = (pos < len(ak)) & (ak[safe] == uk + 1)
+        I_fo, J_fo = _cross_pairs(starts[valid], counts[valid],
+                                  astarts[pos[valid]], acounts[pos[valid]])
+        m = e_ng[I_fo] != ent_code[J_fo]
+        I_fo, J_fo = I_fo[m], J_fo[m]
+        if len(I_co) + len(I_fo) == 0:
+            return empty
+
         out = pd.DataFrame({
-            "subj": pd.concat([co["entity_id_x"], fo["entity_id_x"]],
-                              ignore_index=True),
-            "pred": [CO_OCCURS] * len(co) + [FOLLOWS] * len(fo),
-            "obj": pd.concat([co["entity_id_y"], fo["entity_id_y"]],
-                             ignore_index=True),
-            "conv_id": pd.concat([co["conv_id"], fo["conv_id"]],
-                                 ignore_index=True),
-            "turn_idx": pd.concat([co["turn_idx"], fo["turn_idx_x"]],
-                                  ignore_index=True),
+            "subj": np.concatenate([ent_uniq[e_ng[I_co]],
+                                    ent_uniq[e_ng[I_fo]]]),
+            "pred": np.asarray([CO_OCCURS] * len(I_co)
+                               + [FOLLOWS] * len(I_fo), dtype=object),
+            "obj": np.concatenate([ent_uniq[e_ng[J_co]],
+                                   ent_uniq[ent_code[J_fo]]]),
+            "conv_id": np.concatenate([conv_uniq[c_ng[I_co]],
+                                       conv_uniq[c_ng[I_fo]]]),
+            "turn_idx": np.concatenate([t_ng[I_co], t_ng[I_fo]]),
         })
         return pa.Table.from_pandas(out, preserve_index=False)
 
     raw = te.sort("bucket").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
 
+    combined_empty = pa.table({
+        "subj": pa.array([], pa.string()),
+        "pred": pa.array([], pa.string()),
+        "obj": pa.array([], pa.string()),
+        "n_evidence": pa.array([], pa.int64()),
+        "first_conv_id": pa.array([], pa.string()),
+        "first_turn_idx": pa.array([], pa.int64()),
+    })
+
     def triple_combine(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         keys = ["subj", "pred", "obj"]
         if "n_evidence" in df.columns:
+            # post-shuffle completion: input is pre-combined partials
+            # (small), plain pandas is fine
             g = df.groupby(keys, sort=False).agg(
                 n_evidence=("n_evidence", "sum"),
                 first_conv_id=("first_conv_id", "min"),
                 first_turn_idx=("first_turn_idx", "min"),
             ).reset_index()
-        else:
-            g = df.groupby(keys, sort=False).agg(
-                n_evidence=("conv_id", "size"),
-                first_conv_id=("conv_id", "min"),
-                first_turn_idx=("turn_idx", "min"),
-            ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False)
+        # pre-shuffle combiner over RAW pair rows: integer-coded
+        # (np.unique codes are sorted, so code-min == string-min) —
+        # pandas string groupby here was the triples phase's hot spot
+        if df.empty:
+            return combined_empty
+        subj_u, subj_c = _sorted_factorize(df["subj"].to_numpy())
+        obj_u, obj_c = _sorted_factorize(df["obj"].to_numpy())
+        conv_u, conv_c = _sorted_factorize(df["conv_id"].to_numpy())
+        pred_c = (df["pred"].to_numpy() == FOLLOWS).astype(np.int64)
+        turn = df["turn_idx"].to_numpy().astype(np.int64)
+        key = (subj_c.astype(np.int64) * len(obj_u) + obj_c) * 2 + pred_c
+        uk, inv, counts = np.unique(key, return_inverse=True,
+                                    return_counts=True)
+        n = len(uk)
+        min_conv = np.full(n, len(conv_u) - 1, dtype=np.int64)
+        np.minimum.at(min_conv, inv, conv_c)
+        min_turn = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_turn, inv, turn)
+        out = pd.DataFrame({
+            "subj": subj_u[(uk // 2) // len(obj_u)],
+            "pred": np.where(uk % 2 == 1, FOLLOWS, CO_OCCURS),
+            "obj": obj_u[(uk // 2) % len(obj_u)],
+            "n_evidence": counts.astype(np.int64),
+            "first_conv_id": conv_u[min_conv],
+            "first_turn_idx": min_turn,
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return _combine_sort_combine(raw, ["subj", "pred", "obj"],
                                  triple_combine)
