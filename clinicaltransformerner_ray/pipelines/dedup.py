@@ -535,6 +535,11 @@ def dup_clusters(
 
     edges = pairs.map_batches(
         edges_both, batch_format="pyarrow").materialize()
+    if edges.count() == 0:  # no dup pairs: empty cluster table
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+        }))
 
     def init_labels(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy()

@@ -240,3 +240,18 @@ def test_kmeans_matches_sequential_lloyds(ray_session):
     assert (df["centroid"].to_numpy() == want).all()
     # clustering is non-trivial: more than one populated centroid
     assert df["centroid"].nunique() > 1
+
+
+def test_dup_clusters_empty_input(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.dedup import dup_clusters
+
+    empty = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }))
+    out = dup_clusters(empty).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "cluster_id"]
