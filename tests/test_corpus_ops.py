@@ -252,6 +252,6 @@ def test_dup_clusters_empty_input(ray_session):
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64()),
     }))
-    out = dup_clusters(empty).to_pandas()
-    assert len(out) == 0
-    assert list(out.columns) == ["doc_id", "cluster_id"]
+    ds = dup_clusters(empty)
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "cluster_id"]
