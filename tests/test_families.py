@@ -160,3 +160,53 @@ def test_tagger_family_slow_decode_agrees(fam_name):
                          noise_mod=0)(batch)
     assert fast.to_pydict() == slow.to_pydict()
     assert fast.num_rows >= 3
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzzing (hypothesis): any sentence, any family
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=14)
+_TYPE = st.sampled_from(["drug", "symptom"])
+
+
+@st.composite
+def _sentence(draw):
+    """Random words with a BIO-consistent label sequence."""
+    words = draw(st.lists(_WORD, min_size=1, max_size=40))
+    labels = []
+    i = 0
+    while i < len(words):
+        if draw(st.booleans()):
+            t = draw(_TYPE)
+            span = min(draw(st.integers(1, 3)), len(words) - i)
+            labels.append(f"B-{t}")
+            labels.extend([f"I-{t}"] * (span - 1))
+            i += span
+        else:
+            labels.append("O")
+            i += 1
+    return words, labels
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=_sentence(), fam_name=st.sampled_from(sorted(FAMILIES)))
+def test_windowing_roundtrip_property(data, fam_name):
+    """PROPERTY: for any sentence and any tokenizer family, windows
+    reassemble to exactly the original word labels through the
+    family-aware guard-walk decode (SURVEY §5 window-reassembly
+    property, fuzzed)."""
+    words, labels = data
+    fam = FAMILIES[fam_name]
+    tok = tokenizer_for_family(fam_name)
+    wins = make_windows(words, labels, tok, 16, VOCAB, family=fam)
+    y = decode_windows(
+        [w.attention_mask for w in wins],
+        [w.label_ids for w in wins],
+        [w.guards for w in wins],
+        IDX2LABEL,
+        skip_masked=fam.pre_pad,
+    )
+    assert y == labels
