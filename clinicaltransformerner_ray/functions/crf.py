@@ -21,6 +21,14 @@ def viterbi_decode(
 ) -> np.ndarray:
     """Best label path(s) under emission + transition scores.
 
+    The mask must be ONE contiguous run of 1s per sequence — which
+    covers both padding conventions (post-pad: 1s then 0s; XLNet-style
+    pre-pad: 0s then 1s).  The DP initializes at each sequence's FIRST
+    masked-in position (no transition score into it) and the backtrace
+    writes the decoded path into the real positions' actual index range
+    [start, start+L), so pre-padded input decodes positionally aligned
+    with its guards.
+
     Returns int64 paths shaped like ``emissions`` without the class
     axis; masked positions get label 0 (PAD id, by the label-vocab
     convention control ids < id('O'))."""
@@ -33,8 +41,11 @@ def viterbi_decode(
         mask = np.ones((B, T), dtype=bool)
     mask = mask.astype(bool)
 
-    score = emissions[:, 0, :].astype(np.float64).copy()  # (B, C)
+    started = mask[:, 0].copy()                           # (B,)
+    score = np.where(mask[:, 0][:, None],
+                     emissions[:, 0, :], 0.0).astype(np.float64)
     history = np.zeros((B, T, C), dtype=np.int64)
+    identity = np.arange(C)[None, :]
     for t in range(1, T):
         # (B, C_prev, 1) + (C_prev, C_next) -> best previous per next
         cand = score[:, :, None] + transitions[None, :, :]
@@ -42,10 +53,15 @@ def viterbi_decode(
         best_score = np.take_along_axis(
             cand, best_prev[:, None, :], axis=1)[:, 0, :]
         step = best_score + emissions[:, t, :]
-        alive = mask[:, t][:, None]
-        score = np.where(alive, step, score)
-        history[:, t, :] = np.where(alive, best_prev,
-                                    np.arange(C)[None, :])
+        alive = mask[:, t]
+        is_first = alive & ~started                       # pre-pad start
+        cont = (alive & started)[:, None]
+        score = np.where(is_first[:, None], emissions[:, t, :],
+                         np.where(cont, step, score))
+        # history at a sequence's first real position is never consulted
+        # by the backtrace (it stops at start); identity keeps it inert
+        history[:, t, :] = np.where(cont, best_prev, identity)
+        started |= alive
 
     paths = np.zeros((B, T), dtype=np.int64)
     lengths = mask.sum(axis=1)
@@ -53,9 +69,11 @@ def viterbi_decode(
         L = int(lengths[b])
         if L == 0:
             continue
+        start = int(mask[b].argmax())                     # first real pos
+        end = start + L - 1
         lab = int(score[b].argmax())
-        paths[b, L - 1] = lab
-        for t in range(L - 1, 0, -1):
+        paths[b, end] = lab
+        for t in range(end, start, -1):
             lab = int(history[b, t, lab])
             paths[b, t - 1] = lab
     return paths[0] if single else paths

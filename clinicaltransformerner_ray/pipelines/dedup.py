@@ -105,7 +105,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = 10_000,
+    max_df: int | None = None,
 ) -> rd.Dataset:
     """All document pairs with word-``n``-gram Jaccard >= ``threshold``.
 
@@ -115,14 +115,16 @@ def ngram_jaccard_pairs(
     per-pair intersection — Jaccard = i / (sa + sb - i).  No stage ever
     holds two documents' texts together.
 
-    ``max_df`` (ON by default — the hot-shingle guard): a shingle in
-    more than ``max_df`` documents emits no pairs; without it one
-    stopword shingle squares the join at corpus scale.  Skipped shingles
-    are counted and logged per block (no silent caps).  Pass
-    ``max_df=None`` for bit-exact parity with the naive SQL oracle; a
-    shingle above the cap only matters when two documents share NOTHING
-    but ubiquitous shingles, so at threshold >= 0.8 results are
-    unchanged in practice."""
+    ``max_df`` (OFF by default — exact semantics, bit-exact vs the SQL
+    oracle): when set, a shingle in more than ``max_df`` documents emits
+    no pairs; without the cap one stopword shingle squares the join at
+    corpus scale.  CAVEAT — the cap is NOT output-preserving: in a
+    mass-duplicate cluster larger than ``max_df`` EVERY shingle exceeds
+    the cap, so Jaccard-1.0 duplicates emit zero pairs and downstream
+    keep-one dedup inherits the hole.  At scale, run :func:`exact_dedup`
+    first (it catches identical mass-dups cheaply), then this with the
+    cap for the near-dup tail.  Skipped shingles are counted and logged
+    per block (no silent caps)."""
 
     def postings(batch: pa.Table) -> pa.Table:
         ids, shs, sizes = [], [], []
@@ -416,11 +418,25 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 # 5. embedding-cosine near-dup
 
+#: target rows per chunk-pair bucket side; per-bucket heap is
+#: ~2 x TARGET_BUCKET_ROWS x dim x 8 bytes (64 MiB at dim=64)
+TARGET_BUCKET_ROWS = 65_536
+
+
+def _auto_n_chunks(n_rows: int,
+                   target_bucket_rows: int = TARGET_BUCKET_ROWS) -> int:
+    """Pick n_chunks so each bucket side holds ~target_bucket_rows
+    vectors: chunks grow linearly with the input so per-bucket heap
+    stays constant; bucket count n_chunks*(n_chunks+1)/2 then grows
+    quadratically, keeping parallelism ahead of the cluster."""
+    return int(min(1024, max(2, -(-n_rows // target_bucket_rows))))
+
+
 def embedding_dup_pairs(
     vecs: rd.Dataset,
     *,
     threshold: float = 0.45,
-    n_chunks: int = 8,
+    n_chunks: int | None = None,
 ) -> rd.Dataset:
     """Pairs (a < b) with cosine similarity >= threshold — EXACT, with
     no driver-side materialization and no broadcast of the full matrix.
@@ -437,9 +453,13 @@ def embedding_dup_pairs(
     exact all-pairs join); per-bucket memory = 2·N/n_chunks vectors, so
     n_chunks grows ~N/(worker heap); bucket count n_chunks·(n_chunks+1)/2
     must exceed target parallelism — raise n_chunks at scale (64 chunks
-    = 2080 buckets).  For approximate near-dup at 100 TB use
-    minhash_lsh_pairs / knn_ivf instead; exact O(N^2) cosine is the
-    small-to-mid-scale tool."""
+    = 2080 buckets).  ``n_chunks=None`` (default) auto-scales from the
+    input row count via :func:`_auto_n_chunks` (count() is
+    metadata-only for parquet reads).  For approximate near-dup at
+    100 TB use minhash_lsh_pairs / knn_ivf instead; exact O(N^2) cosine
+    is the small-to-mid-scale tool."""
+    if n_chunks is None:
+        n_chunks = _auto_n_chunks(vecs.count())
 
     def replicate(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -471,8 +491,14 @@ def embedding_dup_pairs(
             i, j = int(b) // n_chunks, int(b) % n_chunks
             gi = g[g["chunk"] == i]
             ids_i = gi["vec_id"].to_numpy()
-            Xi = np.stack(gi["embedding"].to_numpy())
+            # emptiness guards run BEFORE any np.stack: an off-diagonal
+            # bucket can hold only one side's rows when a vec_id residue
+            # class mod n_chunks is unoccupied (sparse / filtered ids),
+            # and np.stack([]) raises
             if i == j:
+                if len(ids_i) < 2:
+                    continue
+                Xi = np.stack(gi["embedding"].to_numpy())
                 sims = Xi @ Xi.T
                 rr, cc = np.nonzero(sims >= threshold)
                 keep = ids_i[rr] < ids_i[cc]
@@ -482,6 +508,7 @@ def embedding_dup_pairs(
                 ids_j = gj["vec_id"].to_numpy()
                 if not len(ids_i) or not len(ids_j):
                     continue
+                Xi = np.stack(gi["embedding"].to_numpy())
                 Xj = np.stack(gj["embedding"].to_numpy())
                 sims = Xi @ Xj.T
                 rr, cc = np.nonzero(sims >= threshold)
@@ -508,22 +535,36 @@ def dup_clusters(
     pairs: rd.Dataset,
     *,
     max_iters: int = 16,
+    on_max_iters: str = "warn",
 ) -> rd.Dataset:
     """Connected components over dup pairs -> (doc_id, cluster_id) with
     ``cluster_id = min doc_id`` of the component; keep-one dedup is then
     ``doc_id == cluster_id``.
 
-    Iterative min-label propagation, each round two of the engine's
-    standard sorted joins (labels co-located with their outgoing edges
-    emit label messages; a min-groupby folds messages into new labels).
-    Labels are monotonically nonincreasing, so rounds = O(component
-    diameter) — near-dup clusters are shallow (a hub + members), so 2-3
-    rounds typical.  Each round MATERIALIZES the label table (one small
-    row per node) — iterative algorithms on lazy Datasets would
-    otherwise re-execute the whole upstream lineage every round.
+    Iterative min-label propagation with FUSED POINTER JUMPING: each
+    round is one propagate step over the engine's standard sorted joins
+    (labels co-located with their outgoing edges emit label messages; a
+    min-groupby folds messages into new labels), where the edge set is
+    augmented per round with shortcut edges ``(src=label[v], dst=v)`` —
+    so in the SAME sorted join every node also receives
+    ``label(label(v))``, the classic pointer jump, at zero extra
+    stages.  Propagation alone needs O(component diameter) rounds; with
+    the jump, remaining path length halves per round, so rounds =
+    O(log diameter) — ``max_iters=16`` covers diameters to ~2^15 even
+    for pathological near-dup chains.  Each round MATERIALIZES the
+    label table (one small row per node) — iterative algorithms on lazy
+    Datasets would otherwise re-execute the whole upstream lineage
+    every round — and repartitions it back to the edge table's block
+    count (Ray sort output partitions = input blocks, so unbounded
+    unions would grow task counts geometrically round over round).
+
+    If the loop exits without converging the result is WRONG (split
+    clusters); per ``on_max_iters`` this logs a warning (``"warn"``) or
+    raises (``"raise"``) — never silent.
 
     Input pairs may be any of this module's pair outputs (columns
-    doc_a, doc_b); only documents appearing in a pair get a row."""
+    doc_a, doc_b); only documents appearing in a pair get a row.
+    Node ids must be >= 0 (-1 is the internal join sentinel)."""
 
     def edges_both(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -540,6 +581,14 @@ def dup_clusters(
             "doc_id": pa.array([], pa.int64()),
             "cluster_id": pa.array([], pa.int64()),
         }))
+    # per-round block budget for the label table: Ray sort's output
+    # partition count equals its input block count, and each round
+    # unions labels with edges (propagate) or labels with labels
+    # (jump) — without a bound, label blocks GROW GEOMETRICALLY round
+    # over round (measured: round-2 propagate 4x slower than round 1).
+    # Repartitioning the tiny per-node table back to the edge table's
+    # own block count keeps every round's task count constant.
+    n_label_blocks = max(1, edges.num_blocks())
 
     def init_labels(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy()
@@ -613,10 +662,27 @@ def dup_clusters(
             batch_format="pyarrow").take_all()
         return sum(r["c"] for r in parts)
 
+    def shortcut_rows(batch: pa.Table) -> pa.Table:
+        """Pointer-jump edges (src=label[v], dst=v): in the sorted join
+        the block holding src=L also holds L's label row, so v receives
+        label(label(v)) through the ordinary propagate machinery.  Every
+        label value IS a node id (labels are mins of node ids), so src
+        always has a definition.  Self-labeled nodes emit nothing."""
+        df = batch.to_pandas()
+        df = df[df["node"] != df["label"]]
+        return pa.table({
+            "src": pa.array(df["label"].to_numpy(np.int64), pa.int64()),
+            "dst": pa.array(df["node"].to_numpy(np.int64), pa.int64()),
+            "label": pa.array(np.full(len(df), -1), pa.int64()),
+        })
+
+    n_changed = 0
     for _ in range(max_iters):
         both = (labels.map_batches(lab_rows, batch_format="pyarrow")
                 .union(edges.map_batches(edge_rows,
-                                         batch_format="pyarrow")))
+                                         batch_format="pyarrow"))
+                .union(labels.map_batches(shortcut_rows,
+                                          batch_format="pyarrow")))
         folded = (both.sort("src")
                   .map_batches(propagate, batch_format="pyarrow",
                                batch_size=None)
@@ -625,11 +691,18 @@ def dup_clusters(
                                batch_size=None)
                   .materialize())
         n_changed = changed_count(folded)
-        labels = folded.map_batches(
-            lambda b: b.select(["node", "label"]), batch_format="pyarrow"
-        ).materialize()
+        labels = (folded.map_batches(
+            lambda b: b.select(["node", "label"]), batch_format="pyarrow")
+            .repartition(n_label_blocks).materialize())
         if n_changed == 0:
             break
+    if n_changed != 0:
+        msg = (f"dup_clusters: label propagation did NOT converge after "
+               f"max_iters={max_iters} rounds ({n_changed} labels still "
+               f"changing); cluster ids are split — raise max_iters")
+        if on_max_iters == "raise":
+            raise RuntimeError(msg)
+        _LOG.warning(msg)
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -228,6 +228,13 @@ def sessionize_salted(
         return pa.Table.from_pandas(g[cols], preserve_index=False)
 
     # the stitch input is one tiny row per session — sorting it on
-    # user_id is safe even for hyperactive users
-    return local.sort(["user_id", "bucket", "local_idx"]).map_batches(
+    # user_id is safe even for hyperactive users.  Sort on user_id ALONE:
+    # Ray's range partitioner only keeps EQUAL full keys together, so a
+    # composite (user_id, bucket, local_idx) sort may split one user's
+    # session chain across blocks and the boundary merge is then missed
+    # (reproduced: 79 duplicated (user_id, session_idx) rows at 8.5k
+    # events once the stitch input spans multiple blocks).  Equal
+    # user_id keys never split; stitch() re-sorts the block on the full
+    # composite key before chaining.
+    return local.sort("user_id").map_batches(
         stitch, batch_format="pyarrow", batch_size=None)

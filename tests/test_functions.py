@@ -250,3 +250,53 @@ def test_viterbi_respects_mask():
     out = viterbi_decode(em, tr, mask=mask)
     full = viterbi_decode(em[0, :3], tr)
     assert (out[0, :3] == full).all() and (out[0, 3:] == 0).all()
+
+
+def test_viterbi_prepad_mask_alignment():
+    """XLNet-style pre-padding (mask zeros at the FRONT): the decode
+    must land in positions [T-L, T) aligned with the guards, and equal
+    the post-pad decode of the same real emissions (r2 advice)."""
+    from clinicaltransformerner_ray.functions.crf import (
+        brute_force_decode, viterbi_decode)
+
+    rng = np.random.RandomState(11)
+    T, C = 6, 4
+    tr = rng.normal(size=(C, C))
+    for _ in range(30):
+        L = int(rng.randint(1, T + 1))
+        em_real = rng.normal(size=(L, C)) * 3
+        ref = brute_force_decode(em_real, tr)
+        em = np.zeros((T, C))
+        em[T - L:] = em_real
+        mask = np.zeros(T, dtype=bool)
+        mask[T - L:] = True
+        out = viterbi_decode(em, tr, mask=mask)
+        assert (out[T - L:] == ref).all()
+        assert (out[:T - L] == 0).all()
+
+
+def test_viterbi_mixed_pad_batch():
+    """One batch mixing pre- and post-padded sequences decodes each
+    row over its own real index range."""
+    from clinicaltransformerner_ray.functions.crf import (
+        brute_force_decode, viterbi_decode)
+
+    rng = np.random.RandomState(12)
+    T, C = 7, 3
+    tr = rng.normal(size=(C, C))
+    ems, masks, refs, spans = [], [], [], []
+    for b in range(12):
+        L = int(rng.randint(1, T + 1))
+        em_real = rng.normal(size=(L, C)) * 3
+        s = (T - L) if b % 2 else 0
+        em = np.zeros((T, C))
+        mask = np.zeros(T, dtype=bool)
+        em[s:s + L] = em_real
+        mask[s:s + L] = True
+        ems.append(em)
+        masks.append(mask)
+        refs.append(brute_force_decode(em_real, tr))
+        spans.append((s, L))
+    out = viterbi_decode(np.stack(ems), tr, np.stack(masks))
+    for b, (s, L) in enumerate(spans):
+        assert (out[b, s:s + L] == refs[b]).all()

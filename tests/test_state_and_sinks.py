@@ -346,3 +346,70 @@ def test_mentions_via_offset_mapping(ray_session):
     [row] = brat_annotations(
         mentions_via_offset_mapping(spans, mapping)).take_all()
     assert row["ann"].startswith("T1\t")
+
+
+def test_salted_sessionize_multiblock_stitch(ray_session):
+    """Regression (r2 advice, high): the stitch pass must sort on
+    user_id ALONE — a composite (user_id, bucket, local_idx) sort lets
+    Ray's range partitioner split one user's session chain across
+    blocks, silently dropping boundary merges.  Force a multi-block
+    stitch stage (16 input blocks, hundreds of users, sessions crossing
+    bucket boundaries) and require byte-equality with sessionize()."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        sessionize, sessionize_salted)
+
+    HOUR = 3600 * 1_000_000
+    MIN20 = 20 * 60 * 1_000_000
+    rows_u, rows_t, rows_e = [], [], []
+    eid = 0
+    for u in range(250):
+        t = u * 13 * 60 * 1_000_000  # staggered starts
+        # session 1: 30 events 20min apart -> ~10h, crosses 2h buckets
+        for k in range(30):
+            rows_u.append(u)
+            rows_t.append(t + k * MIN20)
+            rows_e.append(eid)
+            eid += 1
+        # 3h quiet gap, then a short session 2
+        base = t + 30 * MIN20 + 3 * HOUR
+        for k in range(4):
+            rows_u.append(u)
+            rows_t.append(base + k * 10 * 60 * 1_000_000)
+            rows_e.append(eid)
+            eid += 1
+    df = pd.DataFrame({"event_id": rows_e, "user_id": rows_u,
+                       "ts": np.asarray(rows_t, dtype="datetime64[us]")})
+    # shuffle row order so blocks interleave users
+    df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+    # tiny block targets force the stitch input to SPLIT across task
+    # bundles at test scale (the context is captured at dataset
+    # creation, so set BEFORE from_arrow); with the composite-key sort
+    # this scenario produced 79 duplicated (user_id, session_idx) rows
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old_max, old_min = ctx.target_max_block_size, ctx.target_min_block_size
+    ctx.target_max_block_size = 4 * 1024
+    ctx.target_min_block_size = 1024
+    try:
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        ds = ds.repartition(16)
+        salted = (sessionize_salted(ds, bucket_us=2 * HOUR)
+                  .to_pandas().sort_values(["user_id", "session_idx"])
+                  .reset_index(drop=True))
+        plain = (sessionize(ds).to_pandas()
+                 .sort_values(["user_id", "session_idx"])
+                 .reset_index(drop=True))
+    finally:
+        ctx.target_max_block_size = old_max
+        ctx.target_min_block_size = old_min
+    # no duplicated (user, session_idx) rows — the observed failure mode
+    assert not salted.duplicated(["user_id", "session_idx"]).any()
+    pd.testing.assert_frame_equal(
+        salted[sorted(salted.columns)], plain[sorted(plain.columns)],
+        check_dtype=False)
