@@ -77,10 +77,13 @@ def detect_mentions(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
     decode: str = "argmax",
+    quarantine_dir: str | None = None,
 ) -> rd.Dataset:
     """turns -> mentions via the tagger actor pool. Alias rows ship once
     per actor through a ray.put broadcast ref.  ``decode="crf"`` selects
-    the Viterbi route (reference --use_crf)."""
+    the Viterbi route (reference --use_crf).  ``quarantine_dir`` makes
+    each actor write failed turns (keys + error) as a parquet side
+    table; failures always WARN-log regardless."""
     if concurrency is None:
         # the dominant CPU consumer: a fixed 3/4 FRACTION of the cluster
         # (not cluster-minus-constant) so the N vs 4N scaling comparison
@@ -112,6 +115,7 @@ def detect_mentions(
             "max_seq_length": max_seq_length,
             "noise_mod": noise_mod,
             "decode": decode,
+            "quarantine_dir": quarantine_dir,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -521,21 +525,25 @@ def kg_pipeline(
     noise_mod: int = 5,
     tagger_concurrency: int | tuple[int, int] | None = None,
     salt_span: int = DEFAULT_SALT_SPAN,
-    materialize_linked: bool = True,
+    materialize_linked: bool = False,
     linked_checkpoint_dir: str | None = None,
 ) -> dict[str, rd.Dataset]:
     """Compose the full build; returns lazy Datasets keyed by stage.
 
     The linked-mention table feeds BOTH the entity and triple branches,
-    so it must not re-run the tagger twice.  Two cache strategies:
+    so it must not re-run the tagger twice.  Cache strategies, in
+    preference order at scale:
 
-    - ``materialize_linked`` (default) pins it in the object store —
-      right for single-job runs where the reduction fits (spilling
-      covers overflow);
-    - ``linked_checkpoint_dir`` writes it as partitioned parquet from
-      the workers and re-reads it for both branches — the 100 TB /
-      restartable path (the full lineage-tracked version of this is
-      pipelines/resume.py + state/lineage.py)."""
+    - ``linked_checkpoint_dir`` (explicit path, or the DEFAULT via an
+      auto temp dir when neither knob is set) writes the linked table
+      as partitioned parquet from the workers and re-reads it for both
+      branches — the 100 TB / restartable path: the object store never
+      pins the full reduction, a re-run can start from the checkpoint,
+      and each branch streams its own read (the full lineage-tracked
+      version is pipelines/resume.py + state/lineage.py);
+    - ``materialize_linked=True`` pins it in the object store — the
+      explicit small-input fast path for single-job runs where the
+      reduction comfortably fits."""
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
     mentions = detect_mentions(
@@ -545,6 +553,13 @@ def kg_pipeline(
         concurrency=tagger_concurrency,
     )
     linked = link_mentions(mentions, alias_rows)
+    if linked_checkpoint_dir is None and not materialize_linked:
+        # scale-safe default: parquet checkpoint in a run-scoped temp
+        # dir (callers wanting the object-store fast path opt in with
+        # materialize_linked=True)
+        import tempfile
+
+        linked_checkpoint_dir = tempfile.mkdtemp(prefix="kg_linked_")
     if linked_checkpoint_dir is not None:
         linked.write_parquet(linked_checkpoint_dir)
         linked = rd.read_parquet(linked_checkpoint_dir)

@@ -22,17 +22,26 @@ equivalence with the sequential walk is asserted by
 tests/test_kg_pipeline.py::test_vectorized_decode_equals_reference_walk.
 
 Per-turn failures are quarantined, not fatal (the reference's per-file
-try/except-skip, `run_transformer_batch_prediction.py:70-72`): bad rows
-are counted and reported through the ``errors`` column of a side channel
-rather than killing the job.
+try/except-skip-but-LOG, `run_transformer_batch_prediction.py:70-72`):
+bad rows are counted per actor (``n_failed``), every batch with
+failures emits one WARNING naming the turns, and when
+``quarantine_dir`` is set each actor also writes the failed keys +
+error strings as a parquet side table (one small file per failing
+batch) that `read_quarantine` loads back as a Dataset.
 """
 
 from __future__ import annotations
+
+import logging
+import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
 
 import ray
+
+_LOG = logging.getLogger(__name__)
 
 from clinicaltransformerner_ray.labels import (
     build_label_vocab,
@@ -70,6 +79,26 @@ MENTION_SCHEMA = pa.schema([
 ])
 
 
+def read_quarantine(quarantine_dir: str):
+    """Load the quarantine side table written by MentionTagger actors
+    as a Dataset (conv_id, turn_idx, stage, error); empty Dataset if no
+    turn ever failed."""
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(quarantine_dir,
+                                          "part-*.parquet")))
+    if not files:
+        return rd.from_arrow(pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "stage": pa.array([], pa.string()),
+            "error": pa.array([], pa.string()),
+        }))
+    return rd.read_parquet(files)
+
+
 def _maybe_get(ref):
     """Broadcast pattern: constructor receives a ``ray.put`` ObjectRef
     (shipped once per actor, not per batch); plain values pass through for
@@ -89,6 +118,7 @@ class MentionTagger:
         decode: str = "argmax",
         family: str = "bert",
         label2idx: dict[str, int] | None = None,
+        quarantine_dir: str | None = None,
     ):
         alias_rows = _maybe_get(alias_rows_ref)
         self.lexicon = Lexicon(
@@ -129,6 +159,34 @@ class MentionTagger:
 
             self.transitions = bio_transitions(self.label2idx)
         self.n_failed = 0
+        self.quarantine_dir = quarantine_dir
+
+    def _report_failures(self, failures: list[tuple]) -> None:
+        """Surface quarantined turns — never silently drop (reference
+        logs the traceback before skipping a file)."""
+        if not failures:
+            return
+        self.n_failed += len(failures)
+        _LOG.warning(
+            "MentionTagger: quarantined %d turn(s) in batch "
+            "(actor total %d): %s",
+            len(failures), self.n_failed,
+            [(c, t, err.splitlines()[0][:120]) for c, t, _st, err
+             in failures[:5]])
+        if self.quarantine_dir is not None:
+            os.makedirs(self.quarantine_dir, exist_ok=True)
+            tbl = pa.table({
+                "conv_id": pa.array([str(f[0]) for f in failures],
+                                    pa.string()),
+                "turn_idx": pa.array([int(f[1]) for f in failures],
+                                     pa.int32()),
+                "stage": pa.array([f[2] for f in failures], pa.string()),
+                "error": pa.array([f[3] for f in failures], pa.string()),
+            })
+            import pyarrow.parquet as pq
+
+            pq.write_table(tbl, os.path.join(
+                self.quarantine_dir, f"part-{uuid.uuid4().hex}.parquet"))
 
     # -- model stand-in ----------------------------------------------------
     def _forward(self, label_id_mat: np.ndarray,
@@ -215,17 +273,19 @@ class MentionTagger:
         # model call (argmax is cheap either way; Viterbi's DP loop is
         # overhead-dominated per call, so batching is a ~5x win)
         feats = []
+        failures: list[tuple] = []
         for cid, ti, text in zip(conv, tidx, texts):
             try:
                 feat = self._featurize_turn(text or "")
-            except Exception:
+            except Exception as exc:
                 # poison-row quarantine, reference skip semantics
                 # (run_transformer_batch_prediction.py:70-72)
-                self.n_failed += 1
+                failures.append((cid, ti, "featurize", repr(exc)))
                 continue
             if feat is not None:
                 feats.append((cid, ti, feat))
         if not feats:
+            self._report_failures(failures)
             return MENTION_SCHEMA.empty_table()
 
         targets = np.concatenate([f[2][5] for f in feats], axis=0)
@@ -241,8 +301,8 @@ class MentionTagger:
             pos += n_wins
             try:
                 spans = self._decode_turn(feat, preds)
-            except Exception:
-                self.n_failed += 1
+            except Exception as exc:
+                failures.append((cid, ti, "decode", repr(exc)))
                 continue
             for mid, (surf, snorm, s, e, t) in enumerate(spans):
                 o_conv.append(cid)
@@ -253,6 +313,7 @@ class MentionTagger:
                 o_s.append(s)
                 o_e.append(e)
                 o_type.append(t)
+        self._report_failures(failures)
         return pa.table({
             "conv_id": pa.array(o_conv, pa.string()),
             "turn_idx": pa.array(o_tidx, pa.int32()),

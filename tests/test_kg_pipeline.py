@@ -244,3 +244,54 @@ def test_entry_smoke(ray_session):
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     assert len(df) > 0
     assert {"subj", "pred", "obj", "n_evidence"} <= set(df.columns)
+
+
+def test_tagger_quarantine_is_reported(alias_rows, tmp_path, caplog):
+    """A poison turn (binary garbage where text should be) is counted,
+    WARN-logged, and lands in the quarantine side table — never
+    silently dropped (reference skip-but-LOG semantics,
+    run_transformer_batch_prediction.py:70-72)."""
+    import logging
+
+    from clinicaltransformerner_ray.stages.tagger import (
+        MentionTagger, read_quarantine)
+
+    qdir = str(tmp_path / "quarantine")
+    tagger = MentionTagger(alias_rows, quarantine_dir=qdir)
+    batch = pa.table({
+        "conv_id": pa.array(["c1", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        # binary column: .split on bytes raises inside featurize
+        "text": pa.array([b"\xff\xfegarbage", b"ok text"], pa.binary()),
+    })
+    with caplog.at_level(logging.WARNING,
+                         logger="clinicaltransformerner_ray.stages.tagger"):
+        tagger(batch)
+    assert tagger.n_failed == 2
+    assert any("quarantined" in r.message for r in caplog.records)
+    qt = pd.read_parquet(qdir)
+    assert len(qt) == 2
+    assert set(qt["conv_id"]) == {"c1", "c2"}
+    assert (qt["stage"] == "featurize").all()
+    assert qt["error"].str.len().gt(0).all()
+
+
+def test_tagger_no_quarantine_dir_still_counts(alias_rows, caplog):
+    """Without a quarantine_dir the failure is still counted and
+    logged (no side-table requirement for the default path)."""
+    import logging
+
+    from clinicaltransformerner_ray.stages.tagger import MentionTagger
+
+    tagger = MentionTagger(alias_rows)
+    batch = pa.table({
+        "conv_id": pa.array(["c9"], pa.string()),
+        "turn_idx": pa.array([3], pa.int32()),
+        "text": pa.array([b"\x00bad"], pa.binary()),
+    })
+    with caplog.at_level(logging.WARNING,
+                         logger="clinicaltransformerner_ray.stages.tagger"):
+        out = tagger(batch)
+    assert out.num_rows == 0
+    assert tagger.n_failed == 1
+    assert any("quarantined" in r.message for r in caplog.records)
