@@ -219,8 +219,10 @@ def _q_brat_format_rowsonly(sf_dir: str):
 
 
 def _q_multimodal_features_rowsonly(sf_dir: str):
-    """Binary media column -> feature vectors via the decode actor pool
-    (stubbed codec, real Arrow plumbing)."""
+    """Binary media column -> feature vectors via the decode actor pool.
+    REAL codecs: genuine WAV/BMP/PPM payloads synthesized from document
+    text are decoded (pure-Python, functions/codecs.py) into histogram /
+    RMS features; corrupt payloads surface as decode_ok=False rows."""
     import pyarrow.parquet as pq
 
     import ray.data as rd

@@ -84,11 +84,15 @@ def test_lineage_quarantines_failed_shard(ray_session, tmp_path):
     assert r2["skipped"] == 1 and r2["failed"] == 1
 
 
-def test_multimodal_decode_stub(ray_session):
+def test_multimodal_real_decode(ray_session):
+    """Genuine WAV/BMP/PPM bytes decode to features with fake=False;
+    corrupt payloads of a known container are quarantined per row
+    (decode_ok=False), and unknown containers stay behind the explicit
+    NotImplementedError codec boundary."""
     import ray.data as rd
 
     from clinicaltransformerner_ray.stages.multimodal import (
-        DecodeStub, extract_media_features, synth_media_table)
+        MediaDecoder, extract_media_features, synth_media_table)
 
     docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 100)
     media = synth_media_table(docs)
@@ -97,14 +101,63 @@ def test_multimodal_decode_stub(ray_session):
     df = feats.to_pandas()
     assert len(df) == 100
     assert all(len(v) == 32 for v in df["feature"])
-    assert df["decode_ok"].all()
-    # determinism: same payload -> same feature
-    one = DecodeStub(fake=True)(media.slice(0, 5))
-    two = DecodeStub(fake=True)(media.slice(0, 5))
-    assert one.to_pydict() == two.to_pydict()
-    # the stub boundary is explicit
+    # synth corrupts every 25th payload (media_id % 25 == 7)
+    bad = df["media_id"] % 25 == 7
+    assert (~df.loc[~bad, "decode_ok"]).sum() == 0
+    assert not df.loc[bad, "decode_ok"].any()
+    # real features: ok rows are non-trivial, corrupt rows are zeroed
+    ok_feats = df.loc[~bad, "feature"]
+    assert all(max(v) > 0 for v in ok_feats)
+    assert all(max(v) == 0 for v in df.loc[bad, "feature"])
+    # determinism: same payload -> same feature (real and fake paths)
+    for fake in (False, True):
+        one = MediaDecoder(fake=fake)(media.slice(0, 5))
+        two = MediaDecoder(fake=fake)(media.slice(0, 5))
+        assert one.to_pydict() == two.to_pydict()
+    # the codec-library boundary is explicit for unknown containers
+    unknown = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "media_type": pa.array(["image"], pa.string()),
+        "payload": pa.array([b"\x89PNG\r\n\x1a\n fake"], pa.binary()),
+        "meta_width": pa.array([0], pa.int32()),
+        "meta_height": pa.array([0], pa.int32()),
+        "meta_sample_rate": pa.array([0], pa.int32()),
+    })
     with pytest.raises(NotImplementedError):
-        DecodeStub(fake=False)(media.slice(0, 1))
+        MediaDecoder(fake=False)(unknown)
+
+
+def test_codecs_round_trip():
+    """encode->decode identity for WAV/BMP/PPM, plus header edge cases."""
+    import numpy as np
+
+    from clinicaltransformerner_ray.functions import codecs
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)  # odd W: row pad
+    assert (codecs.decode_bmp(codecs.encode_bmp(img)) == img).all()
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+    # PPM with comments in the header
+    body = codecs.encode_ppm(img)
+    with_comment = b"P6\n# a comment line\n23 17\n255\n" + body.split(b"\n255\n", 1)[1]
+    assert (codecs.decode_ppm(with_comment) == img).all()
+    samples = np.sin(2 * np.pi * 440 * np.arange(4000) / 8000)
+    wav = codecs.encode_wav(samples, 8000)
+    out, rate = codecs.decode_wav(wav)
+    assert rate == 8000 and len(out) == 4000
+    assert np.abs(out - samples).max() < 1e-3  # 16-bit quantization
+    assert codecs.sniff(wav) == "wav"
+    assert codecs.sniff(codecs.encode_bmp(img)) == "bmp"
+    assert codecs.sniff(body) == "ppm"
+    assert codecs.sniff(b"GIF89a") == "unknown"
+    # truncation raises (becomes decode_ok=False upstream)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        codecs.decode_bmp(codecs.encode_bmp(img)[:30])
+    with _pytest.raises(Exception):
+        codecs.decode_ppm(body[: len(body) // 2])
+    with _pytest.raises(Exception):
+        codecs.decode_wav(wav[:20])
 
 
 def test_brat_and_bioc_formatters(ray_session):
