@@ -92,19 +92,71 @@ def knn_bruteforce(
         })
 
     partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
+    return _merge_topk(partials, k)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame({
-            "query_id": g["query_id"],
-            "neighbor_id": g["neighbor_id"],
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        })
 
-    return partials.groupby("query_id").map_groups(
-        final_topk, batch_format="pandas")
+def _merge_topk(partials: rd.Dataset, k: int) -> rd.Dataset:
+    """Distributed top-k-per-query merge in the engine's standard
+    combine/sort/combine shape — no ``groupby().map_groups`` (per-group
+    pandas calls serialize at high group counts), so ``n_queries`` can
+    be a table, not a constant: each batch keeps its local per-query
+    top-k (vectorized lexsort + group head), ONE sort on query_id
+    co-locates the survivors (equal keys never split), and a per-block
+    pass finalizes ranks.  Shuffle volume <= k rows per (query, batch).
+
+    Output: (query_id, neighbor_id, rank), rank 1-based by
+    (sim desc, neighbor_id asc)."""
+
+    empty_partial = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    })
+
+    def _topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-query top-k cut: global (query, sim desc,
+        neighbor asc) lexsort, then keep each query's first k rows."""
+        q = df["query_id"].to_numpy()
+        order = np.lexsort((df["neighbor_id"].to_numpy(),
+                            -df["sim"].to_numpy(), q))
+        df = df.iloc[order]
+        qs = df["query_id"].to_numpy()
+        new_q = np.empty(len(qs), dtype=bool)
+        new_q[0] = True
+        new_q[1:] = qs[1:] != qs[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(new_q, np.arange(len(qs)), 0))
+        rank = np.arange(len(qs)) - grp_start
+        out = df[rank < k].copy()
+        out["rank"] = (rank[rank < k] + 1).astype(np.int64)
+        return out
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return empty_partial
+        return pa.Table.from_pandas(
+            _topk_frame(df)[["query_id", "neighbor_id", "sim"]],
+            preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            })
+        out = _topk_frame(df)
+        return pa.Table.from_pandas(
+            out[["query_id", "neighbor_id", "rank"]], preserve_index=False)
+
+    return (
+        partials.map_batches(combine, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .sort("query_id")
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -258,16 +310,4 @@ def knn_ivf(
         })
 
     partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame({
-            "query_id": g["query_id"],
-            "neighbor_id": g["neighbor_id"],
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-        })
-
-    return partials.groupby("query_id").map_groups(
-        final_topk, batch_format="pandas")
+    return _merge_topk(partials, k)

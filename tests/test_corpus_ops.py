@@ -347,3 +347,39 @@ def test_dup_clusters_nonconvergence_is_loud(ray_session):
     assert any("did NOT converge" in m for m in records)
     with _pytest.raises(RuntimeError, match="did NOT converge"):
         D.dup_clusters(chain, max_iters=1, on_max_iters="raise").to_pandas()
+
+
+def test_ann_merge_scales_to_many_queries(ray_session):
+    """The top-k final merge is combine/sort/combine (no per-group
+    pandas machinery), so n_queries can be a table: 1000 queries over
+    2000 vectors must match a sequential numpy brute force exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import knn_bruteforce
+
+    rng = np.random.RandomState(42)
+    n, dim, nq, k = 2000, 16, 1000, 5
+    X = rng.randn(n, dim)
+    vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in X],
+                              pa.list_(pa.float64())),
+    })).repartition(8)
+    got = (knn_bruteforce(vecs, n_queries=nq, k=k).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # sequential reference
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn[:nq].T  # (n, nq)
+    rows = []
+    for q in range(nq):
+        s = sims[:, q].copy()
+        ids = np.arange(n)
+        mask = ids != q
+        order = np.lexsort((ids[mask], -s[mask]))[:k]
+        for r, idx in enumerate(order, 1):
+            rows.append((q, int(ids[mask][idx]), r))
+    import pandas as pd
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
