@@ -100,15 +100,30 @@ def _q_kg_turn_entities(sf_dir: str):
     )
 
 
-def _q_kg_mention_spans_rowsonly(sf_dir: str):
-    """Full mention table with char offsets (windowing/decode/span route);
-    offsets are checked against the sequential oracle in pytest, not SQL."""
+def _q_kg_mention_spans(sf_dir: str):
+    """Full mention table with char offsets (windowing/decode/span route).
+    Offsets index the whitespace-normalized turn text (runs -> single
+    space; single '\\n' keeps lengths equal so positions also index the
+    original).  Oracle: position-list SQL over the same normalization.
+    int32 key/offset columns are widened to int64 to match the BIGINT
+    casts on the SQL side."""
+    import pyarrow as pa
+
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
 
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
-    return detect_mentions(turns, alias_rows)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        for col in ("turn_idx", "ment_id", "start", "end"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, col, batch.column(col).cast(pa.int64()))
+        return batch
+
+    return detect_mentions(turns, alias_rows).map_batches(
+        widen, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -150,10 +165,11 @@ def _q_dedup_simhash_rowsonly(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
 
-def _q_dedup_clusters_rowsonly(sf_dir: str):
+def _q_dedup_clusters(sf_dir: str):
     """Connected components over exact n-gram near-dup pairs:
-    (doc_id, cluster_id = min doc of component).  Iterative min-label
-    propagation; verified against a sequential union-find in pytest."""
+    (doc_id, cluster_id = min doc of component).  Pointer-jumping
+    min-label propagation; oracle is a DuckDB recursive-CTE transitive
+    closure over the identical pair set (also ==union-find in pytest)."""
     from clinicaltransformerner_ray.pipelines.dedup import (
         dup_clusters, ngram_jaccard_pairs)
 
@@ -206,16 +222,27 @@ def _q_token_vocab(sf_dir: str):
     return token_vocab(_docs(sf_dir))
 
 
-def _q_brat_format_rowsonly(sf_dir: str):
-    """K2 brat writer over the mention table (per-doc T-id numbering +
-    newline discontinuous-offset repair); validated in pytest."""
+def _q_brat_format(sf_dir: str):
+    """K2 brat writer over the mention table (per-doc T-id numbering;
+    the M12 newline repair is pytest-covered — synth surfaces are
+    normalized so no discontinuous offsets occur here).  Oracle: the
+    span position SQL + string_agg of T lines ordered by offset."""
+    import pyarrow as pa
+
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions
     from clinicaltransformerner_ray.sinks.formatters import brat_annotations
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
 
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
-    return brat_annotations(detect_mentions(turns, alias_rows))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("turn_idx")
+        return batch.set_column(
+            i, "turn_idx", batch.column("turn_idx").cast(pa.int64()))
+
+    return brat_annotations(detect_mentions(turns, alias_rows)).map_batches(
+        widen, batch_format="pyarrow")
 
 
 def _q_multimodal_features_rowsonly(sf_dir: str):
@@ -235,9 +262,11 @@ def _q_multimodal_features_rowsonly(sf_dir: str):
     return extract_media_features(rd.from_arrow(synth_media_table(docs)))
 
 
-def _q_kg_resume_rowsonly(sf_dir: str):
+def _q_kg_resume(sf_dir: str):
     """Checkpoint-resume surface: shard-wise extraction with lineage,
-    triples recomputed from the checkpoint (north-rule resumability)."""
+    triples recomputed from the checkpoint (north-rule resumability).
+    The result is definitionally the kg_triples table, so it shares
+    that oracle — proving the checkpointed route loses nothing."""
     import hashlib
 
     from clinicaltransformerner_ray.pipelines.resume import (
@@ -288,7 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_triples": _q_kg_triples,
         "kg_turn_entities": _q_kg_turn_entities,
-        "kg_mention_spans_rowsonly": _q_kg_mention_spans_rowsonly,
+        "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
@@ -297,16 +326,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_rowsonly": _q_dedup_minhash_rowsonly,
         "dedup_simhash_rowsonly": _q_dedup_simhash_rowsonly,
         "dedup_embedding": _q_dedup_embedding,
-        "dedup_clusters_rowsonly": _q_dedup_clusters_rowsonly,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "ann_ivf_rowsonly": _q_ann_ivf_rowsonly,
         "kmeans_rowsonly": _q_kmeans_rowsonly,
         "text_stats": _q_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
-        "brat_format_rowsonly": _q_brat_format_rowsonly,
+        "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
-        "kg_resume_rowsonly": _q_kg_resume_rowsonly,
+        "kg_resume": _q_kg_resume,
     }
 
 
@@ -328,6 +357,53 @@ WITH t AS (
 )
 """
 
+# Char-offset variant of the mention CTE: for each (turn, alias) pair that
+# matches at all (cheap contains prefilter), enumerate every word-boundary
+# occurrence position in the whitespace-normalized text.  1-based padded
+# position i (pad = ' '||lower(norm)||' ') puts the alias at normalized
+# 0-based [i-1, i-1+len); surfaces slice the case-preserved normalized text.
+_SPAN_CTE = """
+WITH t AS (
+    SELECT conv_id, turn_idx,
+           regexp_replace(text, '\\s+', ' ', 'g') AS ntext,
+           ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS pad
+    FROM read_parquet('{turns}')
+), occ AS (
+    SELECT t.conv_id, t.turn_idx, t.ntext, a.alias, a.type,
+           unnest(list_filter(range(1, len(t.pad)), i ->
+               substr(t.pad, i, len(a.alias) + 2) = ' ' || a.alias || ' ')) AS i
+    FROM t JOIN read_parquet('{aliases}') a
+      ON contains(t.pad, ' ' || a.alias || ' ')
+)
+"""
+
+# Shared by dedup_ngram_jaccard / dedup_clusters: exact 3-gram shingle
+# Jaccard pairs at threshold 0.8 (posting-list self-join in SQL).
+_JACCARD_PAIRS_CTE = """
+d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(CASE
+        WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        ELSE list_transform(range(1, len(l) - 1),
+                            i -> l[i]||' '||l[i+1]||' '||l[i+2])
+        END)) AS s
+    FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a_id AS doc_a, b_id AS doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return oracle_sql_for(_ORACLE_SF_DIR)
@@ -336,6 +412,29 @@ def oracle_sql() -> dict[str, str]:
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     p = _paths(sf_dir)
     cte = _MENTION_CTE.format(turns=p["turns_sql"], aliases=p["aliases"])
+    span_cte = _SPAN_CTE.format(turns=p["turns_sql"], aliases=p["aliases"])
+    triples_sql = cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, 'co_occurs' AS pred, b.entity_id AS obj,
+                       a.conv_id, a.turn_idx
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), fo AS (
+                SELECT a.entity_id AS subj, 'follows' AS pred, b.entity_id AS obj,
+                       a.conv_id, a.turn_idx
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+                 AND a.entity_id <> b.entity_id
+            )
+            SELECT subj, pred, obj,
+                   CAST(COUNT(*) AS BIGINT) AS n_evidence,
+                   MIN(conv_id) AS first_conv_id,
+                   CAST(MIN(turn_idx) AS BIGINT) AS first_turn_idx
+            FROM (SELECT * FROM co UNION ALL SELECT * FROM fo)
+            GROUP BY subj, pred, obj
+        """
     return {
         "kg_mentions": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
@@ -370,30 +469,37 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    tot.n_mentions, tot.n_surfaces
             FROM tot JOIN ranked r ON r.entity_id = tot.entity_id AND r.rk = 1
         """,
-        "kg_triples": cte + """
-            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm)
-            , co AS (
-                SELECT a.entity_id AS subj, 'co_occurs' AS pred, b.entity_id AS obj,
-                       a.conv_id, a.turn_idx
-                FROM te a JOIN te b
-                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
-                 AND a.entity_id < b.entity_id
-            ), fo AS (
-                SELECT a.entity_id AS subj, 'follows' AS pred, b.entity_id AS obj,
-                       a.conv_id, a.turn_idx
-                FROM te a JOIN te b
-                  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
-                 AND a.entity_id <> b.entity_id
-            )
-            SELECT subj, pred, obj,
-                   CAST(COUNT(*) AS BIGINT) AS n_evidence,
-                   MIN(conv_id) AS first_conv_id,
-                   CAST(MIN(turn_idx) AS BIGINT) AS first_turn_idx
-            FROM (SELECT * FROM co UNION ALL SELECT * FROM fo)
-            GROUP BY subj, pred, obj
-        """,
+        "kg_triples": triples_sql,
+        "kg_resume": triples_sql,
         "kg_turn_entities": cte + """
             SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm
+        """,
+        "kg_mention_spans": span_cte + """
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY i) - 1 AS BIGINT) AS ment_id,
+                   substr(ntext, CAST(i AS INT), len(alias)) AS surface,
+                   alias AS surface_norm,
+                   CAST(i - 1 AS BIGINT) AS start,
+                   CAST(i - 1 + len(alias) AS BIGINT) AS "end",
+                   type
+            FROM occ
+        """,
+        "brat_format": span_cte + """
+            , numbered AS (
+                SELECT conv_id, turn_idx,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY i) AS tn,
+                       type, i - 1 AS s, i - 1 + len(alias) AS e,
+                       substr(ntext, CAST(i AS INT), len(alias)) AS surface
+                FROM occ
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   string_agg('T' || tn || chr(9) || type || ' ' || s || ' '
+                              || e || chr(9) || surface || chr(10),
+                              '' ORDER BY tn) AS ann
+            FROM numbered
+            GROUP BY conv_id, turn_idx
         """,
         "events_windowed": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,
@@ -429,29 +535,28 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY text
         """,
-        "dedup_ngram_jaccard": """
-            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
-                       FROM documents),
-            sh AS (
-                SELECT doc_id, unnest(list_distinct(CASE
-                    WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
-                    ELSE list_transform(range(1, len(l) - 1),
-                                        i -> l[i]||' '||l[i+1]||' '||l[i+2])
-                    END)) AS s
-                FROM d
-            ),
-            sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
+        "dedup_ngram_jaccard": "WITH " + _JACCARD_PAIRS_CTE + """
+            , scored AS (
+                SELECT a_id AS doc_a, b_id AS doc_b,
+                       CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = a_id
+                JOIN sizes sb ON sb.doc_id = b_id
             )
-            SELECT a_id AS doc_a, b_id AS doc_b,
-                   CAST(i AS DOUBLE) / (sa.c + sb.c - i) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a_id
-            JOIN sizes sb ON sb.doc_id = b_id
-            WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
+            SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+        """,
+        "dedup_clusters": "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """
+            , edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY u
         """,
         "dedup_embedding": """
             WITH unn AS (

@@ -176,7 +176,7 @@ def test_dup_clusters_matches_union_find(ray_session):
     assert pairs
     want = _union_find_clusters(pairs)
     got = {r.doc_id: r.cluster_id
-           for r in E.queries()["dedup_clusters_rowsonly"](SF)
+           for r in E.queries()["dedup_clusters"](SF)
            .to_pandas().itertuples()}
     assert got == want
 
