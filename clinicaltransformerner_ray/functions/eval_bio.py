@@ -63,6 +63,18 @@ def _relax_match(gs, pred, s, e, cate) -> bool:
     return False
 
 
+def load_exclude_tags(path: str) -> set[str]:
+    """Tags-not-for-eval file: one tag per line, stripped, lowercased.
+    The reference reads the file raw (`new_bio_eval.py:356-362`) but every
+    consumer lowercases before comparing (`bio_prf_eval.py:101-103`,
+    `brat_eval.py:491-496`), and :func:`eval_sentence_pair` matches against
+    lowercased labels — so lowercasing here IS the effective reference
+    behavior.  Feed the result to ``eval_sentence_pair(excluded=...)`` /
+    ``sources.brat.read_brat(tags_to_exclude=...)``."""
+    with open(path) as f:
+        return {ln.strip().lower() for ln in f if ln.strip()}
+
+
 def eval_sentence_pair(
     gs_labels: list[str],
     pred_labels: list[str],

@@ -120,12 +120,13 @@ class MockSentencePieceTokenizer(MockBPETokenizer):
 def tokenizer_for_family(name: str):
     """T1 registry: family name -> mock tokenizer instance (the analog
     of MODEL_CLASSES, `src/transformer_ner/task.py:53-66`)."""
-    if name in ("bert", "albert"):  # albert is sentencepiece in HF, but
-        # its framing (not its piece marks) is what the engine models;
-        # wordpiece marks keep id-space overlap with bert for tests
+    if name == "bert":
         return MockWordpieceTokenizer()
     if name == "roberta":
         return MockBPETokenizer()
-    if name == "xlnet":
+    if name in ("xlnet", "albert"):
+        # both are sentencepiece in HF: word-initial `▁` mark, partial
+        # token = missing mark (task.py:168-172).  albert keeps BERT
+        # framing (CLS/SEP, post-pad) — only the piece convention differs.
         return MockSentencePieceTokenizer()
     raise ValueError(f"unknown tokenizer family: {name}")

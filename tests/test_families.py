@@ -108,6 +108,21 @@ def test_partial_token_conventions():
     assert sp.is_continuation(sp.tokenize("warfarin")[1])
 
 
+def test_albert_is_sentencepiece():
+    """M19 fidelity: albert routes to the sentencepiece mock (HF albert
+    uses `▁` word-initial marks, `src/transformer_ner/task.py:168-172`)
+    while keeping BERT framing (CLS/SEP, post-pad) in its strategy."""
+    alb = tokenizer_for_family("albert")
+    assert isinstance(alb, MockSentencePieceTokenizer)
+    pieces = alb.tokenize("warfarin")
+    assert pieces[0].startswith("▁")
+    assert not any(p.startswith("▁") for p in pieces[1:])
+    assert not alb.is_continuation(pieces[0])
+    assert all(alb.is_continuation(p) for p in pieces[1:])
+    fam = FAMILIES["albert"]
+    assert (fam.start_tok, fam.end_tok, fam.pre_pad) == ("[CLS]", "[SEP]", False)
+
+
 def test_model_input_projection_per_family():
     """M5: roberta-style families drop token_type_ids
     (data_utils.py:392-409)."""

@@ -18,6 +18,7 @@ from clinicaltransformerner_ray.functions.decode import (
 from clinicaltransformerner_ray.functions.eval_bio import (
     counts,
     eval_sentence_pair,
+    load_exclude_tags,
     merge_counters,
     performance,
 )
@@ -209,6 +210,24 @@ def test_eval_against_reference_structure():
     c = counts(merged)
     assert set(c["prediction"]["strict"].keys()) == {"xx", "yy", "overall"}
     assert c["expect"]["overall"] == 6
+
+
+def test_load_exclude_tags_file_plumbing(tmp_path):
+    """Exclusion list from FILE (new_bio_eval.py:356-368): one tag per
+    line, lowercased at the consumer boundary (bio_prf_eval.py:101-103),
+    excluded categories drop out of the counters entirely."""
+    f = tmp_path / "not_for_eval.txt"
+    f.write_text("B-MISC\nI-MISC\n\n  B-PER  \nI-PER\n")
+    excl = load_exclude_tags(str(f))
+    assert excl == {"b-misc", "i-misc", "b-per", "i-per"}
+    gold = [["B-MISC", "I-MISC", "O", "B-PER", "O", "B-LOC"]]
+    pred = [["B-MISC", "I-MISC", "O", "B-PER", "O", "B-LOC"]]
+    merged = merge_counters(
+        [eval_sentence_pair(g, p, excluded=excl | {"o"}) for g, p in zip(gold, pred)]
+    )
+    c = counts(merged)
+    assert c["expect"]["overall"] == 1  # only LOC survives
+    assert set(c["expect"]) == {"overall", "loc"}
 
 
 def test_argmax_decode_matches_plain_argmax():
