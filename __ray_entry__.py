@@ -153,13 +153,22 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8)
 
 
-def _q_dedup_minhash_rowsonly(sf_dir: str):
+def _q_dedup_minhash(sf_dir: str):
+    """64-perm MinHash + 16-band LSH near-dup pairs.  Oracle-checked:
+    `_hash64` is md5-derived (== DuckDB `md5_number_upper`), the
+    permutation params are deterministic, and est_jaccard = k/64 is
+    exact in binary — so the SQL replica reproduces the Ray output
+    bit-for-bit, banding and all."""
     from clinicaltransformerner_ray.pipelines.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(sf_dir), n=3, threshold=0.8)
 
 
-def _q_dedup_simhash_rowsonly(sf_dir: str):
+def _q_dedup_simhash(sf_dir: str):
+    """SimHash pairs at Hamming <= 3 via 16-bit-chunk pigeonhole banding.
+    Oracle-checked: the md5-derived token hashes, the signed bit-vote and
+    the popcount are all exactly replicated in SQL (`md5_number_upper`,
+    per-bit aggregation, `bit_count(xor(...))`)."""
     from clinicaltransformerner_ray.pipelines.dedup import simhash_pairs
 
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
@@ -323,8 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_rowsonly": _q_dedup_minhash_rowsonly,
-        "dedup_simhash_rowsonly": _q_dedup_simhash_rowsonly,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
@@ -403,6 +412,101 @@ pairs AS (
     WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8
 )
 """
+
+
+# MinHash oracle: exact SQL replica of `dedup.minhash_lsh_pairs`.
+# `_hash64` == DuckDB `md5_number_upper` (first 8 md5 bytes, little-endian;
+# verified empirically), the 64 (a, b) permutation params are baked into a
+# VALUES list (deterministic seed), and the uint64 wraparound of
+# `(h*a + b) % p` is replicated in HUGEINT via explicit `% 2^64` steps.
+# est_jaccard = k/64 is exact in both engines (power-of-two divisor).
+_MINHASH_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(CASE
+        WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        ELSE list_transform(range(1, len(l) - 1),
+                            i -> l[i]||' '||l[i+1]||' '||l[i+2])
+        END)) AS s
+    FROM d
+),
+hs AS (SELECT doc_id, md5_number_upper(s) AS h FROM sh),
+perms(p, a, b) AS (VALUES {perm_vals}),
+sig AS (
+    SELECT doc_id, p,
+           MIN(((h::HUGEINT * a) % 18446744073709551616 + b)
+               % 18446744073709551616 % 2305843009213693951) AS s
+    FROM hs CROSS JOIN perms GROUP BY doc_id, p
+),
+bands AS (
+    SELECT doc_id, p // 4 AS band,
+           string_agg(s::VARCHAR, ',' ORDER BY p) AS bs
+    FROM sig GROUP BY doc_id, p // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(count_if(sa.s = sb.s) AS DOUBLE) / 64.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+    GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       est_jaccard
+FROM est WHERE est_jaccard >= 0.8
+"""
+
+
+# SimHash oracle: exact SQL replica of `dedup.simhash_pairs` /
+# `dedup._simhash`.  Per-token md5-derived 64-bit hashes, a signed
+# count-weighted vote per bit position, sign -> bit, 4x16-bit pigeonhole
+# chunk candidates, `bit_count(xor(...))` Hamming filter.
+_SIMHASH_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+tc AS (SELECT doc_id, md5_number_upper(tok) AS h, count(*) AS c
+       FROM tok GROUP BY doc_id, tok),
+pos(p) AS (SELECT unnest(range(0, 64))),
+bits AS (
+    SELECT doc_id, p,
+           CASE WHEN SUM((2 * CAST((h >> p) & 1 AS BIGINT) - 1) * c) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM tc CROSS JOIN pos GROUP BY doc_id, p
+),
+sigv AS (
+    SELECT doc_id,
+           CAST(SUM(bit::HUGEINT * (1::HUGEINT << p)) AS UBIGINT) AS sig
+    FROM bits GROUP BY doc_id
+),
+chunks AS (
+    SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS chunk
+    FROM sigv CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+                    b.doc_id AS doc_b, b.sig AS sig_b
+    FROM chunks a JOIN chunks b
+      ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+def _minhash_perm_values() -> str:
+    from clinicaltransformerner_ray.pipelines.dedup import _minhash_params
+
+    A, B = _minhash_params()
+    return ", ".join(f"({i}, {int(a)}, {int(b)})"
+                     for i, (a, b) in enumerate(zip(A, B)))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -545,6 +649,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
         """,
+        "dedup_minhash": _MINHASH_SQL.format(perm_vals=_minhash_perm_values()),
+        "dedup_simhash": _SIMHASH_SQL,
         "dedup_clusters": "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """
             , edges AS (
                 SELECT doc_a AS u, doc_b AS v FROM pairs
