@@ -198,15 +198,24 @@ def _q_ann_topk(sf_dir: str):
     return knn_bruteforce(_vecs(sf_dir), n_queries=8, k=10)
 
 
-def _q_ann_ivf_rowsonly(sf_dir: str):
+def _q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k.  Oracle-checked: the init
+    centroids (`vec_id % 16` normalized group means), the bucket argmax,
+    the 4-probe selection and the (sim DESC, neighbor ASC) rank are all
+    deterministic and replicated in SQL — approximate vs brute force,
+    but exactly reproducible."""
     from clinicaltransformerner_ray.pipelines.similarity import knn_ivf
 
     return knn_ivf(_vecs(sf_dir), n_queries=8, k=10)
 
 
-def _q_kmeans_rowsonly(sf_dir: str):
+def _q_kmeans(sf_dir: str):
     """Spherical k-means assignments (deterministic Lloyd's, 5 iters);
-    verified against a sequential numpy replica in pytest."""
+    ==numpy-replica in pytest AND oracle-checked: the fixed iteration
+    count unrolls into chained SQL CTEs (`_kmeans_sql`), and the synth
+    clusters are separated far beyond float accumulation noise, so the
+    integer assignments agree exactly.  numpy's early convergence break
+    is a fixed point — the SQL's extra iterations leave C unchanged."""
     from clinicaltransformerner_ray.pipelines.similarity import kmeans
 
     _, assignments = kmeans(_vecs(sf_dir), k=16, iters=5)
@@ -337,8 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
-        "ann_ivf_rowsonly": _q_ann_ivf_rowsonly,
-        "kmeans_rowsonly": _q_kmeans_rowsonly,
+        "ann_ivf": _q_ann_ivf,
+        "kmeans": _q_kmeans,
         "text_stats": _q_text_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
@@ -501,6 +510,127 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
 
 
+# IVF oracle: exact SQL replica of `similarity.knn_ivf` — build_centroids'
+# deterministic init (vec_id % 16 normalized group means), per-vector
+# bucket argmax, top-4 probe centroids per query, and the (sim DESC,
+# neighbor ASC) top-10 rank.  Approximate relative to brute force, but
+# bitwise reproducible.
+_IVF_SQL = """
+WITH unn AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norm AS (
+    SELECT vec_id, i,
+           v / sqrt(SUM(v * v) OVER (PARTITION BY vec_id)) AS v
+    FROM unn
+),
+init AS (
+    SELECT vec_id % 16 AS c, i, SUM(v) / COUNT(*) AS w
+    FROM norm GROUP BY vec_id % 16, i
+),
+c0 AS (
+    SELECT c, i, w / sqrt(SUM(w * w) OVER (PARTITION BY c)) AS w
+    FROM init
+),
+vdots AS (
+    SELECT n.vec_id, c.c, SUM(n.v * c.w) AS dot
+    FROM norm n JOIN c0 c USING (i) GROUP BY n.vec_id, c.c
+),
+buckets AS (
+    SELECT vec_id, c AS bucket FROM (
+        SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rk
+        FROM vdots) WHERE rk = 1
+),
+qprobe AS (
+    SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rk
+        FROM vdots WHERE vec_id < 8) WHERE rk <= 4
+),
+cand AS (
+    SELECT p.query_id, b.vec_id AS neighbor_id
+    FROM qprobe p JOIN buckets b ON b.bucket = p.c
+    WHERE b.vec_id <> p.query_id
+),
+sims AS (
+    SELECT c.query_id, c.neighbor_id, SUM(nq.v * nn.v) AS sim
+    FROM cand c
+    JOIN norm nq ON nq.vec_id = c.query_id
+    JOIN norm nn ON nn.vec_id = c.neighbor_id AND nn.i = nq.i
+    GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+    FROM sims) WHERE rk <= 10
+"""
+
+
+def _kmeans_sql(k: int = 16, iters: int = 5) -> str:
+    """Exact SQL replica of `similarity.kmeans`: L2-normalize rows,
+    init centroids by `vec_id % k` group means, then `iters` unrolled
+    Lloyd's steps (assign by max dot with lowest-index tie-break ==
+    numpy argmax; per-centroid normalized means; empty centroids keep
+    their previous position via the LEFT JOIN COALESCE).  Float sums
+    accumulate in different orders than BLAS, but the output is the
+    integer assignment — exact as long as no vector sits within float
+    noise of two centroids (the synth's separated clusters guarantee
+    margins ~1e-1 vs noise ~1e-14)."""
+    parts = ["""
+WITH unn AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norm AS (
+    SELECT vec_id, i,
+           v / sqrt(SUM(v * v) OVER (PARTITION BY vec_id)) AS v
+    FROM unn
+),
+init AS (
+    SELECT vec_id % {k} AS c, i, SUM(v) / COUNT(*) AS w
+    FROM norm GROUP BY vec_id % {k}, i
+),
+c0 AS (
+    SELECT c, i, w / sqrt(SUM(w * w) OVER (PARTITION BY c)) AS w
+    FROM init
+)""".format(k=k)]
+    for t in range(iters):
+        parts.append("""
+, d{t} AS (
+    SELECT n.vec_id, c.c, SUM(n.v * c.w) AS dot
+    FROM norm n JOIN c{t} c USING (i) GROUP BY n.vec_id, c.c
+), a{t} AS (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rk
+        FROM d{t}) WHERE rk = 1
+), m{t} AS (
+    SELECT a.c, n.i, SUM(n.v) / COUNT(*) AS w
+    FROM a{t} a JOIN norm n USING (vec_id) GROUP BY a.c, n.i
+), mn{t} AS (
+    SELECT c, i, w / sqrt(SUM(w * w) OVER (PARTITION BY c)) AS w
+    FROM m{t}
+), c{t1} AS (
+    SELECT p.c, p.i, COALESCE(m.w, p.w) AS w
+    FROM c{t} p LEFT JOIN mn{t} m ON m.c = p.c AND m.i = p.i
+)""".format(t=t, t1=t + 1))
+    parts.append("""
+, df AS (
+    SELECT n.vec_id, c.c, SUM(n.v * c.w) AS dot
+    FROM norm n JOIN c{it} c USING (i) GROUP BY n.vec_id, c.c
+)
+SELECT vec_id, CAST(c AS BIGINT) AS centroid FROM (
+    SELECT vec_id, c, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rk
+    FROM df) WHERE rk = 1
+""".format(it=iters))
+    return "".join(parts)
+
+
 def _minhash_perm_values() -> str:
     from clinicaltransformerner_ray.pipelines.dedup import _minhash_params
 
@@ -651,6 +781,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         "dedup_minhash": _MINHASH_SQL.format(perm_vals=_minhash_perm_values()),
         "dedup_simhash": _SIMHASH_SQL,
+        "kmeans": _kmeans_sql(16, 5),
+        "ann_ivf": _IVF_SQL,
         "dedup_clusters": "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """
             , edges AS (
                 SELECT doc_a AS u, doc_b AS v FROM pairs
