@@ -46,27 +46,41 @@ def doc_stats(docs: rd.Dataset) -> rd.Dataset:
     the n-gram-free language-ID heuristic ('en' iff any stopword hit)."""
 
     def stats(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        n_tok, n_uniq, n_stop, tok_chars = [], [], [], []
-        for t in texts:
-            toks = (t or "").split(" ")
-            n_tok.append(len(toks))
-            n_uniq.append(len(set(toks)))
-            n_stop.append(sum(1 for w in toks if w in STOPWORDS))
-            tok_chars.append(sum(len(w) for w in toks))
-        n_tok = np.asarray(n_tok, dtype=np.int64)
-        n_stop = np.asarray(n_stop, dtype=np.int64)
-        tok_chars = np.asarray(tok_chars, dtype=np.int64)
-        denom = np.maximum(n_tok, 1)
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch.column("text"), "")
+        # `"".split(" ") == [""]` -> every doc has spaces+1 tokens, and
+        # token chars = chars - spaces; both are single Arrow kernels.
+        n_spaces = pc.cast(pc.count_substring(text, " "), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tok = pc.add(n_spaces, 1)
+        tok_chars = pc.subtract(n_chars, n_spaces)
+        # uniques + stopword hits need per-token identity: one explode,
+        # then C++ grouped aggregation (every row has >= 1 token, so the
+        # group keys cover 0..n-1; sort restores positional alignment).
+        toks = pc.split_pattern(text, " ")
+        flat = pa.table({
+            "i": pc.list_parent_indices(toks),
+            "tok": pc.list_flatten(toks),
+        })
+        flat = flat.append_column(
+            "is_stop", pc.cast(pc.is_in(flat.column("tok"),
+                                        value_set=pa.array(STOPWORDS)),
+                               pa.int64()))
+        agg = (flat.group_by("i")
+               .aggregate([("tok", "count_distinct"), ("is_stop", "sum")])
+               .sort_by("i"))
+        n_uniq = agg.column("tok_count_distinct")
+        n_stop = agg.column("is_stop_sum")
+        denom = np.maximum(n_tok.to_numpy(), 1)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
-            "stop_ratio": pa.array(n_stop / denom, pa.float64()),
-            "mean_tok_len": pa.array(tok_chars / denom, pa.float64()),
-            "lang_pred": pa.array(
-                ["en" if s > 0 else "unk" for s in n_stop], pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tok,
+            "n_uniq_tokens": pc.cast(n_uniq, pa.int64()),
+            "stop_ratio": pa.array(n_stop.to_numpy() / denom, pa.float64()),
+            "mean_tok_len": pa.array(tok_chars.to_numpy() / denom,
+                                     pa.float64()),
+            "lang_pred": pc.if_else(pc.greater(n_stop, 0), "en", "unk"),
         })
 
     return docs.map_batches(stats, batch_format="pyarrow")

@@ -27,7 +27,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_CHECKED = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
-    "ann_topk", "text_stats", "doc_fingerprint", "token_vocab",
+    "dedup_minhash", "dedup_simhash",
+    "ann_topk", "ann_ivf", "kmeans",
+    "text_stats", "doc_fingerprint", "token_vocab",
 ]
 
 
