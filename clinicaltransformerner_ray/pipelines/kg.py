@@ -518,6 +518,28 @@ def emit_triples(
                                  triple_combine)
 
 
+#: linked-path auto-select threshold: turns parquet under this size can
+#: pin its linked reduction in the object store comfortably (the linked
+#: table is the same order of magnitude as the input); above it, the
+#: worker-side parquet checkpoint avoids object-store pressure — the
+#: effect measured in SCALING_r03.json's 32-CPU leg.
+AUTO_MATERIALIZE_MAX_BYTES = 256 << 20
+
+
+def _turns_bytes(sf_dir: str) -> int:
+    """On-disk size of the turns parquet (file or sharded dir) — a free
+    os.stat proxy for input scale, no Ray op."""
+    import os
+
+    from clinicaltransformerner_ray.synth import ensure_synth
+
+    p = ensure_synth(sf_dir)["turns"]
+    if os.path.isdir(p):
+        return sum(e.stat().st_size for e in os.scandir(p)
+                   if e.is_file())
+    return os.path.getsize(p)
+
+
 def kg_pipeline(
     sf_dir: str,
     *,
@@ -543,7 +565,12 @@ def kg_pipeline(
       version is pipelines/resume.py + state/lineage.py);
     - ``materialize_linked=True`` pins it in the object store — the
       explicit small-input fast path for single-job runs where the
-      reduction comfortably fits."""
+      reduction comfortably fits.
+
+    When NEITHER knob is set, the path is auto-selected from the input
+    parquet's on-disk size (an os.stat sum — free, no Ray op): inputs
+    under ``AUTO_MATERIALIZE_MAX_BYTES`` take the object-store fast
+    path, larger inputs the checkpoint path."""
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
     mentions = detect_mentions(
@@ -554,12 +581,14 @@ def kg_pipeline(
     )
     linked = link_mentions(mentions, alias_rows)
     if linked_checkpoint_dir is None and not materialize_linked:
-        # scale-safe default: parquet checkpoint in a run-scoped temp
-        # dir (callers wanting the object-store fast path opt in with
-        # materialize_linked=True)
-        import tempfile
+        if _turns_bytes(sf_dir) <= AUTO_MATERIALIZE_MAX_BYTES:
+            materialize_linked = True
+        else:
+            # scale-safe default: parquet checkpoint in a run-scoped
+            # temp dir
+            import tempfile
 
-        linked_checkpoint_dir = tempfile.mkdtemp(prefix="kg_linked_")
+            linked_checkpoint_dir = tempfile.mkdtemp(prefix="kg_linked_")
     if linked_checkpoint_dir is not None:
         linked.write_parquet(linked_checkpoint_dir)
         linked = rd.read_parquet(linked_checkpoint_dir)

@@ -135,6 +135,21 @@ def test_parquet_checkpoint_variant_matches(ray_session, kg_out, tmp_path):
         base.sort_values(key).reset_index(drop=True))
 
 
+def test_linked_path_auto_select():
+    """With neither knob set, kg_pipeline picks the linked-table cache
+    strategy from the turns parquet's on-disk size: small inputs get
+    the object-store fast path, large ones the parquet checkpoint
+    (both paths are output-identical per the test above)."""
+    from clinicaltransformerner_ray.pipelines.kg import (
+        AUTO_MATERIALIZE_MAX_BYTES, _turns_bytes)
+
+    small = _turns_bytes(SF)
+    assert 0 < small <= AUTO_MATERIALIZE_MAX_BYTES
+    # threshold sits well above every test fixture but far below the
+    # 10M-turn scaling input (~1 GB), which must keep checkpointing
+    assert AUTO_MATERIALIZE_MAX_BYTES < 1_000_000_000
+
+
 def test_vectorized_decode_equals_reference_walk(alias_rows, synth_paths):
     """MentionTagger fast path (boolean-mask decode) == the sequential
     guard-walk decode (task.py:406-429 semantics) on real turns."""
