@@ -228,6 +228,16 @@ def _q_text_stats(sf_dir: str):
     return doc_stats(_docs(sf_dir))
 
 
+def _q_corpus_curate(sf_dir: str):
+    """The composed training-data cleanup pass: quality gate (lang-ID +
+    min token count) + keep-one exact dedup + shape columns, one
+    shuffle.  Oracle-checked (ratios divide int64 counts in float64 on
+    both sides)."""
+    from clinicaltransformerner_ray.pipelines.textstats import curate_corpus
+
+    return curate_corpus(_docs(sf_dir), min_tokens=15, require_lang="en")
+
+
 def _q_doc_fingerprint(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.textstats import doc_fingerprints
 
@@ -349,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "kmeans": _q_kmeans,
         "text_stats": _q_text_stats,
+        "corpus_curate": _q_corpus_curate,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
         "brat_format": _q_brat_format,
@@ -864,6 +875,31 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS mean_tok_len,
                    CASE WHEN n_stop > 0 THEN 'en' ELSE 'unk' END AS lang_pred
             FROM c
+        """,
+        "corpus_curate": """
+            WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l
+                       FROM documents),
+            c AS (
+                SELECT doc_id, text,
+                       CAST(len(l) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(l)) AS BIGINT)
+                           AS n_uniq_tokens,
+                       CAST(len(list_filter(l, x -> x IN ('a','the')))
+                            AS BIGINT) AS n_stop,
+                       CAST(len(replace(text, ' ', '')) AS BIGINT)
+                           AS tok_chars
+                FROM d
+            ),
+            q AS (SELECT * FROM c WHERE n_stop > 0 AND n_tokens >= 15)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   min(n_tokens) AS n_tokens,
+                   min(n_uniq_tokens) AS n_uniq_tokens,
+                   CAST(min(n_stop) AS DOUBLE)
+                       / greatest(min(n_tokens), 1) AS stop_ratio,
+                   CAST(min(tok_chars) AS DOUBLE)
+                       / greatest(min(n_tokens), 1) AS mean_tok_len,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM q GROUP BY text
         """,
         "doc_fingerprint": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS l

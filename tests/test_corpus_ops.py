@@ -29,7 +29,7 @@ SQL_CHECKED = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
     "dedup_minhash", "dedup_simhash",
     "ann_topk", "ann_ivf", "kmeans",
-    "text_stats", "doc_fingerprint", "token_vocab",
+    "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
 ]
 
 
@@ -43,6 +43,32 @@ def test_oracle_parity(ray_session, con, name):
     assert list(a.columns) == list(b.columns), name
     assert len(a) == len(b), name
     pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
+
+
+def test_curate_corpus_dedup_and_gate(ray_session):
+    """curate_corpus keeps exactly one copy per surviving identical-text
+    group (min doc_id, n_copies counts the group) and drops every doc
+    failing the quality gate — planted duplicates + planted failures."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import curate_corpus
+
+    good = "the cat sat on a mat with a hat and a bat near the door"
+    short = "the a end"                       # fails min_tokens
+    unk = " ".join(["tok%d" % i for i in range(20)])  # no stopwords
+    tbl = pa.table({
+        "doc_id": pa.array([5, 1, 3, 2, 4, 6], pa.int64()),
+        "text": pa.array([good, good, good, short, unk, good + " extra"]),
+    })
+    out = (curate_corpus(rd.from_arrow(tbl), min_tokens=5,
+                         require_lang="en")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # survivors: the `good` trio deduped to doc 1 (n_copies=3) and doc 6
+    assert out["doc_id"].tolist() == [1, 6]
+    assert out.loc[0, "n_copies"] == 3
+    assert out.loc[1, "n_copies"] == 1
+    assert (out["n_tokens"] >= 5).all()
 
 
 def test_minhash_recall_vs_exact(ray_session):
