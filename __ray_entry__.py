@@ -141,6 +141,21 @@ def _vecs(sf_dir: str):
     return read_embeddings(sf_dir)
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of join (purchase -> most recent prior click per user) —
+    the custom-operator family's range-join representative.  Oracle
+    is a windowed IGNORE NULLS carry with the identical strict
+    (ts, event_id) tie rule."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import asof_join_events
+
+    return asof_join_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -349,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -774,6 +790,29 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts
             FROM numbered GROUP BY user_id, session_idx
+        """,
+        "events_asof": """
+            WITH e AS (
+                SELECT event_id, user_id, ts, event_type,
+                       CASE WHEN event_type = 'click' THEN event_id END
+                           AS cid,
+                       CASE WHEN event_type = 'click' THEN ts END AS cts
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            f AS (
+                SELECT *,
+                       last_value(cid IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS asof_event_id,
+                       last_value(cts IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS asof_ts
+                FROM e
+            )
+            SELECT event_id, user_id, ts, asof_event_id, asof_ts
+            FROM f WHERE event_type = 'purchase'
         """,
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,

@@ -9,6 +9,10 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
                     new session — the canonical stateful scan, expressed
                     as one sort on user_id (equal keys arrive whole per
                     block) + a vectorized per-block pass
+  asof_join_events  as-of join (attribution): each purchase gets the
+                    most recent strictly-prior click of the same user —
+                    type filter before the shuffle, the same
+                    sort-on-user + vectorized forward-carry shape
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
 lands in one block.  `sessionize_salted` is the 100 TB path: the sort
@@ -238,3 +242,78 @@ def sessionize_salted(
     # composite key before chaining.
     return local.sort("user_id").map_batches(
         stitch, batch_format="pyarrow", batch_size=None)
+
+
+def asof_join_events(
+    events: rd.Dataset,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> rd.Dataset:
+    """As-of join within the event stream (attribution): for every
+    ``right_type`` event, attach the most recent ``left_type`` event of
+    the same user STRICTLY EARLIER in ``(ts, event_id)`` order (an
+    equal-ts left event with a smaller event_id counts; NULLs when no
+    prior left event exists).
+
+    Output: (event_id, user_id, ts, asof_event_id, asof_ts).
+
+    Shape: a column-pruning type filter runs BEFORE the shuffle (only
+    the two joined types move), then one sort on user_id alone — equal
+    keys never split across blocks (the repo's range-partitioner rule),
+    so the per-block forward-carry sees each user's full history.  The
+    carry itself is vectorized: left rows mark their positional index,
+    a grouped cummax propagates the latest one, and right rows gather
+    through it.  Partitioning assumption: one user's click+purchase
+    rows fit a block; for pathologically hot users, bucket-salt with
+    boundary ghosts exactly as `sessionize_salted` does (the ghost
+    would carry the youngest pre-boundary left event instead of a
+    session aggregate).
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        return batch.filter(keep).select(
+            ["event_id", "user_id", "ts", "event_type"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "asof_event_id": pd.Series(dtype="Int64"),
+            "asof_ts": pd.Series(dtype="datetime64[us]"),
+        })
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        ids = df["event_id"].to_numpy()
+        is_left = (df["event_type"] == left_type).to_numpy()
+        # latest left position carried forward per user; a right row's
+        # cummax can never include itself (it is not a left row), so
+        # the carry is strictly prior in sort order
+        marker = np.where(is_left, np.arange(len(df)), -1)
+        carried = (pd.Series(marker)
+                   .groupby(df["user_id"].to_numpy()).cummax()
+                   .to_numpy())
+        right = (df["event_type"] == right_type).to_numpy()
+        src = carried[right]
+        valid = src >= 0
+        gather = np.maximum(src, 0)
+        out = df.loc[right, ["event_id", "user_id", "ts"]].copy()
+        out["asof_event_id"] = pd.array(
+            np.where(valid, ids[gather], 0), dtype="Int64")
+        out.loc[~valid, "asof_event_id"] = pd.NA
+        asof_ts = pd.Series(df["ts"].to_numpy()[gather], index=out.index)
+        asof_ts[~valid] = pd.NaT
+        out["asof_ts"] = asof_ts
+        return pa.Table.from_pandas(out[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    return (events.map_batches(project, batch_format="pyarrow")
+            .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))

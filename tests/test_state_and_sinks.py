@@ -280,6 +280,42 @@ def test_biaffine_oracle_parity(ray_session):
     pd.testing.assert_frame_equal(canon(rdf), canon(odf), check_dtype=False)
 
 
+def test_asof_join_semantics(ray_session):
+    """As-of join tie rules on a hand-built stream: strictly-earlier
+    (ts, event_id) order, equal-ts left with smaller id counts, NULL
+    when no prior left event, carry resets per user."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import asof_join_events
+
+    us = 1_000_000
+    rows = [
+        # user 1: click(1)@t1, purchase(2)@t2 -> attributes to 1
+        (1, 1, 1 * us, "click"), (2, 1, 2 * us, "purchase"),
+        # user 1: click(3) at the SAME ts as purchase(4), 3 < 4 -> counts
+        (3, 1, 5 * us, "click"), (4, 1, 5 * us, "purchase"),
+        # user 2: purchase before any click -> NULL; later one attributes
+        (5, 2, 1 * us, "purchase"), (6, 2, 2 * us, "click"),
+        (7, 2, 3 * us, "purchase"),
+        # user 3: only other types -> filtered out entirely
+        (8, 3, 1 * us, "view"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = (asof_join_events(rd.from_arrow(tbl))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [2, 4, 5, 7]
+    got = out["asof_event_id"].tolist()
+    assert got[0] == 1 and got[1] == 3 and got[3] == 6
+    assert pd.isna(got[2])
+
+
 def test_salted_sessionize_equals_unsalted(ray_session):
     """sessionize_salted (time-bucket salt + ghost stitch) must be
     byte-identical to the plain per-user sort on the real events
