@@ -141,6 +141,20 @@ def _vecs(sf_dir: str):
     return read_embeddings(sf_dir)
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding 1h/15min window aggregate (x4 pre-shuffle replication,
+    integer-cents exactness — same hash-safe arithmetic as
+    events_windowed)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        sliding_window_counts)
+
+    return sliding_window_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "value"]))
+
+
 def _q_events_asof(sf_dir: str):
     """As-of join (purchase -> most recent prior click per user) —
     the custom-operator family's range-join representative.  Oracle
@@ -364,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -790,6 +805,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts
             FROM numbered GROUP BY user_id, session_idx
+        """,
+        "events_sliding": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       epoch_us(ts) AS tus
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, cents,
+                       make_timestamp((tus // 900000000) * 900000000
+                                      - k.k * 900000000) AS window_start
+                FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+            )
+            SELECT user_id, window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+            FROM w GROUP BY user_id, window_start
         """,
         "events_asof": """
             WITH e AS (

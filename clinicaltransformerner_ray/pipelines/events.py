@@ -5,6 +5,9 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
   windowed_counts   tumbling time-window aggregate per (user, window):
                     event counts + exact value sums (integer cents, so
                     the result is hash-comparable across engines)
+  sliding_window_counts  the sliding variant (1h windows every 15min):
+                    x(window/slide) pre-shuffle replication, then the
+                    identical combine/sort/combine aggregation
   sessionize        gap-based sessionization: a >30-min silence starts a
                     new session — the canonical stateful scan, expressed
                     as one sort on user_id (equal keys arrive whole per
@@ -61,6 +64,53 @@ def windowed_counts(events: rd.Dataset, *, window: str = "hour") -> rd.Dataset:
                 # is half-to-even and diverges on exact .5 cents
                 "sum_value_cents": _round_half_away(
                     df["value"].to_numpy() * 100),
+            })
+        g = df.groupby(["user_id", "window_start"], sort=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value_cents=("sum_value_cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(combine, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .sort(["user_id", "window_start"])
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def sliding_window_counts(
+    events: rd.Dataset,
+    *,
+    window_us: int = 3600 * 1_000_000,
+    slide_us: int = 900 * 1_000_000,
+) -> rd.Dataset:
+    """Sliding-window aggregate: (user_id, window_start, n_events,
+    sum_value_cents) over windows of ``window_us`` starting at every
+    multiple of ``slide_us`` (default 1 h sliding by 15 min).
+
+    Each event replicates into ``window_us / slide_us`` covering
+    windows BEFORE the shuffle (vectorized np.repeat), then the same
+    combine/sort/combine shape as :func:`windowed_counts` — the
+    all-to-all moves pre-aggregated (user, window) partials whose count
+    is bounded by distinct keys per batch, not by the x4 replication."""
+    assert window_us % slide_us == 0
+    n_covers = window_us // slide_us
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "window_start" not in df.columns:
+            tus = df["ts"].astype("int64").to_numpy()
+            cents = _round_half_away(df["value"].to_numpy() * 100)
+            # the newest covering window starts at floor(ts/slide)*slide;
+            # the rest step back by slide (start > ts - window holds)
+            base = (tus // slide_us) * slide_us
+            starts = (base[:, None]
+                      - np.arange(n_covers)[None, :] * slide_us).ravel()
+            df = pd.DataFrame({
+                "user_id": np.repeat(df["user_id"].to_numpy(), n_covers),
+                "window_start": pd.to_datetime(starts, unit="us"),
+                "n_events": 1,
+                "sum_value_cents": np.repeat(cents, n_covers),
             })
         g = df.groupby(["user_id", "window_start"], sort=False).agg(
             n_events=("n_events", "sum"),

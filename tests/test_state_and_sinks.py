@@ -280,6 +280,41 @@ def test_biaffine_oracle_parity(ray_session):
     pd.testing.assert_frame_equal(canon(rdf), canon(odf), check_dtype=False)
 
 
+def test_sliding_window_covers_and_sums(ray_session):
+    """Every event lands in exactly window/slide sliding windows, each
+    window [start, start+window) contains it, and per-window sums are
+    exact integer cents."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        sliding_window_counts)
+
+    us = 1_000_000
+    h, q = 3600 * us, 900 * us
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        # 10:07, 10:20, 00:00 exactly on a slide boundary
+        "ts": pa.array([10 * h + 7 * 60 * us, 10 * h + 20 * 60 * us, 0],
+                       pa.timestamp("us")),
+        "value": pa.array([1.25, 2.0, 0.105], pa.float64()),
+    })
+    out = (sliding_window_counts(rd.from_arrow(tbl))
+           .to_pandas())
+    # each event covered exactly 4x
+    assert out["n_events"].sum() == 3 * 4
+    ws = out["window_start"].astype("int64") // 1000  # ns -> us
+    mine = out[(out["user_id"] == 1)]
+    # the 10:07 event's windows start at 09:15..10:00; 10:20's at 09:30..10:15
+    both = mine[mine["n_events"] == 2]["window_start"].astype("int64") // 1000
+    assert set(both) == {9 * h + 30 * 60 * us, 9 * h + 45 * 60 * us,
+                        10 * h}
+    for w in ws[out["user_id"] == 2]:
+        assert w <= 0 < w + 3600 * us
+    # 0.105 rounds half-away to 11 cents (DuckDB semantics)
+    assert (out.loc[out["user_id"] == 2, "sum_value_cents"] == 11).all()
+
+
 def test_asof_join_semantics(ray_session):
     """As-of join tie rules on a hand-built stream: strictly-earlier
     (ts, event_id) order, equal-ts left with smaller id counts, NULL
