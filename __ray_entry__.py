@@ -170,6 +170,23 @@ def _q_events_asof(sf_dir: str):
                                  "event_type"]))
 
 
+def _q_events_range_join(sf_dir: str):
+    """Bounded range join (errors within 6 h after each purchase, per
+    user) — searchsorted per block, no pairwise expansion.  The 6 h
+    horizon matches the synth's inter-event cadence so the match path
+    is exercised, not just the NULL path."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        range_join_events)
+
+    return range_join_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]),
+        horizon_us=6 * 3600 * 1_000_000)
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -380,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -823,6 +841,19 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(SUM(cents) AS BIGINT) AS sum_value_cents
             FROM w GROUP BY user_id, window_start
+        """,
+        "events_range_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            e AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'error')
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(count(e.ts) AS BIGINT) AS n_range,
+                   MIN(e.ts) AS first_range_ts
+            FROM p LEFT JOIN e
+              ON e.user_id = p.user_id
+             AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
+            GROUP BY p.event_id, p.user_id, p.ts
         """,
         "events_asof": """
             WITH e AS (

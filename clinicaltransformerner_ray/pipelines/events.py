@@ -16,6 +16,9 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
                     most recent strictly-prior click of the same user —
                     type filter before the shuffle, the same
                     sort-on-user + vectorized forward-carry shape
+  range_join_events bounded range join: errors within a horizon after
+                    each purchase, via two searchsorted calls per block
+                    (output linear in the left side, no pair expansion)
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
 lands in one block.  `sessionize_salted` is the 100 TB path: the sort
@@ -360,6 +363,86 @@ def asof_join_events(
         asof_ts = pd.Series(df["ts"].to_numpy()[gather], index=out.index)
         asof_ts[~valid] = pd.NaT
         out["asof_ts"] = asof_ts
+        return pa.Table.from_pandas(out[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    return (events.map_batches(project, batch_format="pyarrow")
+            .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def range_join_events(
+    events: rd.Dataset,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    horizon_us: int = 300 * 1_000_000,
+) -> rd.Dataset:
+    """Bounded range join: for every ``left_type`` event, count the
+    ``right_type`` events of the same user in ``(ts, ts + horizon_us]``
+    (default: errors within 5 minutes after each purchase).
+
+    Output: (event_id, user_id, ts, n_range, first_range_ts — NULL when
+    n_range = 0).
+
+    Shape: same as :func:`asof_join_events` — a pre-shuffle type filter
+    prunes to the two joined streams, one sort on user_id keeps each
+    user whole per block, and the per-block kernel is two vectorized
+    ``np.searchsorted`` calls over the user-offset-composed timeline (no
+    pairwise expansion: the bounded horizon makes the join output
+    linear in the left side regardless of right-side density).  The
+    same hot-user salting recipe as ``sessionize_salted`` applies when
+    one user exceeds a block.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        return batch.filter(keep).select(
+            ["event_id", "user_id", "ts", "event_type"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "n_range": pd.Series(dtype="int64"),
+            "first_range_ts": pd.Series(dtype="datetime64[us]"),
+        })
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        tus = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        is_r = (df["event_type"] == right_type).to_numpy()
+        # compose (user, ts) into one sortable int stream per side by
+        # offsetting each user's REBASED timeline far apart: uid * span
+        # + (ts - min_ts).  Rebasing keeps span at the data's time
+        # EXTENT (~2^42 for a month of us ticks), not its epoch offset,
+        # so billions of users fit an int64 key.
+        rebased = tus - tus.min()
+        span = np.int64(1) << int(rebased.max() + horizon_us + 1
+                                  ).bit_length()
+        assert uid.max() < (np.int64(1) << 62) // span
+        key = uid * span + rebased
+        rkey = key[is_r]                       # sorted (df is sorted)
+        rtus = tus[is_r]
+        left = ~is_r
+        lo = np.searchsorted(rkey, key[left], side="right")
+        hi = np.searchsorted(rkey, key[left] + horizon_us, side="right")
+        n = (hi - lo).astype(np.int64)
+        out = df.loc[left, ["event_id", "user_id", "ts"]].copy()
+        out["n_range"] = n
+        first = pd.Series(
+            pd.to_datetime(rtus[np.minimum(lo, max(len(rkey) - 1, 0))]
+                           if len(rkey) else np.zeros(len(n), np.int64),
+                           unit="us"),
+            index=out.index).astype("datetime64[us]")
+        first[n == 0] = pd.NaT
+        out["first_range_ts"] = first
         return pa.Table.from_pandas(out[empty.columns.tolist()],
                                     preserve_index=False)
 

@@ -315,6 +315,41 @@ def test_sliding_window_covers_and_sums(ray_session):
     assert (out.loc[out["user_id"] == 2, "sum_value_cents"] == 11).all()
 
 
+def test_range_join_semantics(ray_session):
+    """Range-join bounds on a hand-built stream: (ts, ts+h] is open at
+    the left end and closed at the right, per-user isolation, NULL
+    first_range_ts when nothing is in range."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        range_join_events)
+
+    us = 1_000_000
+    rows = [
+        # user 1: purchase@10, errors @10 (excluded: strict >),
+        # @11, @310 (included: <= +300), @311 (excluded)
+        (1, 1, 10 * us, "purchase"),
+        (2, 1, 10 * us, "error"), (3, 1, 11 * us, "error"),
+        (4, 1, 310 * us, "error"), (5, 1, 311 * us, "error"),
+        # user 2's error must not leak into user 1
+        (6, 2, 12 * us, "error"), (7, 2, 1000 * us, "purchase"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = (range_join_events(rd.from_arrow(tbl), horizon_us=300 * us)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [1, 7]
+    assert out["n_range"].tolist() == [2, 0]
+    assert out.loc[0, "first_range_ts"] == pd.Timestamp(11, unit="s")
+    assert pd.isna(out.loc[1, "first_range_ts"])
+
+
 def test_asof_join_semantics(ray_session):
     """As-of join tie rules on a hand-built stream: strictly-earlier
     (ts, event_id) order, equal-ts left with smaller id counts, NULL
