@@ -454,10 +454,14 @@ def embedding_dup_pairs(
     n_chunks grows ~N/(worker heap); bucket count n_chunks·(n_chunks+1)/2
     must exceed target parallelism — raise n_chunks at scale (64 chunks
     = 2080 buckets).  ``n_chunks=None`` (default) auto-scales from the
-    input row count via :func:`_auto_n_chunks` (count() is
-    metadata-only for parquet reads).  For approximate near-dup at
-    100 TB use minhash_lsh_pairs / knn_ivf instead; exact O(N^2) cosine
-    is the small-to-mid-scale tool."""
+    input row count via :func:`_auto_n_chunks`.  CAVEAT: count() is
+    metadata-only for direct parquet reads (this module's query paths),
+    but on a DERIVED dataset it executes the upstream lineage once
+    before the pair pipeline runs it again — callers with transformed
+    inputs should pass n_chunks explicitly (or count from their own
+    source metadata).  For approximate near-dup at 100 TB use
+    minhash_lsh_pairs / knn_ivf instead; exact O(N^2) cosine is the
+    small-to-mid-scale tool."""
     if n_chunks is None:
         n_chunks = _auto_n_chunks(vecs.count())
 

@@ -416,18 +416,24 @@ def range_join_events(
         if df.empty:
             return pa.Table.from_pandas(empty, preserve_index=False)
         tus = df["ts"].astype("int64").to_numpy()
-        uid = df["user_id"].to_numpy()
+        # DENSE per-block user codes (df is user-sorted, so factorize
+        # preserves order): the key composition depends on the number
+        # of distinct users IN THIS BLOCK, never on the global id
+        # magnitude — sparse/snowflake/negative 64-bit ids all work.
+        codes = pd.factorize(df["user_id"].to_numpy())[0].astype(np.int64)
         is_r = (df["event_type"] == right_type).to_numpy()
         # compose (user, ts) into one sortable int stream per side by
-        # offsetting each user's REBASED timeline far apart: uid * span
-        # + (ts - min_ts).  Rebasing keeps span at the data's time
-        # EXTENT (~2^42 for a month of us ticks), not its epoch offset,
-        # so billions of users fit an int64 key.
+        # offsetting each user's REBASED timeline far apart:
+        # code * span + (ts - min_ts).  Rebasing keeps span at the
+        # data's time EXTENT (~2^42 for a month of us ticks); a block
+        # would need > 2^62/span distinct users (~10^6 at month extent,
+        # far above any real block's row count) to overflow int64.
         rebased = tus - tus.min()
         span = np.int64(1) << int(rebased.max() + horizon_us + 1
                                   ).bit_length()
-        assert uid.max() < (np.int64(1) << 62) // span
-        key = uid * span + rebased
+        assert codes.max() < (np.int64(1) << 62) // span, \
+            "too many distinct users in one block for the key span"
+        key = codes * span + rebased
         rkey = key[is_r]                       # sorted (df is sorted)
         rtus = tus[is_r]
         left = ~is_r

@@ -549,6 +549,7 @@ def kg_pipeline(
     salt_span: int = DEFAULT_SALT_SPAN,
     materialize_linked: bool = False,
     linked_checkpoint_dir: str | None = None,
+    quarantine_dir: str | None = None,
 ) -> dict[str, rd.Dataset]:
     """Compose the full build; returns lazy Datasets keyed by stage.
 
@@ -556,13 +557,13 @@ def kg_pipeline(
     so it must not re-run the tagger twice.  Cache strategies, in
     preference order at scale:
 
-    - ``linked_checkpoint_dir`` (explicit path, or the DEFAULT via an
-      auto temp dir when neither knob is set) writes the linked table
-      as partitioned parquet from the workers and re-reads it for both
-      branches — the 100 TB / restartable path: the object store never
-      pins the full reduction, a re-run can start from the checkpoint,
-      and each branch streams its own read (the full lineage-tracked
-      version is pipelines/resume.py + state/lineage.py);
+    - ``linked_checkpoint_dir`` (explicit path, or the DEFAULT when
+      neither knob is set) writes the linked table as partitioned
+      parquet from the workers and re-reads it for both branches — the
+      100 TB / restartable path: the object store never pins the full
+      reduction, a re-run can start from the checkpoint, and each
+      branch streams its own read (the full lineage-tracked version is
+      pipelines/resume.py + state/lineage.py);
     - ``materialize_linked=True`` pins it in the object store — the
       explicit small-input fast path for single-job runs where the
       reduction comfortably fits.
@@ -570,7 +571,15 @@ def kg_pipeline(
     When NEITHER knob is set, the path is auto-selected from the input
     parquet's on-disk size (an os.stat sum — free, no Ray op): inputs
     under ``AUTO_MATERIALIZE_MAX_BYTES`` take the object-store fast
-    path, larger inputs the checkpoint path."""
+    path, larger inputs the checkpoint path.  The auto checkpoint root
+    is ``$GRAFT_CHECKPOINT_ROOT`` when set, else a local temp dir that
+    is removed at interpreter exit.  MULTI-NODE NOTE: workers write the
+    checkpoint blocks, so an auto (or explicit) path must live on
+    storage every node can reach — on a real cluster set
+    GRAFT_CHECKPOINT_ROOT (or pass linked_checkpoint_dir) to a shared
+    filesystem / object-store URI; a driver-local /tmp path only works
+    single-node.  The same applies to ``quarantine_dir`` (forwarded to
+    `detect_mentions`' tagger pool, which writes per-actor parquet)."""
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
     mentions = detect_mentions(
@@ -578,17 +587,32 @@ def kg_pipeline(
         max_seq_length=max_seq_length,
         noise_mod=noise_mod,
         concurrency=tagger_concurrency,
+        quarantine_dir=quarantine_dir,
     )
     linked = link_mentions(mentions, alias_rows)
     if linked_checkpoint_dir is None and not materialize_linked:
         if _turns_bytes(sf_dir) <= AUTO_MATERIALIZE_MAX_BYTES:
             materialize_linked = True
         else:
-            # scale-safe default: parquet checkpoint in a run-scoped
-            # temp dir
-            import tempfile
+            import os as _os
 
-            linked_checkpoint_dir = tempfile.mkdtemp(prefix="kg_linked_")
+            root = _os.environ.get("GRAFT_CHECKPOINT_ROOT")
+            if root:
+                import uuid
+
+                linked_checkpoint_dir = _os.path.join(
+                    root, f"kg_linked_{uuid.uuid4().hex[:12]}")
+            else:
+                # single-node fallback: run-scoped temp dir, reclaimed
+                # at interpreter exit (reads are done by then)
+                import atexit
+                import shutil
+                import tempfile
+
+                linked_checkpoint_dir = tempfile.mkdtemp(
+                    prefix="kg_linked_")
+                atexit.register(shutil.rmtree, linked_checkpoint_dir,
+                                ignore_errors=True)
     if linked_checkpoint_dir is not None:
         linked.write_parquet(linked_checkpoint_dir)
         linked = rd.read_parquet(linked_checkpoint_dir)

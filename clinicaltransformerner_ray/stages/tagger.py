@@ -28,6 +28,11 @@ failures emits one WARNING naming the turns, and when
 ``quarantine_dir`` is set each actor also writes the failed keys +
 error strings as a parquet side table (one small file per failing
 batch) that `read_quarantine` loads back as a Dataset.
+
+MULTI-NODE NOTE: actors write with local-filesystem calls, so on a
+real cluster ``quarantine_dir`` must be a path every node mounts (NFS
+etc.); a driver-local /tmp path collects only driver-node failures.
+Single-node (this sandbox) is unaffected.
 """
 
 from __future__ import annotations

@@ -256,7 +256,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
         df = df[sorted(df.columns)].copy()
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    for name in ["events_windowed", "events_sessions"]:
+    for name in ["events_windowed", "events_sessions", "events_sliding",
+                 "events_asof", "events_range_join"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
