@@ -18,7 +18,10 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
                     sort-on-user + vectorized forward-carry shape
   range_join_events bounded range join: errors within a horizon after
                     each purchase, via two searchsorted calls per block
-                    (output linear in the left side, no pair expansion)
+                    (output linear in the left side, no pair expansion);
+                    `range_join_events_salted` is its skew-safe twin
+                    (time-bucket salt + previous-bucket ghosts,
+                    byte-identical output, no stitch pass needed)
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
 lands in one block.  `sessionize_salted` is the 100 TB path: the sort
@@ -454,5 +457,112 @@ def range_join_events(
 
     return (events.map_batches(project, batch_format="pyarrow")
             .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def range_join_events_salted(
+    events: rd.Dataset,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    horizon_us: int = 300 * 1_000_000,
+    bucket_us: int = 24 * 3600 * 1_000_000,
+    n_buckets: int = 65536,
+) -> rd.Dataset:
+    """Skew-safe :func:`range_join_events`: identical output, but no
+    single user ever serializes into one block.
+
+    The range predicate's BOUNDED lookahead makes the sessionize_salted
+    ghost trick sufficient (unlike as-of, whose unbounded lookback
+    would need a cross-bucket prefix pass): salt the sort key with a
+    coarse time bucket, and ghost each ``right_type`` event into the
+    PREVIOUS bucket when it sits within ``horizon_us`` of its bucket
+    start — every right event a left event can see is then in the
+    left's own (user, bucket) group, because the left's window
+    ``(ts, ts + horizon]`` spans at most one bucket boundary
+    (``bucket_us > horizon_us`` enforced).  Each left event belongs to
+    exactly one group, so output rows are unique with no stitch pass.
+
+    The per-block kernel is the same two-searchsorted composition as
+    the unsalted version, with (user, bucket) group codes from one
+    vectorized changed-flag cumsum — no per-group Python loop even
+    though a block holds thousands of groups."""
+    assert bucket_us > horizon_us, "bucket must exceed the horizon"
+
+    def bucket_and_ghost(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        df = (batch.filter(keep)
+              .select(["event_id", "user_id", "ts", "event_type"])
+              .to_pandas())
+        tus = df["ts"].astype("int64").to_numpy()
+        bucket = tus // bucket_us
+        h = pd.util.hash_pandas_object(df["user_id"],
+                                       index=False).to_numpy()
+        nb = np.uint64(n_buckets)
+        df["bucket"] = bucket
+        df["skey"] = ((h + bucket.astype(np.uint64)) % nb).astype(np.int64)
+        near_start = ((tus - bucket * bucket_us <= horizon_us)
+                      & (df["event_type"] == right_type).to_numpy())
+        g = df[near_start].copy()
+        g["bucket"] = g["bucket"] - 1
+        g["skey"] = ((h[near_start]
+                      + (bucket[near_start] - 1).astype(np.uint64))
+                     % nb).astype(np.int64)
+        out = pd.concat([df, g], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["user_id", "bucket", "ts", "event_id"])
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "n_range": pd.Series(dtype="int64"),
+            "first_range_ts": pd.Series(dtype="datetime64[us]"),
+        })
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        tus = df["ts"].astype("int64").to_numpy()
+        # (user, bucket) group codes: changed-flag cumsum on the sorted
+        # frame (the composite analog of the unsalted factorize)
+        uid = df["user_id"].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        changed = np.ones(len(df), dtype=bool)
+        changed[1:] = (uid[1:] != uid[:-1]) | (bkt[1:] != bkt[:-1])
+        codes = np.cumsum(changed) - 1
+        is_r = (df["event_type"] == right_type).to_numpy()
+        rebased = tus - tus.min()
+        span = np.int64(1) << int(rebased.max() + horizon_us + 1
+                                  ).bit_length()
+        assert codes.max() < (np.int64(1) << 62) // span, \
+            "too many (user, bucket) groups in one block for the key span"
+        key = codes * span + rebased
+        rkey = key[is_r]
+        rtus = tus[is_r]
+        # lefts: only ORIGINAL rows (ghosts are always right-type)
+        left = ~is_r
+        lo = np.searchsorted(rkey, key[left], side="right")
+        hi = np.searchsorted(rkey, key[left] + horizon_us, side="right")
+        n = (hi - lo).astype(np.int64)
+        out = df.loc[left, ["event_id", "user_id", "ts"]].copy()
+        out["n_range"] = n
+        first = pd.Series(
+            pd.to_datetime(rtus[np.minimum(lo, max(len(rkey) - 1, 0))]
+                           if len(rkey) else np.zeros(len(n), np.int64),
+                           unit="us"),
+            index=out.index).astype("datetime64[us]")
+        first[n == 0] = pd.NaT
+        out["first_range_ts"] = first
+        return pa.Table.from_pandas(out[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    return (events.map_batches(bucket_and_ghost, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("skey")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))

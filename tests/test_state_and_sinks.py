@@ -351,6 +351,40 @@ def test_range_join_semantics(ray_session):
     assert pd.isna(out.loc[1, "first_range_ts"])
 
 
+def test_salted_range_join_equals_unsalted(ray_session):
+    """range_join_events_salted must be byte-identical to the unsalted
+    version, including on a hot single user whose events span many salt
+    buckets (the regime the salting exists for)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        range_join_events, range_join_events_salted)
+
+    us = 1_000_000
+    n = 4000
+    rng = np.random.RandomState(7)
+    ts = np.sort(rng.randint(0, 10 * 24 * 3600, n)).astype(np.int64) * us \
+        + np.arange(n)
+    types = np.where(np.arange(n) % 2 == 0, "purchase", "error")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array((np.arange(n) % 3 == 0).astype(np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+    h = 1800 * us
+    a = (range_join_events(ds, horizon_us=h)
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    b = (range_join_events_salted(ds, horizon_us=h, bucket_us=3600 * us)
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert (a["n_range"] > 0).any()  # exercise the match path
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
 def test_asof_join_semantics(ray_session):
     """As-of join tie rules on a hand-built stream: strictly-earlier
     (ts, event_id) order, equal-ts left with smaller id counts, NULL
