@@ -187,6 +187,50 @@ def _q_events_range_join(sf_dir: str):
         horizon_us=6 * 3600 * 1_000_000)
 
 
+def _q_events_sessions_salted(sf_dir: str):
+    """Skew-safe sessionize route (time-bucket salt + ghost rows +
+    session-level stitch) — byte-identical to `sessionize`, so it
+    shares that oracle; registering it separately puts the at-scale
+    path itself through the driver's hash gate."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import sessionize_salted
+
+    return sessionize_salted(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]))
+
+
+def _q_events_asof_salted(sf_dir: str):
+    """Skew-safe as-of join (salted local resolve + carry-row stitch) —
+    byte-identical to `asof_join_events`, shares its oracle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        asof_join_events_salted)
+
+    return asof_join_events_salted(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+
+
+def _q_events_range_join_salted(sf_dir: str):
+    """Skew-safe bounded range join (time-bucket salt + previous-bucket
+    ghosts) — byte-identical to `range_join_events` at the same
+    horizon, shares its oracle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        range_join_events_salted)
+
+    return range_join_events_salted(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]),
+        horizon_us=6 * 3600 * 1_000_000)
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -398,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "events_sessions_salted": _q_events_sessions_salted,
+        "events_asof_salted": _q_events_asof_salted,
+        "events_range_join_salted": _q_events_range_join_salted,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -691,6 +738,69 @@ SELECT vec_id, CAST(c AS BIGINT) AS centroid FROM (
     return "".join(parts)
 
 
+# Shared by the plain and salted skew-safe variants (byte-identical
+# outputs by construction; both routes go through the same hash gate).
+_SESSIONS_SQL = """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
+            AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM numbered GROUP BY user_id, session_idx
+"""
+
+_ASOF_SQL = """
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN event_id END AS cid,
+               CASE WHEN event_type = 'click' THEN ts END AS cts
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    f AS (
+        SELECT *,
+               last_value(cid IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS asof_event_id,
+               last_value(cts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS asof_ts
+        FROM e
+    )
+    SELECT event_id, user_id, ts, asof_event_id, asof_ts
+    FROM f WHERE event_type = 'purchase'
+"""
+
+_RANGE_JOIN_SQL = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    e AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'error')
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(count(e.ts) AS BIGINT) AS n_range,
+           MIN(e.ts) AS first_range_ts
+    FROM p LEFT JOIN e
+      ON e.user_id = p.user_id
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
 def _minhash_perm_values() -> str:
     from clinicaltransformerner_ray.pipelines.dedup import _minhash_params
 
@@ -802,28 +912,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS sum_value_cents
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
-        "events_sessions": """
-            WITH e AS (
-                SELECT user_id, ts, event_id,
-                       lag(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_ts
-                FROM events
-            ), flagged AS (
-                SELECT *, CASE WHEN prev_ts IS NULL
-                               OR ts - prev_ts > INTERVAL 30 MINUTE
-                          THEN 1 ELSE 0 END AS new_sess
-                FROM e
-            ), numbered AS (
-                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
-                    AS session_idx
-                FROM flagged
-            )
-            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
-            FROM numbered GROUP BY user_id, session_idx
-        """,
+        "events_sessions": _SESSIONS_SQL,
+        "events_sessions_salted": _SESSIONS_SQL,
+        "events_asof_salted": _ASOF_SQL,
+        "events_range_join_salted": _RANGE_JOIN_SQL,
         "events_sliding": """
             WITH e AS (
                 SELECT user_id,
@@ -842,42 +934,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_value_cents
             FROM w GROUP BY user_id, window_start
         """,
-        "events_range_join": """
-            WITH p AS (SELECT event_id, user_id, ts FROM events
-                       WHERE event_type = 'purchase'),
-            e AS (SELECT user_id, ts FROM events
-                  WHERE event_type = 'error')
-            SELECT p.event_id, p.user_id, p.ts,
-                   CAST(count(e.ts) AS BIGINT) AS n_range,
-                   MIN(e.ts) AS first_range_ts
-            FROM p LEFT JOIN e
-              ON e.user_id = p.user_id
-             AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
-            GROUP BY p.event_id, p.user_id, p.ts
-        """,
-        "events_asof": """
-            WITH e AS (
-                SELECT event_id, user_id, ts, event_type,
-                       CASE WHEN event_type = 'click' THEN event_id END
-                           AS cid,
-                       CASE WHEN event_type = 'click' THEN ts END AS cts
-                FROM events WHERE event_type IN ('click', 'purchase')
-            ),
-            f AS (
-                SELECT *,
-                       last_value(cid IGNORE NULLS) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS asof_event_id,
-                       last_value(cts IGNORE NULLS) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS asof_ts
-                FROM e
-            )
-            SELECT event_id, user_id, ts, asof_event_id, asof_ts
-            FROM f WHERE event_type = 'purchase'
-        """,
+        "events_range_join": _RANGE_JOIN_SQL,
+        "events_asof": _ASOF_SQL,
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies

@@ -15,7 +15,10 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
   asof_join_events  as-of join (attribution): each purchase gets the
                     most recent strictly-prior click of the same user —
                     type filter before the shuffle, the same
-                    sort-on-user + vectorized forward-carry shape
+                    sort-on-user + vectorized forward-carry shape;
+                    `asof_join_events_salted` is its skew-safe twin
+                    (salted local resolve + per-bucket carry rows +
+                    a sessionize-style stitch, byte-identical output)
   range_join_events bounded range join: errors within a horizon after
                     each purchase, via two searchsorted calls per block
                     (output linear in the left side, no pair expansion);
@@ -565,4 +568,177 @@ def range_join_events_salted(
                                batch_size=1 << 19)
             .sort("skey")
             .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def asof_join_events_salted(
+    events: rd.Dataset,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    bucket_us: int = 24 * 3600 * 1_000_000,
+    n_buckets: int = 65536,
+) -> rd.Dataset:
+    """Skew-safe :func:`asof_join_events`: identical output, hot users
+    spread across salt buckets.
+
+    As-of lookback is UNBOUNDED, so the range join's local ghost trick
+    does not work; instead the sessionize_salted two-phase shape does:
+
+    1. SALTED LOCAL PASS (sort on skey): within each (user, bucket)
+       group, resolve every ``right_type`` event against the group's
+       own prior ``left_type`` events (a local prior left, being later
+       than anything in an earlier bucket, is always the true answer).
+       Each group also emits ONE carry row — its latest left event —
+       and the unresolved rights pass through tagged ``open``.
+    2. STITCH (sort on user_id): per user, an ``open`` right in bucket
+       b takes the carry row with the largest bucket < b (buckets
+       partition time, so the latest-left ts rises with bucket — the
+       prefix maximum IS the predecessor carry), found with one
+       searchsorted over (user, bucket) composed keys.  The stitch
+       input is resolved outputs + one carry per (user, bucket) +
+       opens — the same "tiny row per group" reduction sessionize's
+       stitch relies on."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        df = (batch.filter(keep)
+              .select(["event_id", "user_id", "ts", "event_type"])
+              .to_pandas())
+        tus = df["ts"].astype("int64").to_numpy()
+        bucket = tus // bucket_us
+        h = pd.util.hash_pandas_object(df["user_id"],
+                                       index=False).to_numpy()
+        df["bucket"] = bucket
+        df["skey"] = ((h + bucket.astype(np.uint64))
+                      % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    stitch_cols = ["kind", "event_id", "user_id", "bucket", "ts",
+                   "asof_event_id", "asof_ts"]
+
+    def local_pass(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pd.DataFrame({
+            "kind": pd.Series(dtype="str"),
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "bucket": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "asof_event_id": pd.Series(dtype="Int64"),
+            "asof_ts": pd.Series(dtype="datetime64[us]"),
+        })
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        df = df.sort_values(["user_id", "bucket", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        changed = np.ones(len(df), dtype=bool)
+        changed[1:] = (uid[1:] != uid[:-1]) | (bkt[1:] != bkt[:-1])
+        codes = np.cumsum(changed) - 1
+        is_left = (df["event_type"] == left_type).to_numpy()
+        marker = np.where(is_left, np.arange(len(df)), -1)
+        carried = (pd.Series(marker).groupby(codes).cummax().to_numpy())
+        ids = df["event_id"].to_numpy()
+        tsv = df["ts"].to_numpy()
+        right = ~is_left
+        src = carried[right]
+        resolved = src >= 0
+        gather = np.maximum(src, 0)
+        rr = df.loc[right, ["event_id", "user_id", "bucket", "ts"]].copy()
+        rr["kind"] = np.where(resolved, "res", "open")
+        rr["asof_event_id"] = pd.array(
+            np.where(resolved, ids[gather], 0), dtype="Int64")
+        rr.loc[~resolved, "asof_event_id"] = pd.NA
+        ats = pd.Series(tsv[gather], index=rr.index)
+        ats[~resolved] = pd.NaT
+        rr["asof_ts"] = ats.astype("datetime64[us]")
+        # one carry row per (user, bucket) that HAS a left event: its
+        # latest (the group's last left row in sort order)
+        dl = df[is_left]
+        cl = dl.groupby([dl["user_id"].to_numpy(),
+                         dl["bucket"].to_numpy()],
+                        sort=False).tail(1)
+        carry = pd.DataFrame({
+            "kind": "carry",
+            "event_id": cl["event_id"].to_numpy(),
+            "user_id": cl["user_id"].to_numpy(),
+            "bucket": cl["bucket"].to_numpy(),
+            "ts": cl["ts"].to_numpy(),
+            "asof_event_id": pd.array(cl["event_id"].to_numpy(),
+                                      dtype="Int64"),
+            "asof_ts": pd.Series(cl["ts"].to_numpy()
+                                 ).astype("datetime64[us]").to_numpy(),
+        })
+        out = pd.concat([rr[stitch_cols], carry[stitch_cols]],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    def stitch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "asof_event_id": pd.Series(dtype="Int64"),
+            "asof_ts": pd.Series(dtype="datetime64[us]"),
+        })
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        df = df.sort_values(["user_id", "bucket", "event_id"])
+        uid = df["user_id"].to_numpy()
+        changed = np.ones(len(df), dtype=bool)
+        changed[1:] = uid[1:] != uid[:-1]
+        ucode = np.cumsum(changed) - 1
+        bkt = df["bucket"].to_numpy()
+        span = np.int64(1) << int(max(bkt.max(), 1) + 1).bit_length()
+        assert ucode.max() < (np.int64(1) << 62) // span
+        key = ucode * span + bkt
+        kind = df["kind"].to_numpy()
+        is_c = kind == "carry"
+        ckey = key[is_c]        # sorted (df sorted by user, bucket)
+        c_ids = df["event_id"].to_numpy()[is_c]
+        c_ts = df["ts"].to_numpy()[is_c]
+        is_o = kind == "open"
+        # predecessor carry: largest carry key strictly below the
+        # open's (user, bucket) — same-user guaranteed by the composed
+        # key unless pos walks into the previous user, checked below
+        if len(ckey):
+            pos = np.searchsorted(ckey, key[is_o], side="left") - 1
+            valid = pos >= 0
+            gp = np.maximum(pos, 0)
+            valid &= (ckey[gp] // span) == (key[is_o] // span)
+        else:
+            # a block of only left-less users emits no carry rows
+            valid = np.zeros(int(is_o.sum()), dtype=bool)
+            gp = np.zeros(int(is_o.sum()), dtype=np.int64)
+        oo = df.loc[is_o, ["event_id", "user_id", "ts"]].copy()
+        oo["asof_event_id"] = pd.array(
+            np.where(valid, c_ids[gp] if len(ckey) else 0, 0),
+            dtype="Int64")
+        oo.loc[~valid, "asof_event_id"] = pd.NA
+        ats = pd.Series(c_ts[gp] if len(ckey)
+                        else np.zeros(valid.shape, "datetime64[us]"),
+                        index=oo.index)
+        ats[~valid] = pd.NaT
+        oo["asof_ts"] = pd.Series(ats).astype("datetime64[us]")
+        res = df.loc[kind == "res",
+                     ["event_id", "user_id", "ts",
+                      "asof_event_id", "asof_ts"]]
+        out = pd.concat([res, oo], ignore_index=True)
+        out["asof_ts"] = out["asof_ts"].astype("datetime64[us]")
+        return pa.Table.from_pandas(out[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    return (events.map_batches(tag, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("skey")
+            .map_batches(local_pass, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("user_id")
+            .map_batches(stitch, batch_format="pyarrow",
                          batch_size=None))

@@ -257,7 +257,9 @@ def test_events_windowed_and_sessions_parity(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     for name in ["events_windowed", "events_sessions", "events_sliding",
-                 "events_asof", "events_range_join"]:
+                 "events_asof", "events_range_join",
+                 "events_sessions_salted", "events_asof_salted",
+                 "events_range_join_salted"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -383,6 +385,57 @@ def test_salted_range_join_equals_unsalted(ray_session):
          .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert (a["n_range"] > 0).any()  # exercise the match path
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_salted_asof_join_equals_unsalted(ray_session):
+    """asof_join_events_salted must be byte-identical to the unsalted
+    version on a hot user spanning many buckets, a user whose only
+    click is many empty buckets before their purchases (the unbounded
+    carry), and a clickless user (NULL passthrough)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        asof_join_events, asof_join_events_salted)
+
+    us = 1_000_000
+    day = 24 * 3600 * us
+    rng = np.random.RandomState(1)
+    n = 3000
+    ts0 = (np.sort(rng.randint(0, 30 * 24 * 3600, n)).astype(np.int64)
+           * us + np.arange(n))
+    eids = list(range(n))
+    uids = [0] * n
+    tss = ts0.tolist()
+    types = ["click" if i % 3 == 0 else "purchase" for i in range(n)]
+    for e, u, t, k in [(n, 1, 5 * us, "click"),
+                       (n + 1, 1, 10 * day, "purchase"),
+                       (n + 2, 1, 25 * day, "purchase"),
+                       (n + 3, 2, 3 * day, "purchase")]:
+        eids.append(e), uids.append(u), tss.append(t), types.append(k)
+    tbl = pa.table({
+        "event_id": pa.array(eids, pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(np.asarray(tss, dtype="int64")
+                       ).cast(pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+    a = (asof_join_events(ds)
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    b = (asof_join_events_salted(ds, bucket_us=day)
+         .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert a["asof_event_id"].isna().sum() == 1  # only the clickless user
+    # user 1's purchases carry the day-0 click across 10 and 25 buckets
+    assert (a.loc[a["user_id"] == 1, "asof_event_id"] == n).all()
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    # all-purchase input: every stitch block is carry-less → all NULL
+    only_p = rd.from_arrow(tbl.filter(
+        pa.compute.equal(tbl["event_type"], "purchase")))
+    c = asof_join_events_salted(only_p, bucket_us=day).to_pandas()
+    assert len(c) and c["asof_event_id"].isna().all()
 
 
 def test_asof_join_semantics(ray_session):
