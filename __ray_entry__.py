@@ -340,6 +340,42 @@ def _q_token_vocab(sf_dir: str):
     return token_vocab(_docs(sf_dir))
 
 
+#: BM25 query terms — present in the synth documents vocabulary at
+#: high (the), mid (batch/join) and lower (vector) frequencies
+_BM25_TERMS = ["batch", "join", "the", "vector"]
+
+
+def _q_doc_quantiles(sf_dir: str):
+    """Exact distributed percentiles of per-doc token counts — the
+    value-histogram combine keeps the shuffle proportional to DISTINCT
+    counts, and the integer CDF-position rule (ceil(q*N/100)) makes
+    the DuckDB quantile bit-exact."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        token_count_quantiles)
+
+    return token_count_quantiles(_docs(sf_dir))
+
+
+def _q_corpus_sample(sf_dir: str):
+    """Deterministic hash-stratified sample (en 10%, unk 50%) — the
+    md5-derived keep rule equals DuckDB md5_number_upper % 100, so the
+    sampled id set is oracle-exact, not just statistically similar."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        hash_stratified_sample)
+
+    return hash_stratified_sample(_docs(sf_dir))
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Per-term BM25 top-10 retrieval.  Oracle-exact because within a
+    term the idf factor is constant — ranks depend only on a rational
+    g(tf, dl) both engines evaluate with the identical operation
+    tree (see pipelines/retrieval.py docstring)."""
+    from clinicaltransformerner_ray.pipelines.retrieval import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=10)
+
+
 def _q_brat_format(sf_dir: str):
     """K2 brat writer over the mention table (per-doc T-id numbering;
     the M12 newline repair is pytest-covered — synth surfaces are
@@ -458,6 +494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate": _q_corpus_curate,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
+        "doc_quantiles": _q_doc_quantiles,
+        "corpus_sample": _q_corpus_sample,
+        "bm25_topk": _q_bm25_topk,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "kg_resume": _q_kg_resume,
@@ -1085,5 +1124,79 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 FROM documents
             ) u
             GROUP BY u.tok
+        """,
+        # quantile_disc semantics: value at 1-based sorted position
+        # ceil(q*N/100), in pure integer arithmetic on both sides
+        "doc_quantiles": """
+            WITH d AS (
+                SELECT len(coalesce(text, ''))
+                       - len(replace(coalesce(text, ''), ' ', '')) + 1
+                           AS v
+                FROM documents
+            ),
+            c AS (SELECT v, count(*) AS n FROM d GROUP BY v),
+            cum AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM c),
+            tot AS (SELECT count(*) AS n_total FROM d),
+            qs(q_pct) AS (VALUES (1), (25), (50), (75), (99))
+            SELECT CAST(q_pct AS BIGINT) AS q_pct,
+                   CAST(MIN(v) AS BIGINT) AS n_tokens
+            FROM qs, cum, tot
+            WHERE cum >= (q_pct * n_total + 99) // 100
+            GROUP BY q_pct
+        """,
+        # the engine's md5_64(str(doc_id)) == md5_number_upper of the
+        # decimal string (CLAUDE.md round-3 note #1)
+        "corpus_sample": """
+            WITH d AS (SELECT doc_id,
+                              string_split(coalesce(text, ''), ' ') AS l
+                       FROM documents),
+            c AS (
+                SELECT doc_id,
+                       CASE WHEN len(list_filter(l, x -> x IN ('a','the')))
+                                 > 0
+                            THEN 'en' ELSE 'unk' END AS lang_pred
+                FROM d
+            )
+            SELECT doc_id, lang_pred FROM c
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 <
+                  CASE lang_pred WHEN 'en' THEN 10
+                                 WHEN 'unk' THEN 50 ELSE 0 END
+        """,
+        # within a term the idf factor is a positive constant, so rank
+        # only depends on g(tf, dl) — evaluated with the identical
+        # operation tree as pipelines/retrieval.py (bit-exact ranks)
+        "bm25_topk": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), ' ') AS l,
+                       len(coalesce(text, ''))
+                       - len(replace(coalesce(text, ''), ' ', '')) + 1
+                           AS dl
+                FROM documents
+            ),
+            stats AS (SELECT count(*) AS n_docs,
+                             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM d),
+            terms(term) AS (VALUES ('batch'), ('join'), ('the'),
+                                   ('vector')),
+            tf AS (
+                SELECT t.term, d.doc_id, d.dl,
+                       len(list_filter(d.l, x -> x = t.term)) AS tf
+                FROM d CROSS JOIN terms t
+            ),
+            g AS (
+                SELECT term AS query_term, doc_id,
+                       CAST(tf AS BIGINT) AS tf,
+                       tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                           AS s
+                FROM tf, stats WHERE tf > 0
+            )
+            SELECT query_term, doc_id, tf, CAST(rk AS BIGINT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_term
+                    ORDER BY s DESC, doc_id ASC) AS rk
+                FROM g) WHERE rk <= 10
         """,
     }

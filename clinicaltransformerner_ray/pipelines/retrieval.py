@@ -1,0 +1,169 @@
+"""Lexical retrieval over the `documents` table: per-term BM25 top-k.
+
+  bm25_topk  for each query term, the k highest-BM25 documents.
+
+Two passes, both streaming:
+
+1. CORPUS STATS — mergeable per-batch counters (`n_docs`, `sum_dl`,
+   per-term document frequency), one tiny row per block; the driver
+   sums them (`take_all` is O(blocks), the same mergeable-counter
+   shape as `functions/eval_bio.py`).
+2. SCORE + TOP-K — stats broadcast into a batch transform that
+   explodes tokens with Arrow kernels, filters to the query terms,
+   computes tf per (doc, term) via C++ grouped aggregation, scores,
+   and keeps a LOCAL top-k per term; `sort(query_term)` then a
+   per-block completion keeps the final top-k (the engine's
+   combine/sort/combine shape — the shuffle moves at most
+   k * n_terms rows per batch, never the corpus).
+
+Exactness: within a single term, BM25's idf factor is a positive
+per-term constant, so the rank depends only on
+
+    g(tf, dl) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+a rational function of integer tf/dl and avgdl = sum_dl / n_docs.
+Both engines evaluate the identical operation tree in float64, so the
+ranks (ties broken by doc_id) are bit-exact against the SQL oracle —
+no `ln` ULP concerns because idf never enters a comparison.
+Multi-term queries compose as a union of per-term scores; a fused
+multi-term scorer would need an order-fixed summation to stay
+oracle-exact (documented trade, not needed here).
+
+Reference parity note: the reference engine has no retrieval operator;
+this is a beyond-reference training-data op (SURVEY.md §2.11) — BM25
+per Robertson/Sparck-Jones as popularized by Lucene's practical form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _corpus_stats(docs: rd.Dataset, terms: list[str]) -> dict:
+    """One mergeable counter row per block: (n_docs, sum_dl, df list)."""
+    term_arr = pa.array(terms, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch.column("text"), "")
+        n_docs = len(text)
+        n_spaces = pc.sum(pc.count_substring(text, " ")).as_py() or 0
+        sum_dl = int(n_spaces) + n_docs  # dl = spaces + 1 per doc
+        toks = pc.split_pattern(text, " ")
+        flat = pa.table({
+            "i": pc.list_parent_indices(toks),
+            "tok": pc.list_flatten(toks),
+        })
+        flat = flat.filter(pc.is_in(flat.column("tok"),
+                                    value_set=term_arr))
+        hit = flat.to_pandas().drop_duplicates()  # (doc, term) presence
+        cnt = hit.groupby("tok").size()
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "sum_dl": pa.array([sum_dl], pa.int64()),
+            "df": pa.array([[int(cnt.get(t, 0)) for t in terms]],
+                           pa.list_(pa.int64())),
+        })
+
+    rows = docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 17,
+    ).take_all()  # O(blocks) — one counter row per block
+    n_docs = sum(r["n_docs"] for r in rows)
+    sum_dl = sum(r["sum_dl"] for r in rows)
+    df = np.sum([np.asarray(r["df"], dtype=np.int64) for r in rows],
+                axis=0) if rows else np.zeros(len(terms), np.int64)
+    return {"n_docs": int(n_docs), "sum_dl": int(sum_dl),
+            "df": dict(zip(terms, (int(x) for x in df)))}
+
+
+def bm25_topk(
+    docs: rd.Dataset,
+    terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """Top-``k`` documents per query term under BM25.
+
+    Output: (query_term, doc_id, tf, rank) — rank 1..k by score
+    descending, ties broken by ascending doc_id.  Documents with
+    tf == 0 never appear."""
+    terms = sorted(set(terms))
+    stats = _corpus_stats(docs, terms)
+    avgdl = stats["sum_dl"] / max(stats["n_docs"], 1)
+
+    term_arr = pa.array(terms, pa.string())
+
+    def score_local(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pd.DataFrame({
+            "query_term": pd.Series(dtype="str"),
+            "doc_id": pd.Series(dtype="int64"),
+            "tf": pd.Series(dtype="int64"),
+            "g": pd.Series(dtype="float64"),
+        })
+        text = pc.fill_null(batch.column("text"), "")
+        dl = pc.add(pc.cast(pc.count_substring(text, " "),
+                            pa.int64()), 1).to_numpy()
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        toks = pc.split_pattern(text, " ")
+        flat = pa.table({
+            "i": pc.list_parent_indices(toks),
+            "tok": pc.list_flatten(toks),
+        })
+        flat = flat.filter(pc.is_in(flat.column("tok"),
+                                    value_set=term_arr))
+        if not flat.num_rows:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        tf_tbl = (flat.group_by(["i", "tok"])
+                  .aggregate([("tok", "count")]))
+        i = tf_tbl.column("i").to_numpy()
+        tf = tf_tbl.column("tok_count").to_numpy().astype(np.int64)
+        # identical operation tree to the SQL oracle — see module
+        # docstring; evaluation order matters for bit-exactness
+        dli = dl[i].astype(np.float64)
+        g = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dli / avgdl))
+        df = pd.DataFrame({
+            "query_term": tf_tbl.column("tok").to_pandas(),
+            "doc_id": ids[i],
+            "tf": tf,
+            "g": g,
+        })
+        df = df.sort_values(["query_term", "g", "doc_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_term", sort=False).head(k)
+        return pa.Table.from_pandas(df[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pd.DataFrame({
+            "query_term": pd.Series(dtype="str"),
+            "doc_id": pd.Series(dtype="int64"),
+            "tf": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+        })
+        if df.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        df = df.sort_values(["query_term", "g", "doc_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_term", sort=False).head(k)
+        df["rank"] = (df.groupby("query_term", sort=False).cumcount()
+                      + 1).astype(np.int64)
+        return pa.Table.from_pandas(df[empty.columns.tolist()],
+                                    preserve_index=False)
+
+    return (
+        docs.map_batches(score_local, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("query_term")
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )

@@ -8,6 +8,14 @@
                    regex tokenizer — batch-local partial counts then
                    one grouped sum (the combiner keeps the all-to-all
                    proportional to vocabulary, not corpus, size)
+  token_count_quantiles  exact corpus-level percentiles of the per-doc
+                   token count via a distributed value-histogram (the
+                   shuffle moves one row per DISTINCT count per batch)
+                   and a driver-side CDF walk — integer arithmetic, so
+                   the SQL oracle is bit-exact
+  hash_stratified_sample  deterministic per-stratum sampling: keep a doc
+                   iff md5_64(str(doc_id)) % 100 < rate[lang] — pure
+                   projection, reproducible across runs and engines
 
 All per-doc work is a pure projection (map_batches, no shuffle).  The
 only wide operation is token_vocab's final groupby.  Ratios divide
@@ -168,6 +176,110 @@ def doc_fingerprints(docs: rd.Dataset, *, n: int = 5) -> rd.Dataset:
         })
 
     return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def token_count_quantiles(
+    docs: rd.Dataset,
+    *,
+    q_pct: tuple[int, ...] = (1, 25, 50, 75, 99),
+) -> pa.Table:
+    """Exact distributed percentiles of the per-doc token count.
+
+    Shape: batch-local value-count combine (the all-to-all moves one
+    (value, count) row per DISTINCT token count per batch — a
+    thousands-row exchange regardless of corpus size), `sort(v)`,
+    per-block re-combine, then a CDF walk on the driver over the tiny
+    distinct-value table (`take_all` is O(distinct values), justified).
+
+    Quantile definition (DuckDB `quantile_disc`): the value at 1-based
+    sorted position ``ceil(q*N/100) == (q*N + 99) // 100`` — pure
+    integer arithmetic, so the SQL oracle matches bit-for-bit.
+
+    Output: small pa.Table (q_pct BIGINT, n_tokens BIGINT)."""
+    import pyarrow.compute as pc
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if "v" not in batch.column_names:
+            text = pc.fill_null(batch.column("text"), "")
+            # split(" ") semantics: every doc has spaces+1 tokens
+            v = pc.add(pc.cast(pc.count_substring(text, " "),
+                               pa.int64()), 1)
+            df = pa.table({"v": v}).to_pandas()
+            df["n"] = np.int64(1)
+        else:
+            df = batch.to_pandas()
+        g = df.groupby("v", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cdf = (
+        docs.map_batches(combine, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("v")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+    rows = cdf.take_all()  # O(distinct token counts) — tiny by design
+    vals = np.asarray([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n_total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in q_pct:
+        if n_total == 0:
+            continue
+        pos = (int(q) * n_total + 99) // 100
+        idx = int(np.searchsorted(cum, pos, side="left"))
+        out_q.append(int(q))
+        out_v.append(int(vals[idx]))
+    return pa.table({
+        "q_pct": pa.array(out_q, pa.int64()),
+        "n_tokens": pa.array(out_v, pa.int64()),
+    })
+
+
+#: default per-language sampling rates (percent): downsample the
+#: dominant language, keep half of the rare/unknown bucket
+SAMPLE_RATES_PCT = {"en": 10, "unk": 50}
+
+
+def hash_stratified_sample(
+    docs: rd.Dataset,
+    *,
+    rates_pct: dict[str, int] | None = None,
+) -> rd.Dataset:
+    """Deterministic hash-based stratified sampling for corpus
+    rebalancing: a document survives iff
+    ``md5_64(str(doc_id)) % 100 < rates_pct[lang_pred]`` (md5_64 ==
+    the engine's `dedup._hash64` == DuckDB `md5_number_upper`, so the
+    sample is reproducible across runs, engines and the SQL oracle —
+    no RNG state, no seed plumbing, and re-running on a grown corpus
+    keeps previously-sampled docs stable).
+
+    Pure projection (map_batches, no shuffle): each batch computes its
+    own lang_pred via :func:`stats_columns` and filters locally.
+
+    Output: (doc_id, lang_pred)."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    rates = dict(SAMPLE_RATES_PCT if rates_pct is None else rates_pct)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        stats = stats_columns(batch)
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        lang = np.asarray(stats.column("lang_pred").to_pylist())
+        mod = (_hash64([str(i) for i in ids])
+               % np.uint64(100)).astype(np.int64)
+        rate = np.asarray([rates.get(lg, 0) for lg in lang],
+                          dtype=np.int64)
+        keep = mod < rate
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lang_pred": pa.array(lang[keep], pa.string()),
+        })
+
+    return docs.map_batches(sample, batch_format="pyarrow")
 
 
 def token_vocab(docs: rd.Dataset) -> rd.Dataset:

@@ -30,6 +30,7 @@ SQL_CHECKED = [
     "dedup_minhash", "dedup_simhash",
     "ann_topk", "ann_ivf", "kmeans",
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
+    "doc_quantiles", "corpus_sample", "bm25_topk",
 ]
 
 
@@ -411,3 +412,103 @@ def test_ann_merge_scales_to_many_queries(ray_session):
     import pandas as pd
     want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_count_quantiles_semantics(ray_session):
+    """CDF-position rule on a hand-built skewed distribution: 100 docs
+    of 1 token, 1 doc of 1000 — p99 must land on the single outlier
+    only when ceil(q*N/100) reaches position 101."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        token_count_quantiles)
+
+    texts = ["x"] * 100 + [" ".join(["y"] * 1000)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(101), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = token_count_quantiles(
+        rd.from_arrow(tbl), q_pct=(1, 50, 99, 100)).to_pandas()
+    got = dict(zip(out["q_pct"], out["n_tokens"]))
+    # N=101: pos(1)=2 -> 1, pos(50)=51 -> 1, pos(99)=100 -> 1,
+    # pos(100)=101 -> 1000
+    assert got == {1: 1, 50: 1, 99: 1, 100: 1000}
+
+
+def test_hash_stratified_sample_deterministic(ray_session):
+    """The sample is a pure function of doc_id: two runs agree exactly,
+    every kept doc satisfies the md5 keep rule for its stratum, and a
+    rate of 0/100 keeps none/all."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        hash_stratified_sample)
+
+    en = "the quick fox"
+    unk = "tok1 tok2 tok3"
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([en if i % 2 == 0 else unk for i in range(n)]),
+    })
+    ds = rd.from_arrow(tbl)
+    a = (hash_stratified_sample(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (hash_stratified_sample(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    def mod100(i):
+        return int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:8], "little") % 100
+
+    for _, row in a.iterrows():
+        rate = 10 if row["lang_pred"] == "en" else 50
+        assert mod100(row["doc_id"]) < rate
+    want_n = sum(1 for i in range(n)
+                 if mod100(i) < (10 if i % 2 == 0 else 50))
+    assert len(a) == want_n
+    none = hash_stratified_sample(ds, rates_pct={"en": 0, "unk": 0})
+    assert none.count() == 0
+    al = hash_stratified_sample(ds, rates_pct={"en": 100, "unk": 100})
+    assert al.count() == n
+    assert np.array_equal(
+        np.sort(al.to_pandas()["doc_id"].to_numpy()), np.arange(n))
+
+
+def test_bm25_topk_semantics(ray_session):
+    """BM25 ordering on a hand-built corpus: higher tf wins at equal
+    length, shorter doc wins at equal tf (length normalization), docs
+    without the term never appear, and k truncates."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.retrieval import bm25_topk
+
+    docs = [
+        (0, "cat cat cat dog"),               # tf=3, dl=4
+        (1, "cat dog dog dog"),               # tf=1, dl=4
+        (2, "cat dog"),                       # tf=1, dl=2 (shorter)
+        (3, "dog dog dog dog"),               # tf=0
+        (4, "cat " * 19 + "cat"),             # tf=20, dl=20
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+    })
+    out = (bm25_topk(rd.from_arrow(tbl).repartition(3), ["cat"], k=3)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert (out["query_term"] == "cat").all()
+    assert len(out) == 3                      # k truncates the 4 hits
+    assert 3 not in set(out["doc_id"])        # tf=0 excluded
+    # saturation: tf=20 still ranks first; tf=3 beats tf=1; at tf=1 the
+    # shorter doc 2 beats doc 1
+    assert out["doc_id"].tolist() == [4, 0, 2]
+    assert out["tf"].tolist() == [20, 3, 1]
+    assert out["rank"].tolist() == [1, 2, 3]
