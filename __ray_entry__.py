@@ -376,6 +376,43 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_tpch_pricing(sf_dir: str):
+    """Q1-shaped pricing summary over lineitem — integer-cents sums
+    (the repo's exactness invariant) + averages derived from them.
+    Reads exactly the 7 columns the aggregate needs."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        pricing_summary)
+
+    return pricing_summary(rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax",
+                 "l_shipdate"]))
+
+
+def _q_tpch_revenue_nation(sf_dir: str):
+    """Q5-shaped multi-join: two sort-merge co-partition joins with
+    pre-aggregated fact partials, nation/region broadcast."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, revenue_by_nation)
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+    return revenue_by_nation(lineitem, orders, customer,
+                             _nation_region_map(sf_dir))
+
+
 def _q_brat_format(sf_dir: str):
     """K2 brat writer over the mention table (per-doc T-id numbering;
     the M12 newline repair is pytest-covered — synth surfaces are
@@ -497,6 +534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantiles": _q_doc_quantiles,
         "corpus_sample": _q_corpus_sample,
         "bm25_topk": _q_bm25_topk,
+        "tpch_pricing": _q_tpch_pricing,
+        "tpch_revenue_nation": _q_tpch_revenue_nation,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "kg_resume": _q_kg_resume,
@@ -1198,5 +1237,60 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     PARTITION BY query_term
                     ORDER BY s DESC, doc_id ASC) AS rk
                 FROM g) WHERE rk <= 10
+        """,
+        # DuckDB round() is half-away-from-zero == the engine's
+        # _round_half_away; every money value is cent-integral so the
+        # int64 sums agree bitwise, and avg_* divide those exact sums
+        "tpch_pricing": """
+            WITH l AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS price_c,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(SUM(price_c) AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(price_c * (100 - disc)) AS BIGINT)
+                       AS sum_disc_price_e4,
+                   CAST(SUM(price_c * (100 - disc) * (100 + tax))
+                        AS BIGINT) AS sum_charge_e6,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   CAST(SUM(qty) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(SUM(price_c) AS DOUBLE) / count(*)
+                       AS avg_price_cents,
+                   CAST(SUM(disc) AS DOUBLE) / count(*) AS avg_disc_pct
+            FROM l GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_revenue_nation": """
+            WITH l AS (
+                SELECT l_orderkey AS key,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev_e4
+                FROM lineitem
+            ),
+            o AS (
+                SELECT o_orderkey AS key, o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+            ),
+            j AS (SELECT o.o_custkey, l.rev_e4
+                  FROM l JOIN o USING (key)),
+            jn AS (SELECT c.c_nationkey, j.rev_e4
+                   FROM j JOIN customer c ON j.o_custkey = c.c_custkey),
+            nm AS (SELECT n_nationkey, n_name
+                   FROM nation JOIN region
+                     ON n_regionkey = r_regionkey
+                   WHERE r_name = 'ASIA')
+            SELECT nm.n_name,
+                   CAST(SUM(jn.rev_e4) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM jn JOIN nm ON jn.c_nationkey = nm.n_nationkey
+            GROUP BY nm.n_name
         """,
     }

@@ -1,0 +1,273 @@
+"""Relational pipelines over the TPC-H-shaped side tables.
+
+  pricing_summary    Q1-shaped scan + wide aggregate over `lineitem`
+  revenue_by_nation  Q5-shaped multi-join: lineitem ⋈ orders ⋈
+                     customer (two sort-merge co-partition joins, the
+                     fact side pre-aggregated BEFORE each shuffle)
+                     ⋈ nation ⋈ region (driver-side broadcast of the
+                     fixed-25/5-row dimensions)
+
+Join strategy: `ray.data.Dataset.join` is unusable at 2.49 (see
+CLAUDE.md rule 5), so equi-joins are expressed as union of both sides
+onto a superset schema with a `kind` tag → one `sort` on the join key
+→ per-block pandas merge (Ray's range partitioner never splits equal
+keys across blocks).  The shuffle volume is the PRE-AGGREGATED fact
+side: revenue partials per orderkey, then per custkey — never raw
+lineitem rows twice.
+
+Exactness: money is integer cents (the synth's doubles are
+cent-integral; `round` half-away recovers them exactly on both
+engines), so every SUM is int64 — the repo's integer-derivation
+invariant — and the avg_* columns divide exact int64 sums in float64,
+bit-identical across engines.  revenue_e4 = cents * (100 - disc_pct)
+keeps per-row magnitude ~1e11; the int64 headroom bounds a single
+GROUP's summed revenue at ~9e18 ≈ $900T — fine for any real partition,
+noted here because a planet-scale single-group sum would need a
+two-level (e.g. per-shard then HUGEINT) finish.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from clinicaltransformerner_ray.pipelines.events import _round_half_away
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _ts_us(iso_date: str) -> int:
+    return int(pd.Timestamp(iso_date).value // 1000)
+
+
+def pricing_summary(
+    lineitem: rd.Dataset,
+    *,
+    ship_cutoff: str = "2000-09-02",
+) -> rd.Dataset:
+    """TPC-H Q1-shaped pricing summary: per (l_returnflag,
+    l_linestatus), integer-exact sums of quantity / base price /
+    discounted price / charge plus float averages derived from them.
+
+    One batch-local combine (6 groups -> the shuffle moves ~6 rows per
+    batch), one sort, one per-block completion; reads only the 7
+    columns it needs (callers pass ``columns=`` at the read)."""
+    cutoff = _ts_us(ship_cutoff)
+
+    sums = ["sum_qty", "sum_base_price_cents", "sum_disc_price_e4",
+            "sum_charge_e6", "sum_disc_pct", "count_order"]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "sum_qty" not in df.columns:
+            keep = df["l_shipdate"].astype("int64").to_numpy() <= cutoff
+            df = df[keep]
+            qty = _round_half_away(df["l_quantity"].to_numpy())
+            price_c = _round_half_away(
+                df["l_extendedprice"].to_numpy() * 100)
+            disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+            tax = _round_half_away(df["l_tax"].to_numpy() * 100)
+            df = pd.DataFrame({
+                "l_returnflag": df["l_returnflag"].to_numpy(),
+                "l_linestatus": df["l_linestatus"].to_numpy(),
+                "sum_qty": qty,
+                "sum_base_price_cents": price_c,
+                "sum_disc_price_e4": price_c * (100 - disc),
+                "sum_charge_e6": price_c * (100 - disc) * (100 + tax),
+                "sum_disc_pct": disc,
+                "count_order": np.ones(len(qty), np.int64),
+            })
+        g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+             [sums].sum().reset_index())
+        # explicit types: an empty block must not infer Arrow `null`
+        # for the string keys (breaks the sort schema)
+        return pa.table({
+            "l_returnflag": pa.array(g["l_returnflag"].tolist(),
+                                     pa.string()),
+            "l_linestatus": pa.array(g["l_linestatus"].tolist(),
+                                     pa.string()),
+            **{c: pa.array(np.asarray(g[c], np.int64), pa.int64())
+               for c in sums},
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cnt = np.maximum(df["count_order"].to_numpy(), 1)
+        out = {
+            "l_returnflag": pa.array(df["l_returnflag"].tolist(),
+                                     pa.string()),
+            "l_linestatus": pa.array(df["l_linestatus"].tolist(),
+                                     pa.string()),
+        }
+        for c in sums:
+            if c != "sum_disc_pct":
+                out[c] = pa.array(np.asarray(df[c], np.int64),
+                                  pa.int64())
+        out["avg_qty"] = pa.array(
+            df["sum_qty"].to_numpy() / cnt, pa.float64())
+        out["avg_price_cents"] = pa.array(
+            df["sum_base_price_cents"].to_numpy() / cnt, pa.float64())
+        out["avg_disc_pct"] = pa.array(
+            df["sum_disc_pct"].to_numpy() / cnt, pa.float64())
+        return pa.table(out)
+
+    return (
+        lineitem.map_batches(combine, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .sort(["l_returnflag", "l_linestatus"])
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _nation_region_map(sf_dir: str) -> dict[int, tuple[str, str]]:
+    """Driver-side broadcast build of the fixed-size dimension join:
+    nationkey -> (n_name, r_name).  25 + 5 rows — the canonical
+    small-side broadcast instead of a shuffle join."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    return {int(r.n_nationkey): (r.n_name, rname[r.n_regionkey])
+            for r in nation.itertuples()}
+
+
+def revenue_by_nation(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    nation_map: dict[int, tuple[str, str]],
+    *,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> rd.Dataset:
+    """TPC-H Q5-shaped revenue per nation: lineitem revenue attributed
+    through orders (date-windowed) to customers, rolled up to the
+    customer's nation, restricted to one region.
+
+    Output: (n_name, revenue_e4, n_items) — revenue in 1e-4 dollars
+    (cents x discount-complement percent), n_items = joined lineitems.
+
+    Scale shape: lineitem pre-aggregates revenue per orderkey in each
+    batch BEFORE the first shuffle; the orderkey sort-merge join emits
+    (custkey, partial) rows that pre-aggregate again before the custkey
+    join; the nation/region dimensions never shuffle (broadcast dict);
+    each completion block leaves at most one row per nation."""
+    lo = _ts_us(date_from)
+    hi = _ts_us(date_to)
+
+    def _sup(key, kind, rev, n, payload) -> pa.Table:
+        """Superset-schema block with explicit types: an empty pandas
+        frame would otherwise infer Arrow `null` columns and break the
+        union/sort schema."""
+        m = len(key)
+        return pa.table({
+            "key": pa.array(np.asarray(key, np.int64), pa.int64()),
+            "kind": pa.array([kind] * m, pa.string()),
+            "rev_e4": pa.array(np.asarray(rev, np.int64), pa.int64()),
+            "n_items": pa.array(np.asarray(n, np.int64), pa.int64()),
+            "payload": pa.array(np.asarray(payload, np.int64),
+                                pa.int64()),
+        })
+
+    # --- side projections onto the union superset schema -------------
+    def l_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+        part = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(),
+            "rev_e4": price_c * (100 - disc),
+            "n_items": np.ones(len(df), np.int64),
+        })
+        # combiner: one row per orderkey per batch enters the shuffle
+        g = part.groupby("key", sort=False).sum().reset_index()
+        return _sup(g["key"], "l", g["rev_e4"], g["n_items"],
+                    np.zeros(len(g), np.int64))
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["o_orderdate"].astype("int64").to_numpy()
+        df = df[(ts >= lo) & (ts < hi)]
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["o_orderkey"], "o", z, z, df["o_custkey"])
+
+    def merge_orders(batch: pa.Table) -> pa.Table:
+        """Per-block orderkey join -> (custkey partials)."""
+        df = batch.to_pandas()
+        o = df[df["kind"] == "o"]
+        ln = df[df["kind"] == "l"]
+        j = pd.merge(
+            ln[["key", "rev_e4", "n_items"]],
+            o[["key", "payload"]].rename(columns={"payload": "custkey"}),
+            on="key")
+        g = (j.groupby("custkey", sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        return _sup(g["custkey"], "x", g["rev_e4"], g["n_items"],
+                    np.zeros(len(g), np.int64))
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["c_custkey"], "c", z, z, df["c_nationkey"])
+
+    def merge_customer(batch: pa.Table) -> pa.Table:
+        """Per-block custkey join -> (nationkey partials): at most 25
+        rows leave each block."""
+        df = batch.to_pandas()
+        c = df[df["kind"] == "c"]
+        x = df[df["kind"] == "x"]
+        j = pd.merge(
+            x[["key", "rev_e4", "n_items"]],
+            c[["key", "payload"]].rename(
+                columns={"payload": "nationkey"}),
+            on="key")
+        g = (j.groupby("nationkey", sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        return pa.table({
+            "nationkey": pa.array(np.asarray(g["nationkey"], np.int64),
+                                  pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "n_items": pa.array(np.asarray(g["n_items"], np.int64),
+                                pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("nationkey", sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        names = [nation_map.get(int(k), ("", "")) for k in g["nationkey"]]
+        keep = np.asarray([r == region for _, r in names], dtype=bool)
+        return pa.table({
+            "n_name": pa.array(
+                [n for (n, _), k in zip(names, keep) if k], pa.string()),
+            "revenue_e4": pa.array(
+                np.asarray(g["rev_e4"], np.int64)[keep], pa.int64()),
+            "n_items": pa.array(
+                np.asarray(g["n_items"], np.int64)[keep], pa.int64()),
+        })
+
+    joined = (
+        lineitem.map_batches(l_side, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .union(orders.map_batches(o_side, batch_format="pyarrow",
+                                  batch_size=1 << 19))
+        .sort("key")
+        .map_batches(merge_orders, batch_format="pyarrow",
+                     batch_size=None)
+    )
+    return (
+        joined
+        .union(customer.map_batches(c_side, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        .sort("key")
+        .map_batches(merge_customer, batch_format="pyarrow",
+                     batch_size=None)
+        .sort("nationkey")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
