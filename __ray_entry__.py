@@ -376,6 +376,42 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_top_tokens(sf_dir: str):
+    """Exact heavy hitters: top-100 tokens by (n DESC, token ASC) —
+    per-block local top-k bounds the final exchange at k rows/block."""
+    from clinicaltransformerner_ray.pipelines.textstats import top_tokens
+
+    return top_tokens(_docs(sf_dir), k=100)
+
+
+def _q_events_distinct_users(sf_dir: str):
+    """Exact distinct users per event_type — batch-local pair dedup
+    before the shuffle, composite-key sort, per-block partial counts,
+    tiny roll-up."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        distinct_users)
+
+    return distinct_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]))
+
+
+def _q_events_hll_users_rowsonly(sf_dir: str):
+    """HyperLogLog approximate distinct per event_type — deterministic
+    (md5 registers, order-free max merge) but approximate, so its gate
+    is the pytest tolerance vs the exact companion, not a SQL hash."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        hll_distinct_users)
+
+    return hll_distinct_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]))
+
+
 def _q_tpch_pricing(sf_dir: str):
     """Q1-shaped pricing summary over lineitem — integer-cents sums
     (the repo's exactness invariant) + averages derived from them.
@@ -536,6 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
+        "top_tokens": _q_top_tokens,
+        "events_distinct_users": _q_events_distinct_users,
+        "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "kg_resume": _q_kg_resume,
@@ -1237,6 +1276,22 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     PARTITION BY query_term
                     ORDER BY s DESC, doc_id ASC) AS rk
                 FROM g) WHERE rk <= 10
+        """,
+        "top_tokens": """
+            WITH u AS (
+                SELECT unnest(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+                  FROM u GROUP BY tok)
+            SELECT token, n FROM c
+            ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the

@@ -1,0 +1,163 @@
+"""Sketch / cardinality operators over the `events` table.
+
+  distinct_users        EXACT distinct-user count per event_type —
+                        composite-key sort dedup, per-block partials,
+                        tiny final roll-up (the kg_turn_entities shape)
+  hll_distinct_users    HyperLogLog approximate distinct per
+                        event_type — per-batch register blocks merged
+                        by elementwise max (a mergeable counter: the
+                        shuffle moves one 2^p-byte row per
+                        (event_type, batch), NEVER the user ids)
+
+HLL per Flajolet et al. 2007 (the standard bias-corrected estimator
+with linear counting for small cardinalities).  The registers are
+md5-derived so the sketch is process-independent and merge order
+cannot change the result (max is commutative/associative) — the
+ESTIMATE is deterministic even though it is approximate, which is why
+the pytest gate can assert a fixed tolerance against the exact count.
+Approximate relative to truth, so no SQL oracle (rows-only query);
+`distinct_users` is the oracle-checked exact companion.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+#: register-index bits: 2^12 = 4096 registers, ~1.6% standard error
+HLL_P = 12
+HLL_M = 1 << HLL_P
+#: bias constant alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def distinct_users(events: rd.Dataset) -> rd.Dataset:
+    """Exact distinct users per event_type.
+
+    Shape: batch-local (event_type, user_id) dedup BEFORE the shuffle
+    (the all-to-all moves distinct pairs per batch, not raw events),
+    one composite-key sort (equal pairs land whole), per-block dedup +
+    partial counts, then a final roll-up over the tiny
+    (event_type, partial) table — one row per type per block, so the
+    second sort exchanges O(types x blocks) rows.
+
+    Output: (event_type, n_users)."""
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        df = (batch.select(["event_type", "user_id"]).to_pandas()
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = (df.groupby("event_type", sort=False)["user_id"]
+             .size().reset_index(name="n_users"))
+        return pa.table({
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   pa.string()),
+            "n_users": pa.array(np.asarray(g["n_users"], np.int64),
+                                pa.int64()),
+        })
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("event_type", sort=False)["n_users"]
+             .sum().reset_index())
+        return pa.table({
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   pa.string()),
+            "n_users": pa.array(np.asarray(g["n_users"], np.int64),
+                                pa.int64()),
+        })
+
+    return (
+        events.map_batches(dedup_pairs, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .sort(["event_type", "user_id"])
+        .map_batches(block_counts, batch_format="pyarrow",
+                     batch_size=None)
+        .sort("event_type")
+        .map_batches(rollup, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _hll_registers(user_ids: np.ndarray) -> np.ndarray:
+    """One 2^p register block from md5-derived 64-bit hashes: index =
+    top p bits, register = 1 + leading-zero count of the rest."""
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    if not len(user_ids):
+        return regs
+    h = np.asarray(
+        [int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[:8],
+                        "little") for u in user_ids],
+        dtype=np.uint64)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rho = 1 + leading zeros of the remaining word (low p bits are
+    # set, so cur > 0 and rho caps at 64-p+1); vectorized CLZ via a
+    # 6-step binary reduction
+    cur = rest.copy()
+    shift_total = np.zeros(len(h), dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - s))
+        cur[mask] = cur[mask] << np.uint64(s)
+        shift_total[mask] += np.uint64(s)
+    rho = (shift_total + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with small-range linear counting."""
+    regs = regs.astype(np.float64)
+    est = _ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * np.log(HLL_M / zeros)
+    return float(est)
+
+
+def hll_distinct_users(events: rd.Dataset) -> pd.DataFrame:
+    """Approximate distinct users per event_type via HyperLogLog.
+
+    Each batch emits one (event_type, registers) row per type present
+    — 4 KiB per row — and the driver folds the O(blocks x types)
+    sketch rows with elementwise max (`take_all` collects sketches,
+    never ids; the same mergeable-counter shape as eval_bio).
+
+    Output: pandas (event_type, n_users_approx float) — deterministic
+    (md5-derived registers, order-free max merge) but approximate, so
+    its correctness gate is the pytest tolerance vs
+    :func:`distinct_users`, not a SQL hash."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        df = batch.select(["event_type", "user_id"]).to_pandas()
+        types, blobs = [], []
+        for et, grp in df.groupby("event_type", sort=False):
+            types.append(et)
+            blobs.append(
+                _hll_registers(grp["user_id"].to_numpy()).tobytes())
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "regs": pa.array(blobs, pa.binary()),
+        })
+
+    rows = events.map_batches(
+        sketch, batch_format="pyarrow", batch_size=1 << 19,
+    ).take_all()  # O(blocks x types) sketch rows, 4 KiB each
+    merged: dict[str, np.ndarray] = {}
+    for r in rows:
+        regs = np.frombuffer(r["regs"], dtype=np.uint8)
+        key = r["event_type"]
+        if key in merged:
+            merged[key] = np.maximum(merged[key], regs)
+        else:
+            merged[key] = regs.copy()
+    out = sorted((et, _hll_estimate(regs))
+                 for et, regs in merged.items())
+    return pd.DataFrame(out, columns=["event_type", "n_users_approx"])

@@ -310,3 +310,31 @@ def token_vocab(docs: rd.Dataset) -> rd.Dataset:
         .sort("token")
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
+
+
+def top_tokens(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
+    """Exact top-``k`` most frequent tokens (heavy hitters without the
+    sketch): :func:`token_vocab`, a per-block LOCAL top-k (each block
+    holds distinct tokens after the vocab sort, so its top-k is a
+    valid partial — the final exchange moves at most k rows per
+    block), then one global sort + limit.
+
+    Ordering/tie rule: (n DESC, token ASC) on both engines, so the
+    boundary cut is deterministic.  Output: (token, n)."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["n", "token"], ascending=[False, True])
+              .head(k))
+        return pa.table({
+            "token": pa.array(df["token"].tolist(), pa.string()),
+            "n": pa.array(np.asarray(df["n"], np.int64), pa.int64()),
+        })
+
+    return (
+        token_vocab(docs)
+        .map_batches(local_topk, batch_format="pyarrow",
+                     batch_size=None)
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )

@@ -30,7 +30,7 @@ SQL_CHECKED = [
     "dedup_minhash", "dedup_simhash",
     "ann_topk", "ann_ivf", "kmeans",
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
-    "doc_quantiles", "corpus_sample", "bm25_topk",
+    "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
 ]
 
 
@@ -512,3 +512,34 @@ def test_bm25_topk_semantics(ray_session):
     assert out["doc_id"].tolist() == [4, 0, 2]
     assert out["tf"].tolist() == [20, 3, 1]
     assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_hll_distinct_users_tolerance_and_determinism(ray_session):
+    """HLL estimate within the 3-sigma bound (~5% at p=12) of the exact
+    count on a 50k-cardinality synthetic stream split across blocks,
+    and bit-identical across runs (md5 registers, order-free merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        distinct_users, hll_distinct_users)
+
+    rng = np.random.RandomState(7)
+    n = 200_000
+    uids = rng.randint(0, 50_000, n).astype(np.int64)
+    types = np.where(np.arange(n) % 3 == 0, "click", "view")
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })).repartition(16)
+    exact = (distinct_users(ds).to_pandas()
+             .set_index("event_type")["n_users"])
+    a = hll_distinct_users(ds)
+    b = hll_distinct_users(ds)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["event_type"]) == {"click", "view"}
+    for _, row in a.iterrows():
+        true = exact[row["event_type"]]
+        assert abs(row["n_users_approx"] - true) / true < 0.05, (
+            row["event_type"], row["n_users_approx"], true)

@@ -259,7 +259,7 @@ def test_events_windowed_and_sessions_parity(ray_session):
     for name in ["events_windowed", "events_sessions", "events_sliding",
                  "events_asof", "events_range_join",
                  "events_sessions_salted", "events_asof_salted",
-                 "events_range_join_salted"]:
+                 "events_range_join_salted", "events_distinct_users"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
