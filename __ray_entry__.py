@@ -489,6 +489,22 @@ def _q_multimodal_features_rowsonly(sf_dir: str):
     return extract_media_features(rd.from_arrow(synth_media_table(docs)))
 
 
+def _q_multimodal_frames_rowsonly(sf_dir: str):
+    """Audio frame-sampling actor pool: one row per 25 ms frame (10 ms
+    hop) with RMS energy; corrupt WAVs quarantine as frame_idx=-1
+    rows.  Binary inputs — rows-only like the decode query."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.stages.multimodal import (
+        sample_audio_frames, synth_media_table)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return sample_audio_frames(rd.from_arrow(synth_media_table(docs)))
+
+
 def _q_kg_resume(sf_dir: str):
     """Checkpoint-resume surface: shard-wise extraction with lineage,
     triples recomputed from the checkpoint (north-rule resumability).
@@ -577,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
+        "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
         "kg_resume": _q_kg_resume,
     }
 

@@ -195,6 +195,166 @@ class DecodeStub(MediaDecoder):
         super().__init__(fake=fake, feature_dim=feature_dim)
 
 
+class ImageResizer:
+    """Actor-pool image resize stage: decode (BMP/PPM), nearest-neighbor
+    resample to ``(out_w, out_h)``, re-encode as PPM.
+
+    Non-image rows pass through untouched (payload and meta preserved);
+    corrupt image payloads are quarantined (``decode_ok=False``, empty
+    payload) per the engine's no-silent-drops rule.  Nearest-neighbor
+    keeps the kernel pure-numpy (two integer index gathers) — the
+    drop-in slot for a real resampler is :meth:`_resize`."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        yi = (np.arange(self.out_h) * h) // self.out_h
+        xi = (np.arange(self.out_w) * w) // self.out_w
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("meta_width").to_pylist()
+        hs = batch.column("meta_height").to_pylist()
+        out_pl, out_w, out_h, ok = [], [], [], []
+        for mt, pl, w, h in zip(types, payloads, ws, hs):
+            if mt != "image":
+                out_pl.append(pl)
+                out_w.append(w)
+                out_h.append(h)
+                ok.append(True)
+                continue
+            try:
+                kind = codecs.sniff(pl or b"")
+                if kind == "bmp":
+                    img = codecs.decode_bmp(pl)
+                elif kind == "ppm":
+                    img = codecs.decode_ppm(pl)
+                else:
+                    raise NotImplementedError(
+                        "unrecognized image container (BMP/PPM only "
+                        "without codec libraries)")
+                out_pl.append(codecs.encode_ppm(self._resize(img)))
+                out_w.append(self.out_w)
+                out_h.append(self.out_h)
+                ok.append(True)
+            except NotImplementedError:
+                raise
+            except Exception:
+                out_pl.append(b"")
+                out_w.append(0)
+                out_h.append(0)
+                ok.append(False)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(out_pl, pa.binary()),
+            "meta_width": pa.array(
+                np.asarray(out_w, np.int32), pa.int32()),
+            "meta_height": pa.array(
+                np.asarray(out_h, np.int32), pa.int32()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+        })
+
+
+def resize_images(
+    media: rd.Dataset,
+    *,
+    out_w: int = 16,
+    out_h: int = 16,
+    batch_size: int = 64,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Image payloads -> resized PPM payloads via the resize actor
+    pool (same heap-sizing rules as :func:`extract_media_features`)."""
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class AudioFrameSampler:
+    """Actor-pool audio frame-sampling stage: decode WAV, slice fixed
+    ``frame_ms`` windows every ``hop_ms``, emit ONE ROW PER FRAME with
+    its RMS energy — the flat-map expansion shape (a video
+    frame-sampler would look identical with a frame decoder in the
+    `_frames` slot).  Non-audio rows produce no frames; corrupt WAVs
+    quarantine as a single decode_ok=False row with frame_idx = -1."""
+
+    def __init__(self, frame_ms: int = 25, hop_ms: int = 10):
+        self.frame_ms = frame_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_idx, o_start, o_rms, o_ok = [], [], [], [], []
+        for mid, mt, pl in zip(ids, types, payloads):
+            if mt != "audio":
+                continue
+            try:
+                samples, rate = codecs.decode_wav(pl)
+            except Exception:
+                o_id.append(mid)
+                o_idx.append(-1)
+                o_start.append(0)
+                o_rms.append(0.0)
+                o_ok.append(False)
+                continue
+            flen = max(1, (rate * self.frame_ms) // 1000)
+            hop = max(1, (rate * self.hop_ms) // 1000)
+            n_frames = max(0, (len(samples) - flen) // hop + 1)
+            if n_frames:
+                # strided window view -> one vectorized RMS per frame
+                idx = (np.arange(n_frames)[:, None] * hop
+                       + np.arange(flen)[None, :])
+                frames = samples[idx].astype(np.float64)
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                o_id.extend([mid] * n_frames)
+                o_idx.extend(range(n_frames))
+                o_start.extend(
+                    (np.arange(n_frames) * hop * 1000 // rate).tolist())
+                o_rms.extend(rms.astype(np.float32).tolist())
+                o_ok.extend([True] * n_frames)
+        return pa.table({
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_idx, pa.int64()),
+            "start_ms": pa.array(o_start, pa.int64()),
+            "rms": pa.array(o_rms, pa.float32()),
+            "decode_ok": pa.array(o_ok, pa.bool_()),
+        })
+
+
+def sample_audio_frames(
+    media: rd.Dataset,
+    *,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    batch_size: int = 64,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Audio payloads -> per-frame RMS rows via the frame-sampling
+    actor pool."""
+    return media.map_batches(
+        AudioFrameSampler,
+        fn_constructor_kwargs={"frame_ms": frame_ms, "hop_ms": hop_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def extract_media_features(
     media: rd.Dataset,
     *,

@@ -127,6 +127,66 @@ def test_multimodal_real_decode(ray_session):
         MediaDecoder(fake=False)(unknown)
 
 
+def test_multimodal_resize_and_frame_sample(ray_session):
+    """Resize: every ok image lands at 16x16 PPM and nearest-neighbor
+    preserves corner pixels; frame-sample: a known sine yields the
+    expected frame count and ~amplitude/sqrt(2) RMS; corrupt payloads
+    quarantine in both stages."""
+    import numpy as np
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.functions import codecs
+    from clinicaltransformerner_ray.stages.multimodal import (
+        resize_images, sample_audio_frames, synth_media_table)
+
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 100)
+    media = synth_media_table(docs)
+    ds = rd.from_arrow(media)
+
+    rs = resize_images(ds, out_w=16, out_h=16, batch_size=32,
+                       concurrency=2).to_pandas()
+    assert len(rs) == 100
+    img_ok = rs[(rs["media_type"] == "image") & rs["decode_ok"]]
+    assert len(img_ok) > 20
+    for _, row in img_ok.head(5).iterrows():
+        out = codecs.decode_ppm(row["payload"])
+        assert out.shape == (16, 16, 3)
+        assert row["meta_width"] == 16 and row["meta_height"] == 16
+    # corrupt image payloads (media_id % 25 == 7, even ids) quarantine
+    bad_img = rs[(rs["media_type"] == "image")
+                 & (rs["media_id"] % 25 == 7)]
+    assert len(bad_img) and not bad_img["decode_ok"].any()
+    # nearest-neighbor keeps the top-left pixel exactly
+    src = media.filter((media.column("media_id").to_pandas() % 25 != 7)
+                       .to_numpy()
+                       & (media.column("media_type").to_pandas()
+                          == "image").to_numpy())
+    first = src.slice(0, 1)
+    kind = codecs.sniff(first.column("payload")[0].as_py())
+    dec = (codecs.decode_bmp if kind == "bmp" else codecs.decode_ppm)
+    orig = dec(first.column("payload")[0].as_py())
+    got = codecs.decode_ppm(
+        rs.set_index("media_id").loc[
+            first.column("media_id")[0].as_py(), "payload"])
+    assert (got[0, 0] == orig[0, 0]).all()
+
+    # frame sampling: 250 ms @ 8 kHz, 25 ms frames / 10 ms hop
+    fr = sample_audio_frames(ds, frame_ms=25, hop_ms=10, batch_size=32,
+                             concurrency=2).to_pandas()
+    assert set(fr["media_id"]) == set(
+        rs.loc[rs["media_type"] == "audio", "media_id"])
+    ok = fr[fr["decode_ok"]]
+    per = ok.groupby("media_id").size()
+    # (2000 - 200) // 80 + 1 = 23 frames per intact 250 ms clip
+    assert (per == 23).all()
+    assert (ok.groupby("media_id")["frame_idx"].min() == 0).all()
+    # synth audio is a 0.6 + 0.3 sine mix -> RMS around sqrt(.18+.045)
+    mid_rms = ok["rms"].median()
+    assert 0.3 < mid_rms < 0.6, mid_rms
+    bad = fr[~fr["decode_ok"]]
+    assert (bad["frame_idx"] == -1).all() and len(bad) > 0
+
+
 def test_codecs_round_trip():
     """encode->decode identity for WAV/BMP/PPM, plus header edge cases."""
     import numpy as np
