@@ -449,6 +449,23 @@ def _q_tpch_revenue_nation(sf_dir: str):
                              _nation_region_map(sf_dir))
 
 
+def _q_tpch_antijoin(sf_dir: str):
+    """Distributed anti-join: customers with no 1996 order — probe side
+    reduced to distinct keys per batch before the shuffle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        customers_without_orders)
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"])
+    return customers_without_orders(customer, orders)
+
+
 def _q_brat_format(sf_dir: str):
     """K2 brat writer over the mention table (per-doc T-id numbering;
     the M12 newline repair is pytest-covered — synth surfaces are
@@ -588,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
+        "tpch_antijoin": _q_tpch_antijoin,
         "top_tokens": _q_top_tokens,
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
@@ -1293,6 +1311,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     PARTITION BY query_term
                     ORDER BY s DESC, doc_id ASC) AS rk
                 FROM g) WHERE rk <= 10
+        """,
+        "tpch_antijoin": """
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01')
         """,
         "top_tokens": """
             WITH u AS (

@@ -6,6 +6,9 @@
                      fact side pre-aggregated BEFORE each shuffle)
                      ⋈ nation ⋈ region (driver-side broadcast of the
                      fixed-25/5-row dimensions)
+  customers_without_orders  distributed anti-join (NOT EXISTS shape):
+                     per-batch distinct-key reduction of the probe
+                     side, then the same union/sort/per-block pattern
 
 Join strategy: `ray.data.Dataset.join` is unusable at 2.49 (see
 CLAUDE.md rule 5), so equi-joins are expressed as union of both sides
@@ -121,6 +124,71 @@ def pricing_summary(
         .sort(["l_returnflag", "l_linestatus"])
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def customers_without_orders(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> rd.Dataset:
+    """Distributed ANTI-join: customers with NO order inside the date
+    window (completing the join family: inner = revenue_by_nation,
+    as-of/range = events.py, anti = here).
+
+    Shape: orders reduce to DISTINCT custkeys per batch before the
+    shuffle (the all-to-all moves at most one row per custkey per
+    batch, never the orders), union with the customer side, one sort
+    on custkey, per-block anti-merge (equal keys land whole, so a
+    customer and all evidence of their orders meet in one block).
+
+    Output: (c_custkey, c_nationkey)."""
+    lo = _ts_us(date_from)
+    hi = _ts_us(date_to)
+
+    def o_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["o_orderdate"].astype("int64").to_numpy()
+        keys = np.unique(df["o_custkey"].to_numpy()[(ts >= lo)
+                                                    & (ts < hi)])
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "kind": pa.array(["o"] * len(keys), pa.string()),
+            "nationkey": pa.array(np.zeros(len(keys), np.int64),
+                                  pa.int64()),
+        })
+
+    def c_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "key": pa.array(np.asarray(df["c_custkey"], np.int64),
+                            pa.int64()),
+            "kind": pa.array(["c"] * len(df), pa.string()),
+            "nationkey": pa.array(
+                np.asarray(df["c_nationkey"], np.int64), pa.int64()),
+        })
+
+    def anti(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        has_order = set(df.loc[df["kind"] == "o", "key"])
+        c = df[df["kind"] == "c"]
+        c = c[~c["key"].isin(has_order)]
+        return pa.table({
+            "c_custkey": pa.array(np.asarray(c["key"], np.int64),
+                                  pa.int64()),
+            "c_nationkey": pa.array(
+                np.asarray(c["nationkey"], np.int64), pa.int64()),
+        })
+
+    return (
+        orders.map_batches(o_keys, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .union(customer.map_batches(c_rows, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        .sort("key")
+        .map_batches(anti, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -26,7 +26,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", ["tpch_pricing", "tpch_revenue_nation"])
+@pytest.mark.parametrize("name", ["tpch_pricing", "tpch_revenue_nation",
+                                  "tpch_antijoin"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -79,6 +80,35 @@ def test_revenue_by_nation_join_semantics(ray_session):
     assert out["revenue_e4"].tolist() == [10000 * 90 + 20000 * 100]
     assert out["n_items"].tolist() == [2]
     assert np.issubdtype(out["revenue_e4"].dtype, np.integer)
+
+
+def test_antijoin_semantics(ray_session):
+    """Anti-join on a micro-warehouse: a customer with an in-window
+    order is excluded, one with only out-of-window orders survives,
+    one with no orders survives."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        customers_without_orders)
+
+    def ts(s):
+        return pd.Timestamp(s)
+
+    customer = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([7, 8, 9], pa.int32()),
+    }))
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("1996-03-01"), ts("1995-01-01"), ts("1995-06-01")],
+            pa.timestamp("us")),
+    }))
+    out = (customers_without_orders(customer, orders)
+           .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+    assert out["c_custkey"].tolist() == [2, 3]
+    assert out["c_nationkey"].tolist() == [8, 9]
 
 
 def test_pricing_summary_cutoff_and_groups(ray_session):
