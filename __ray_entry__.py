@@ -231,6 +231,33 @@ def _q_events_range_join_salted(sf_dir: str):
         horizon_us=6 * 3600 * 1_000_000)
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    """Exact per-event_type value percentiles (integer cents) — grouped
+    value-histogram + integer CDF-position rule, bit-exact vs SQL."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        value_quantiles_by_type)
+
+    return value_quantiles_by_type(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]))
+
+
+def _q_events_latest(sf_dir: str):
+    """Dedup-to-latest snapshot: each user's most recent event by
+    (ts, event_id) — grouped argmax in combine/sort/combine shape."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        latest_event_per_user)
+
+    return latest_event_per_user(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -587,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_salted": _q_events_sessions_salted,
         "events_asof_salted": _q_events_asof_salted,
         "events_range_join_salted": _q_events_range_join_salted,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_latest": _q_events_latest,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -1336,6 +1365,35 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_value_quantiles": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            c AS (SELECT event_type, cents, count(*) AS n
+                  FROM e GROUP BY event_type, cents),
+            cum AS (
+                SELECT event_type, cents,
+                       SUM(n) OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS cum,
+                       SUM(n) OVER (PARTITION BY event_type) AS n_total
+                FROM c
+            ),
+            qs(q_pct) AS (VALUES (1), (25), (50), (75), (99))
+            SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+                   CAST(MIN(cents) AS BIGINT) AS cents
+            FROM qs, cum
+            WHERE cum >= (q_pct * n_total + 99) // 100
+            GROUP BY event_type, q_pct
+        """,
+        "events_latest": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events) WHERE rk = 1
         """,
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the

@@ -25,6 +25,12 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
                     `range_join_events_salted` is its skew-safe twin
                     (time-bucket salt + previous-bucket ghosts,
                     byte-identical output, no stitch pass needed)
+  value_quantiles_by_type  exact per-group percentiles of the event
+                    value (integer cents) via a grouped value-histogram
+                    — the shuffle moves distinct (type, cents) rows,
+                    the driver walks each group's tiny CDF
+  latest_event_per_user  dedup-to-latest (CDC-style snapshot): local
+                    per-batch last per user, one sort, per-block final
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
 lands in one block.  `sessionize_salted` is the 100 TB path: the sort
@@ -569,6 +575,98 @@ def range_join_events_salted(
             .sort("skey")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
+
+
+def value_quantiles_by_type(
+    events: rd.Dataset,
+    *,
+    q_pct: tuple[int, ...] = (1, 25, 50, 75, 99),
+) -> pa.Table:
+    """Exact per-event_type percentiles of the value column (integer
+    cents — same rounding as :func:`windowed_counts`).
+
+    Grouped variant of `textstats.token_count_quantiles`: batch-local
+    (event_type, cents) histogram combine, one composite sort, per-block
+    re-combine, then a per-group CDF walk on the driver (`take_all` is
+    O(distinct (type, cents)) — bounded by types x price points, not by
+    event count).  Quantile rule: value at 1-based sorted position
+    ``(q*N + 99) // 100`` — integer arithmetic, bit-exact vs SQL.
+
+    Output: small pa.Table (event_type, q_pct BIGINT, cents BIGINT)."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "cents" not in df.columns:
+            df = pd.DataFrame({
+                "event_type": df["event_type"].to_numpy(),
+                "cents": _round_half_away(df["value"].to_numpy() * 100),
+                "n": np.ones(len(df), np.int64),
+            })
+        g = (df.groupby(["event_type", "cents"], sort=False)["n"]
+             .sum().reset_index())
+        return pa.table({
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   pa.string()),
+            "cents": pa.array(np.asarray(g["cents"], np.int64),
+                              pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    hist = (
+        events.map_batches(combine, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .sort(["event_type", "cents"])
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    ).take_all()  # O(distinct (type, cents)) — tiny by design
+    df = pd.DataFrame(hist).sort_values(["event_type", "cents"])
+    out_t, out_q, out_v = [], [], []
+    for et, grp in df.groupby("event_type", sort=True):
+        vals = grp["cents"].to_numpy()
+        cum = np.cumsum(grp["n"].to_numpy())
+        n_total = int(cum[-1])
+        for q in q_pct:
+            pos = (int(q) * n_total + 99) // 100
+            idx = int(np.searchsorted(cum, pos, side="left"))
+            out_t.append(et)
+            out_q.append(int(q))
+            out_v.append(int(vals[idx]))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "q_pct": pa.array(out_q, pa.int64()),
+        "cents": pa.array(out_v, pa.int64()),
+    })
+
+
+def latest_event_per_user(events: rd.Dataset) -> rd.Dataset:
+    """Dedup-to-latest (CDC-style snapshot): each user's most recent
+    event by (ts, event_id).
+
+    Local per-batch last-per-user BEFORE the shuffle (the all-to-all
+    moves one row per user per batch), one sort on user_id, per-block
+    completion — a grouped argmax in the engine's combine/sort/combine
+    shape.  Output: (user_id, event_id, ts, event_type)."""
+
+    def local_last(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["user_id", "ts", "event_id"])
+              .groupby("user_id", sort=False).tail(1))
+        return pa.table({
+            "user_id": pa.array(np.asarray(df["user_id"], np.int64),
+                                pa.int64()),
+            "event_id": pa.array(np.asarray(df["event_id"], np.int64),
+                                 pa.int64()),
+            "ts": pa.array(df["ts"].to_numpy(), pa.timestamp("us")),
+            "event_type": pa.array(df["event_type"].tolist(),
+                                   pa.string()),
+        })
+
+    return (
+        events.map_batches(local_last, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .sort("user_id")
+        .map_batches(local_last, batch_format="pyarrow",
+                     batch_size=None)
+    )
 
 
 def asof_join_events_salted(

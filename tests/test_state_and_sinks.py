@@ -319,7 +319,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
     for name in ["events_windowed", "events_sessions", "events_sliding",
                  "events_asof", "events_range_join",
                  "events_sessions_salted", "events_asof_salted",
-                 "events_range_join_salted", "events_distinct_users"]:
+                 "events_range_join_salted", "events_distinct_users",
+                 "events_value_quantiles", "events_latest"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -720,3 +721,33 @@ def test_salted_sessionize_multiblock_stitch(ray_session):
     pd.testing.assert_frame_equal(
         salted[sorted(salted.columns)], plain[sorted(plain.columns)],
         check_dtype=False)
+
+
+def test_latest_event_per_user_ties(ray_session):
+    """Dedup-to-latest tie rule: equal ts resolves to the larger
+    event_id; each user yields exactly one row across block splits."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        latest_event_per_user)
+
+    n = 1000
+    ts0 = pd.Timestamp("2024-01-01").value // 1000
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+        # users 0..6; user 3 has ALL-equal timestamps (pure id tie)
+        "ts": pa.array(np.asarray(
+            [ts0 if i % 7 == 3 else ts0 + i * 1000 for i in range(n)],
+            dtype="int64")).cast(pa.timestamp("us")),
+        "event_type": pa.array(["view"] * n, pa.string()),
+    })
+    out = (latest_event_per_user(rd.from_arrow(tbl).repartition(8))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert len(out) == 7
+    want = {u: max(i for i in range(n) if i % 7 == u) for u in range(7)}
+    got = dict(zip(out["user_id"], out["event_id"]))
+    assert got == want
