@@ -1327,10 +1327,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 FROM d CROSS JOIN terms t
             ),
             g AS (
+                -- CAST to DOUBLE: bare 1.2/0.75 are DECIMAL in DuckDB,
+                -- whose exact arithmetic diverges from the engine's
+                -- float64 tree by 1 ulp and can flip near-tie ranks
                 SELECT term AS query_term, doc_id,
                        CAST(tf AS BIGINT) AS tf,
-                       tf * (1.2 + 1)
-                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       tf * (CAST(1.2 AS DOUBLE) + 1)
+                       / (tf + CAST(1.2 AS DOUBLE)
+                          * (1 - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
                            AS s
                 FROM tf, stats WHERE tf > 0
             )

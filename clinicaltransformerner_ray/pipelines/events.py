@@ -618,6 +618,12 @@ def value_quantiles_by_type(
         .sort(["event_type", "cents"])
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     ).take_all()  # O(distinct (type, cents)) — tiny by design
+    if not hist:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "q_pct": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        })
     df = pd.DataFrame(hist).sort_values(["event_type", "cents"])
     out_t, out_q, out_v = [], [], []
     for et, grp in df.groupby("event_type", sort=True):
@@ -689,48 +695,77 @@ def asof_join_events_salted(
        than anything in an earlier bucket, is always the true answer).
        Each group also emits ONE carry row — its latest left event —
        and the unresolved rights pass through tagged ``open``.
-    2. STITCH (sort on user_id): per user, an ``open`` right in bucket
-       b takes the carry row with the largest bucket < b (buckets
-       partition time, so the latest-left ts rises with bucket — the
-       prefix maximum IS the predecessor carry), found with one
-       searchsorted over (user, bucket) composed keys.  The stitch
-       input is resolved outputs + one carry per (user, bucket) +
-       opens — the same "tiny row per group" reduction sessionize's
-       stitch relies on."""
+    2. STITCH (sort on stkey): ``res`` rows — the resolved BULK — take
+       spread per-event odd keys and pass straight through (they never
+       re-concentrate per user); ``open``/``carry`` rows take the even
+       key 2*user_id, so per user an ``open`` in bucket b finds the
+       carry with the largest bucket < b (buckets partition time, so
+       the prefix-maximum carry IS the predecessor) via one
+       searchsorted over (user, bucket) composed keys.
+
+    Residual skew: the stitch concentrates one carry per (user, bucket)
+    plus the OPEN rights (rights before any same-bucket left).  Opens
+    are typically a small fraction; the adversarial case — a left-less
+    hyperactive user, all of whose rights are open — re-serializes that
+    user's rights only.  The escalation (resolve per-(user, bucket)
+    open GROUPS, then join back on the high-cardinality composed key)
+    costs every row a third shuffle and is not worth it before that
+    case is real."""
+    import pyarrow.compute as pc
+
+    ts_t = pa.timestamp("us")
+    # odd-key mix for res rows (Knuth multiplicative); only a
+    # partitioning key, never an output value
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def tag(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         keep = pc.is_in(batch.column("event_type"),
                         value_set=pa.array([left_type, right_type]))
-        df = (batch.filter(keep)
-              .select(["event_id", "user_id", "ts", "event_type"])
-              .to_pandas())
-        tus = df["ts"].astype("int64").to_numpy()
+        t = batch.filter(keep)
+        tus = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         bucket = tus // bucket_us
-        h = pd.util.hash_pandas_object(df["user_id"],
-                                       index=False).to_numpy()
-        df["bucket"] = bucket
-        df["skey"] = ((h + bucket.astype(np.uint64))
-                      % np.uint64(n_buckets)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        h = pd.util.hash_pandas_object(
+            pd.Series(t.column("user_id").to_numpy(
+                zero_copy_only=False)), index=False).to_numpy()
+        skey = ((h + bucket.astype(np.uint64))
+                % np.uint64(n_buckets)).astype(np.int64)
+        # Arrow-native passthrough keeps concrete types on empty blocks
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "event_type": t.column("event_type"),
+            "bucket": pa.array(bucket, pa.int64()),
+            "skey": pa.array(skey, pa.int64()),
+        })
 
-    stitch_cols = ["kind", "event_id", "user_id", "bucket", "ts",
-                   "asof_event_id", "asof_ts"]
+    def _stitch_rows(kind, event_id, user_id, bucket, ts, aeid,
+                     aeid_mask, ats, stkey) -> pa.Table:
+        """Explicit-typed superset block (empty-safe)."""
+        return pa.table({
+            "kind": pa.array(kind, pa.string()),
+            "event_id": pa.array(np.asarray(event_id, np.int64),
+                                 pa.int64()),
+            "user_id": pa.array(np.asarray(user_id, np.int64),
+                                pa.int64()),
+            "bucket": pa.array(np.asarray(bucket, np.int64),
+                               pa.int64()),
+            "ts": pa.array(np.asarray(ts, "datetime64[us]"), ts_t),
+            "asof_event_id": pa.array(
+                np.asarray(aeid, np.int64), pa.int64(),
+                mask=np.asarray(aeid_mask, bool)),
+            "asof_ts": pa.array(np.asarray(ats, "datetime64[us]"),
+                                ts_t, mask=np.asarray(aeid_mask, bool)),
+            "stkey": pa.array(np.asarray(stkey, np.int64), pa.int64()),
+        })
 
     def local_pass(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        empty = pd.DataFrame({
-            "kind": pd.Series(dtype="str"),
-            "event_id": pd.Series(dtype="int64"),
-            "user_id": pd.Series(dtype="int64"),
-            "bucket": pd.Series(dtype="int64"),
-            "ts": pd.Series(dtype="datetime64[us]"),
-            "asof_event_id": pd.Series(dtype="Int64"),
-            "asof_ts": pd.Series(dtype="datetime64[us]"),
-        })
         if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            z = np.empty(0, np.int64)
+            return _stitch_rows([], z, z, z, z, z, np.empty(0, bool),
+                                z, z)
         df = df.sort_values(["user_id", "bucket", "ts", "event_id"])
         uid = df["user_id"].to_numpy()
         bkt = df["bucket"].to_numpy()
@@ -746,62 +781,67 @@ def asof_join_events_salted(
         src = carried[right]
         resolved = src >= 0
         gather = np.maximum(src, 0)
-        rr = df.loc[right, ["event_id", "user_id", "bucket", "ts"]].copy()
-        rr["kind"] = np.where(resolved, "res", "open")
-        rr["asof_event_id"] = pd.array(
-            np.where(resolved, ids[gather], 0), dtype="Int64")
-        rr.loc[~resolved, "asof_event_id"] = pd.NA
-        ats = pd.Series(tsv[gather], index=rr.index)
-        ats[~resolved] = pd.NaT
-        rr["asof_ts"] = ats.astype("datetime64[us]")
+        r_ids = ids[right]
+        r_uid = uid[right]
+        # res: spread odd keys; open: even 2*user_id (wraparound keeps
+        # parity and equality, which is all a range partitioner needs)
+        odd = ((r_ids.astype(np.uint64) * _MIX) | np.uint64(1)
+               ).astype(np.int64)
+        even = (r_uid.astype(np.uint64) << np.uint64(1)).astype(np.int64)
+        rights = _stitch_rows(
+            np.where(resolved, "res", "open").tolist(),
+            r_ids, r_uid, bkt[right], tsv[right],
+            np.where(resolved, ids[gather], 0), ~resolved,
+            np.where(resolved, tsv[gather],
+                     np.datetime64(0, "us")),
+            np.where(resolved, odd, even))
         # one carry row per (user, bucket) that HAS a left event: its
         # latest (the group's last left row in sort order)
         dl = df[is_left]
         cl = dl.groupby([dl["user_id"].to_numpy(),
                          dl["bucket"].to_numpy()],
                         sort=False).tail(1)
-        carry = pd.DataFrame({
-            "kind": "carry",
-            "event_id": cl["event_id"].to_numpy(),
-            "user_id": cl["user_id"].to_numpy(),
-            "bucket": cl["bucket"].to_numpy(),
-            "ts": cl["ts"].to_numpy(),
-            "asof_event_id": pd.array(cl["event_id"].to_numpy(),
-                                      dtype="Int64"),
-            "asof_ts": pd.Series(cl["ts"].to_numpy()
-                                 ).astype("datetime64[us]").to_numpy(),
-        })
-        out = pd.concat([rr[stitch_cols], carry[stitch_cols]],
-                        ignore_index=True)
-        return pa.Table.from_pandas(out[empty.columns.tolist()],
-                                    preserve_index=False)
+        c_uid = cl["user_id"].to_numpy()
+        carries = _stitch_rows(
+            ["carry"] * len(cl), cl["event_id"].to_numpy(), c_uid,
+            cl["bucket"].to_numpy(), cl["ts"].to_numpy(),
+            cl["event_id"].to_numpy(), np.zeros(len(cl), bool),
+            cl["ts"].to_numpy(),
+            (c_uid.astype(np.uint64) << np.uint64(1)).astype(np.int64))
+        return pa.concat_tables([rights, carries])
+
+    out_cols = ["event_id", "user_id", "ts", "asof_event_id", "asof_ts"]
 
     def stitch(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        empty = pd.DataFrame({
-            "event_id": pd.Series(dtype="int64"),
-            "user_id": pd.Series(dtype="int64"),
-            "ts": pd.Series(dtype="datetime64[us]"),
-            "asof_event_id": pd.Series(dtype="Int64"),
-            "asof_ts": pd.Series(dtype="datetime64[us]"),
-        })
-        if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
-        df = df.sort_values(["user_id", "bucket", "event_id"])
-        uid = df["user_id"].to_numpy()
-        changed = np.ones(len(df), dtype=bool)
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        # res rows pass through IN ARROW: asof_event_id keeps its
+        # int64-with-nulls type (a pandas roundtrip would degrade it to
+        # float64, corrupting ids above 2^53 and splitting the block
+        # schema into int64-vs-double)
+        res = batch.filter(pa.array(kind == "res")).select(out_cols)
+        oc = batch.filter(pa.array((kind == "open") | (kind == "carry")))
+        if not oc.num_rows:
+            return res
+        uid = oc.column("user_id").to_numpy(zero_copy_only=False)
+        bkt = oc.column("bucket").to_numpy(zero_copy_only=False)
+        eid = oc.column("event_id").to_numpy(zero_copy_only=False)
+        tsv = oc.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        knd = oc.column("kind").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, bkt, uid))
+        uid, bkt, eid = uid[order], bkt[order], eid[order]
+        tsv, knd = tsv[order], knd[order]
+        changed = np.ones(len(uid), dtype=bool)
         changed[1:] = uid[1:] != uid[:-1]
         ucode = np.cumsum(changed) - 1
-        bkt = df["bucket"].to_numpy()
         span = np.int64(1) << int(max(bkt.max(), 1) + 1).bit_length()
         assert ucode.max() < (np.int64(1) << 62) // span
         key = ucode * span + bkt
-        kind = df["kind"].to_numpy()
-        is_c = kind == "carry"
-        ckey = key[is_c]        # sorted (df sorted by user, bucket)
-        c_ids = df["event_id"].to_numpy()[is_c]
-        c_ts = df["ts"].to_numpy()[is_c]
-        is_o = kind == "open"
+        is_c = knd == "carry"
+        ckey = key[is_c]        # ascending (lexsorted by user, bucket)
+        c_ids = eid[is_c]
+        c_ts = tsv[is_c]
+        is_o = knd == "open"
         # predecessor carry: largest carry key strictly below the
         # open's (user, bucket) — same-user guaranteed by the composed
         # key unless pos walks into the previous user, checked below
@@ -814,29 +854,23 @@ def asof_join_events_salted(
             # a block of only left-less users emits no carry rows
             valid = np.zeros(int(is_o.sum()), dtype=bool)
             gp = np.zeros(int(is_o.sum()), dtype=np.int64)
-        oo = df.loc[is_o, ["event_id", "user_id", "ts"]].copy()
-        oo["asof_event_id"] = pd.array(
-            np.where(valid, c_ids[gp] if len(ckey) else 0, 0),
-            dtype="Int64")
-        oo.loc[~valid, "asof_event_id"] = pd.NA
-        ats = pd.Series(c_ts[gp] if len(ckey)
-                        else np.zeros(valid.shape, "datetime64[us]"),
-                        index=oo.index)
-        ats[~valid] = pd.NaT
-        oo["asof_ts"] = pd.Series(ats).astype("datetime64[us]")
-        res = df.loc[kind == "res",
-                     ["event_id", "user_id", "ts",
-                      "asof_event_id", "asof_ts"]]
-        out = pd.concat([res, oo], ignore_index=True)
-        out["asof_ts"] = out["asof_ts"].astype("datetime64[us]")
-        return pa.Table.from_pandas(out[empty.columns.tolist()],
-                                    preserve_index=False)
+        aeid = np.where(valid, c_ids[gp] if len(ckey) else 0, 0)
+        ats = np.where(valid, c_ts[gp] if len(ckey) else 0, 0)
+        opens = pa.table({
+            "event_id": pa.array(eid[is_o], pa.int64()),
+            "user_id": pa.array(uid[is_o], pa.int64()),
+            "ts": pa.array(tsv[is_o].astype("datetime64[us]"), ts_t),
+            "asof_event_id": pa.array(aeid, pa.int64(), mask=~valid),
+            "asof_ts": pa.array(ats.astype("datetime64[us]"), ts_t,
+                                mask=~valid),
+        })
+        return pa.concat_tables([res, opens])
 
     return (events.map_batches(tag, batch_format="pyarrow",
                                batch_size=1 << 19)
             .sort("skey")
             .map_batches(local_pass, batch_format="pyarrow",
                          batch_size=None)
-            .sort("user_id")
+            .sort("stkey")
             .map_batches(stitch, batch_format="pyarrow",
                          batch_size=None))

@@ -43,9 +43,13 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def _corpus_stats(docs: rd.Dataset, terms: list[str]) -> dict:
-    """One mergeable counter row per block: (n_docs, sum_dl, df list)."""
-    term_arr = pa.array(terms, pa.string())
+def _corpus_stats(docs: rd.Dataset) -> dict:
+    """One mergeable counter row per block: (n_docs, sum_dl).
+
+    Per-term document frequencies are deliberately NOT computed: the
+    per-term idf is a positive constant that never enters a rank
+    comparison (module docstring), so the stats pass is two Arrow
+    kernel sums per batch — no token explode."""
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -54,31 +58,16 @@ def _corpus_stats(docs: rd.Dataset, terms: list[str]) -> dict:
         n_docs = len(text)
         n_spaces = pc.sum(pc.count_substring(text, " ")).as_py() or 0
         sum_dl = int(n_spaces) + n_docs  # dl = spaces + 1 per doc
-        toks = pc.split_pattern(text, " ")
-        flat = pa.table({
-            "i": pc.list_parent_indices(toks),
-            "tok": pc.list_flatten(toks),
-        })
-        flat = flat.filter(pc.is_in(flat.column("tok"),
-                                    value_set=term_arr))
-        hit = flat.to_pandas().drop_duplicates()  # (doc, term) presence
-        cnt = hit.groupby("tok").size()
         return pa.table({
             "n_docs": pa.array([n_docs], pa.int64()),
             "sum_dl": pa.array([sum_dl], pa.int64()),
-            "df": pa.array([[int(cnt.get(t, 0)) for t in terms]],
-                           pa.list_(pa.int64())),
         })
 
     rows = docs.map_batches(
         partial, batch_format="pyarrow", batch_size=1 << 17,
     ).take_all()  # O(blocks) — one counter row per block
-    n_docs = sum(r["n_docs"] for r in rows)
-    sum_dl = sum(r["sum_dl"] for r in rows)
-    df = np.sum([np.asarray(r["df"], dtype=np.int64) for r in rows],
-                axis=0) if rows else np.zeros(len(terms), np.int64)
-    return {"n_docs": int(n_docs), "sum_dl": int(sum_dl),
-            "df": dict(zip(terms, (int(x) for x in df)))}
+    return {"n_docs": int(sum(r["n_docs"] for r in rows)),
+            "sum_dl": int(sum(r["sum_dl"] for r in rows))}
 
 
 def bm25_topk(
@@ -95,20 +84,25 @@ def bm25_topk(
     descending, ties broken by ascending doc_id.  Documents with
     tf == 0 never appear."""
     terms = sorted(set(terms))
-    stats = _corpus_stats(docs, terms)
+    stats = _corpus_stats(docs)
     avgdl = stats["sum_dl"] / max(stats["n_docs"], 1)
 
     term_arr = pa.array(terms, pa.string())
 
+    def _scored(query_term, doc_id, tf, g) -> pa.Table:
+        """Explicit types — an empty pandas frame would infer Arrow
+        `null` for query_term and break the sort schema."""
+        return pa.table({
+            "query_term": pa.array(list(query_term), pa.string()),
+            "doc_id": pa.array(np.asarray(doc_id, np.int64),
+                               pa.int64()),
+            "tf": pa.array(np.asarray(tf, np.int64), pa.int64()),
+            "g": pa.array(np.asarray(g, np.float64), pa.float64()),
+        })
+
     def score_local(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        empty = pd.DataFrame({
-            "query_term": pd.Series(dtype="str"),
-            "doc_id": pd.Series(dtype="int64"),
-            "tf": pd.Series(dtype="int64"),
-            "g": pd.Series(dtype="float64"),
-        })
         text = pc.fill_null(batch.column("text"), "")
         dl = pc.add(pc.cast(pc.count_substring(text, " "),
                             pa.int64()), 1).to_numpy()
@@ -122,7 +116,8 @@ def bm25_topk(
         flat = flat.filter(pc.is_in(flat.column("tok"),
                                     value_set=term_arr))
         if not flat.num_rows:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            z = np.empty(0, np.int64)
+            return _scored([], z, z, np.empty(0, np.float64))
         tf_tbl = (flat.group_by(["i", "tok"])
                   .aggregate([("tok", "count")]))
         i = tf_tbl.column("i").to_numpy()
@@ -140,26 +135,27 @@ def bm25_topk(
         df = df.sort_values(["query_term", "g", "doc_id"],
                             ascending=[True, False, True])
         df = df.groupby("query_term", sort=False).head(k)
-        return pa.Table.from_pandas(df[empty.columns.tolist()],
-                                    preserve_index=False)
+        return _scored(df["query_term"].tolist(), df["doc_id"],
+                       df["tf"], df["g"])
 
     def finalize(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        empty = pd.DataFrame({
-            "query_term": pd.Series(dtype="str"),
-            "doc_id": pd.Series(dtype="int64"),
-            "tf": pd.Series(dtype="int64"),
-            "rank": pd.Series(dtype="int64"),
+        if not df.empty:
+            df = df.sort_values(["query_term", "g", "doc_id"],
+                                ascending=[True, False, True])
+            df = df.groupby("query_term", sort=False).head(k)
+            rank = (df.groupby("query_term", sort=False).cumcount()
+                    + 1).to_numpy()
+        else:
+            rank = np.empty(0, np.int64)
+        return pa.table({
+            "query_term": pa.array(df["query_term"].tolist(),
+                                   pa.string()),
+            "doc_id": pa.array(np.asarray(df["doc_id"], np.int64),
+                               pa.int64()),
+            "tf": pa.array(np.asarray(df["tf"], np.int64), pa.int64()),
+            "rank": pa.array(np.asarray(rank, np.int64), pa.int64()),
         })
-        if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
-        df = df.sort_values(["query_term", "g", "doc_id"],
-                            ascending=[True, False, True])
-        df = df.groupby("query_term", sort=False).head(k)
-        df["rank"] = (df.groupby("query_term", sort=False).cumcount()
-                      + 1).astype(np.int64)
-        return pa.Table.from_pandas(df[empty.columns.tolist()],
-                                    preserve_index=False)
 
     return (
         docs.map_batches(score_local, batch_format="pyarrow",

@@ -21,8 +21,6 @@ Approximate relative to truth, so no SQL oracle (rows-only query);
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -88,14 +86,18 @@ def distinct_users(events: rd.Dataset) -> rd.Dataset:
 
 def _hll_registers(user_ids: np.ndarray) -> np.ndarray:
     """One 2^p register block from md5-derived 64-bit hashes: index =
-    top p bits, register = 1 + leading-zero count of the rest."""
+    top p bits, register = 1 + leading-zero count of the rest.
+
+    Hashes come from the engine's canonical `dedup._hash64` (md5 first
+    8 bytes little-endian); duplicates are removed first — max is
+    idempotent, so hashing each distinct id once gives identical
+    registers at a fraction of the md5 calls."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
     regs = np.zeros(HLL_M, dtype=np.uint8)
     if not len(user_ids):
         return regs
-    h = np.asarray(
-        [int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[:8],
-                        "little") for u in user_ids],
-        dtype=np.uint64)
+    h = _hash64([str(int(u)) for u in np.unique(user_ids)])
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
     # rho = 1 + leading zeros of the remaining word (low p bits are

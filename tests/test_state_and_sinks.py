@@ -471,10 +471,15 @@ def test_salted_asof_join_equals_unsalted(ray_session):
     uids = [0] * n
     tss = ts0.tolist()
     types = ["click" if i % 3 == 0 else "purchase" for i in range(n)]
+    big = 1 << 60   # ids above 2^53: a pandas float64 roundtrip in the
+    # stitch would corrupt them — the Arrow passthrough must not
     for e, u, t, k in [(n, 1, 5 * us, "click"),
                        (n + 1, 1, 10 * day, "purchase"),
                        (n + 2, 1, 25 * day, "purchase"),
-                       (n + 3, 2, 3 * day, "purchase")]:
+                       (n + 3, 2, 3 * day, "purchase"),
+                       (big + 1, 5, 7 * us, "click"),
+                       (big + 2, 5, 9 * us, "purchase"),      # res path
+                       (big + 3, 5, 20 * day, "purchase")]:   # open path
         eids.append(e), uids.append(u), tss.append(t), types.append(k)
     tbl = pa.table({
         "event_id": pa.array(eids, pa.int64()),
@@ -491,6 +496,12 @@ def test_salted_asof_join_equals_unsalted(ray_session):
     assert a["asof_event_id"].isna().sum() == 1  # only the clickless user
     # user 1's purchases carry the day-0 click across 10 and 25 buckets
     assert (a.loc[a["user_id"] == 1, "asof_event_id"] == n).all()
+    # >2^53 ids survive both the res and the open stitch path exactly
+    # (checked via take_all — to_pandas itself would round to float64)
+    u5 = [r for r in asof_join_events_salted(ds, bucket_us=day)
+          .take_all() if r["user_id"] == 5]
+    assert len(u5) == 2
+    assert all(r["asof_event_id"] == big + 1 for r in u5)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
     # all-purchase input: every stitch block is carry-less → all NULL
     only_p = rd.from_arrow(tbl.filter(
