@@ -403,6 +403,16 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_corpus_splits(sf_dir: str):
+    """Deterministic 80/10/10 split assignment: split is a pure
+    function of md5_64(doc_id) — stable under corpus growth, id-exact
+    vs the oracle."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        assign_splits)
+
+    return assign_splits(_docs(sf_dir))
+
+
 def _q_top_tokens(sf_dir: str):
     """Exact heavy hitters: top-100 tokens by (n DESC, token ASC) —
     per-block local top-k bounds the final exchange at k rows/block."""
@@ -636,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "top_tokens": _q_top_tokens,
+        "corpus_splits": _q_corpus_splits,
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
         "brat_format": _q_brat_format,
@@ -1354,6 +1365,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        """,
+        "corpus_splits": """
+            SELECT doc_id, CASE
+                WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+                     < 80 THEN 'train'
+                WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+                     < 90 THEN 'val'
+                ELSE 'test' END AS split
+            FROM documents
         """,
         "top_tokens": """
             WITH u AS (

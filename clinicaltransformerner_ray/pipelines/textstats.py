@@ -282,6 +282,43 @@ def hash_stratified_sample(
     return docs.map_batches(sample, batch_format="pyarrow")
 
 
+#: default split layout (percent, must sum to <= 100; remainder goes
+#: to the last split)
+SPLIT_LAYOUT = (("train", 80), ("val", 10), ("test", 10))
+
+
+def assign_splits(
+    docs: rd.Dataset,
+    *,
+    layout: tuple[tuple[str, int], ...] = SPLIT_LAYOUT,
+) -> rd.Dataset:
+    """Deterministic train/val/test split assignment: the split is a
+    pure function of ``md5_64(str(doc_id)) % 100`` against cumulative
+    layout ranges — reproducible across runs and engines, stable under
+    corpus growth (an existing doc never changes split), and exactly
+    replicated by the SQL oracle.  Pure projection, no shuffle.
+
+    Output: (doc_id, split)."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    names = [n for n, _ in layout]
+    bounds = np.cumsum([p for _, p in layout]).astype(np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        mod = (_hash64([str(i) for i in ids])
+               % np.uint64(100)).astype(np.int64)
+        idx = np.minimum(np.searchsorted(bounds, mod, side="right"),
+                         len(names) - 1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "split": pa.array([names[j] for j in idx], pa.string()),
+        })
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 def token_vocab(docs: rd.Dataset) -> rd.Dataset:
     """Corpus token-frequency table under the BPE-ish regex tokenizer.
 

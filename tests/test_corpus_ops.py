@@ -31,6 +31,7 @@ SQL_CHECKED = [
     "ann_topk", "ann_ivf", "kmeans",
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
+    "corpus_splits",
 ]
 
 
@@ -543,3 +544,31 @@ def test_hll_distinct_users_tolerance_and_determinism(ray_session):
         true = exact[row["event_type"]]
         assert abs(row["n_users_approx"] - true) / true < 0.05, (
             row["event_type"], row["n_users_approx"], true)
+
+
+def test_assign_splits_stability_and_coverage(ray_session):
+    """Splits are exhaustive, disjoint, roughly proportioned, and an
+    existing doc's split never changes when the corpus grows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        assign_splits)
+
+    small = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "text": pa.array(["x"] * 500),
+    }))
+    grown = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2000), pa.int64()),
+        "text": pa.array(["x"] * 2000),
+    }))
+    a = (assign_splits(small).to_pandas()
+         .set_index("doc_id")["split"])
+    g = (assign_splits(grown).to_pandas()
+         .set_index("doc_id")["split"])
+    assert len(a) == 500 and set(a.unique()) <= {"train", "val", "test"}
+    # growth stability: the original 500 keep their assignment
+    assert (g.loc[a.index] == a).all()
+    frac = (g == "train").mean()
+    assert 0.7 < frac < 0.9, frac
