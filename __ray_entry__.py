@@ -403,6 +403,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_corpus_pack(sf_dir: str):
+    """Sequence packing (distributed prefix-sum): global token offset
+    and 2048-token bin per doc, bit-exact vs the window-cumsum SQL."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        pack_sequences)
+
+    return pack_sequences(_docs(sf_dir), capacity=2048, shard_size=64)
+
+
 def _q_corpus_splits(sf_dir: str):
     """Deterministic 80/10/10 split assignment: split is a pure
     function of md5_64(doc_id) — stable under corpus growth, id-exact
@@ -647,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_antijoin": _q_tpch_antijoin,
         "top_tokens": _q_top_tokens,
         "corpus_splits": _q_corpus_splits,
+        "corpus_pack": _q_corpus_pack,
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
         "brat_format": _q_brat_format,
@@ -1365,6 +1375,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        """,
+        "corpus_pack": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(coalesce(text, ''))
+                       - len(replace(coalesce(text, ''), ' ', '')) + 1
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin_id
+            FROM d
         """,
         "corpus_splits": """
             SELECT doc_id, CASE

@@ -29,6 +29,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -280,6 +281,100 @@ def hash_stratified_sample(
         })
 
     return docs.map_batches(sample, batch_format="pyarrow")
+
+
+def pack_sequences(
+    docs: rd.Dataset,
+    *,
+    capacity: int = 2048,
+    shard_size: int = 4096,
+) -> rd.Dataset:
+    """Sequence packing for pretraining: concatenate documents in
+    doc_id order and cut fixed ``capacity``-token bins; each document
+    is assigned the bin its global token offset falls in.
+
+    This is a distributed PREFIX SUM (scan) — the one primitive the
+    combine/sort/combine family can't express alone — done in two
+    passes:
+
+    1. SHARD TOTALS: per-batch token sums per ``doc_id // shard_size``
+       shard (a pure combiner; `take_all` is O(batches x shards/batch),
+       the driver folds it to one int per shard).
+    2. ASSIGN: broadcast the per-shard EXCLUSIVE prefix offsets, sort
+       on the shard key (equal shards land whole; high-cardinality at
+       corpus scale), and compute each doc's global offset = shard
+       offset + within-shard exclusive cumsum.
+
+    Scale note: the broadcast offset table is one int64 per shard
+    (n_docs / shard_size entries); beyond ~10^8 shards a second
+    sharding level (offsets-of-offset-shards) keeps it bounded —
+    documented escalation, not needed at any plausible corpus here.
+
+    Output: (doc_id, n_tokens, start_tok, bin_id) — all integer, so
+    the SQL oracle (window cumsum over doc_id order) is bit-exact."""
+    import pyarrow.compute as pc
+
+    def shard_sums(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n_tok = pc.add(pc.cast(pc.count_substring(text, " "),
+                               pa.int64()), 1).to_numpy()
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        g = (pd.DataFrame({"shard": ids // shard_size, "tok": n_tok})
+             .groupby("shard", sort=False)["tok"].sum().reset_index())
+        return pa.table({
+            "shard": pa.array(np.asarray(g["shard"], np.int64),
+                              pa.int64()),
+            "tok": pa.array(np.asarray(g["tok"], np.int64),
+                            pa.int64()),
+        })
+
+    rows = docs.map_batches(shard_sums, batch_format="pyarrow",
+                            batch_size=1 << 17).take_all()
+    totals: dict[int, int] = {}
+    for r in rows:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["tok"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in sorted(totals):
+        offsets[s] = acc
+        acc += totals[s]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n_tok = pc.add(pc.cast(pc.count_substring(text, " "),
+                               pa.int64()), 1).to_numpy()
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "shard": pa.array(ids // shard_size, pa.int64()),
+        })
+
+    def assign(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["shard", "doc_id"]))
+        ntk = df["n_tokens"].to_numpy()
+        within = (df.groupby("shard", sort=False)["n_tokens"]
+                  .cumsum().to_numpy() - ntk)
+        base = np.asarray([offsets[s] for s in df["shard"]],
+                          dtype=np.int64)
+        start = base + within
+        return pa.table({
+            "doc_id": pa.array(np.asarray(df["doc_id"], np.int64),
+                               pa.int64()),
+            "n_tokens": pa.array(ntk, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "bin_id": pa.array(start // capacity, pa.int64()),
+        })
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("shard")
+        .map_batches(assign, batch_format="pyarrow", batch_size=None)
+    )
 
 
 #: default split layout (percent, must sum to <= 100; remainder goes

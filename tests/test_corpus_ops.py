@@ -31,7 +31,7 @@ SQL_CHECKED = [
     "ann_topk", "ann_ivf", "kmeans",
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
-    "corpus_splits",
+    "corpus_splits", "corpus_pack",
 ]
 
 
@@ -572,3 +572,32 @@ def test_assign_splits_stability_and_coverage(ray_session):
     assert (g.loc[a.index] == a).all()
     frac = (g == "train").mean()
     assert 0.7 < frac < 0.9, frac
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Distributed prefix-sum == sequential cumsum on a multi-shard,
+    multi-block corpus; bins cover [0, total) contiguously."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        pack_sequences)
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    lens = rng.randint(1, 40, n)
+    texts = [" ".join(["t"] * k) for k in lens]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(16)
+    out = (pack_sequences(docs, capacity=100, shard_size=128)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    assert (out["n_tokens"].to_numpy() == lens).all()
+    assert (out["start_tok"].to_numpy() == want_start).all()
+    assert (out["bin_id"].to_numpy() == want_start // 100).all()
+    # bins are contiguous from 0
+    bins = np.sort(out["bin_id"].unique())
+    assert bins[0] == 0 and (np.diff(bins) == 1).all()
