@@ -309,6 +309,27 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_dup_pairs(_vecs(sf_dir), threshold=0.45)
 
 
+def _q_dedup_ensemble(sf_dir: str):
+    """Multi-signal near-dup: the union of MinHash-LSH text similarity
+    and embedding cosine with a per-pair agreement count — oracle is
+    the grouped union of the two signals' exact SQL replicas (the
+    synth plants the two dup sets disjointly, so the intersection is
+    empty by construction; the union keeps the query non-vacuous)."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        ensemble_dup_pairs)
+
+    return ensemble_dup_pairs(_docs(sf_dir), _vecs(sf_dir))
+
+
+def _q_corpus_chunks(sf_dir: str):
+    """Sliding-window chunking (16-token windows, stride 8) — the
+    embedding-prep flat-map; integer window arithmetic, SQL-exact."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        chunk_documents)
+
+    return chunk_documents(_docs(sf_dir))
+
+
 def _q_ann_topk(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.similarity import knn_bruteforce
 
@@ -641,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_ensemble": _q_dedup_ensemble,
+        "corpus_chunks": _q_corpus_chunks,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "kmeans": _q_kmeans,
@@ -1003,6 +1026,29 @@ _RANGE_JOIN_SQL = """
 """
 
 
+# exact chunk-pair cosine near-dup — shared by dedup_embedding and the
+# ensemble intersection oracle
+_EMBEDDING_SQL = """
+    WITH unn AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
+              FROM unn GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v*b.v) AS dot
+        FROM unn a JOIN unn b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id AS vec_a, b_id AS vec_b
+    FROM dots
+    JOIN norms na ON na.vec_id = a_id
+    JOIN norms nb ON nb.vec_id = b_id
+    WHERE dot / (na.nn * nb.nn) >= 0.45
+"""
+
+
 def _minhash_perm_values() -> str:
     from clinicaltransformerner_ray.pipelines.dedup import _minhash_params
 
@@ -1170,24 +1216,29 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
             FROM reach GROUP BY u
         """,
-        "dedup_embedding": """
-            WITH unn AS (
-                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-                       generate_subscripts(embedding, 1) AS i
-                FROM embeddings
-            ),
-            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
-                      FROM unn GROUP BY vec_id),
-            dots AS (
-                SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v*b.v) AS dot
-                FROM unn a JOIN unn b ON a.i = b.i AND a.vec_id < b.vec_id
-                GROUP BY 1, 2
-            )
-            SELECT a_id AS vec_a, b_id AS vec_b
-            FROM dots
-            JOIN norms na ON na.vec_id = a_id
-            JOIN norms nb ON nb.vec_id = b_id
-            WHERE dot / (na.nn * nb.nn) >= 0.45
+        "dedup_embedding": _EMBEDDING_SQL,
+        "dedup_ensemble": (
+            "WITH mh AS ({mh}),\n em AS ({em}),\n"
+            " u AS (SELECT doc_a, doc_b, 'mh' AS kind FROM mh\n"
+            "       UNION ALL SELECT vec_a, vec_b, 'em' FROM em)\n"
+            "SELECT doc_a, doc_b,\n"
+            "       CAST(count(DISTINCT kind) AS BIGINT) AS n_signals\n"
+            "FROM u GROUP BY doc_a, doc_b"
+        ).format(mh=_MINHASH_SQL.format(perm_vals=_minhash_perm_values()),
+                 em=_EMBEDDING_SQL),
+        "corpus_chunks": """
+            WITH d AS (SELECT doc_id,
+                              string_split(coalesce(text, ''), ' ') AS l
+                       FROM documents),
+            n AS (SELECT doc_id, l,
+                         CASE WHEN len(l) <= 16 THEN 1
+                              ELSE (len(l) - 16 + 7) // 8 + 1 END AS nc
+                  FROM d),
+            c AS (SELECT doc_id, l, unnest(range(0, nc)) AS i FROM n)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(l[(i*8+1):(i*8+16)], ' ') AS text,
+                   CAST(len(l[(i*8+1):(i*8+16)]) AS BIGINT) AS n_tokens
+            FROM c
         """,
         "ann_topk": """
             WITH unn AS (

@@ -715,3 +715,68 @@ def dup_clusters(
         })
 
     return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# 7. ensemble near-dup (text signal ∩ embedding signal)
+
+
+def ensemble_dup_pairs(
+    docs: rd.Dataset,
+    vecs: rd.Dataset,
+    *,
+    threshold: float = 0.8,
+    cos_threshold: float = 0.45,
+) -> rd.Dataset:
+    """Multi-signal near-duplicate pairs: the UNION of MinHash-LSH text
+    similarity (est_jaccard >= ``threshold``) and embedding cosine
+    (>= ``cos_threshold``), with a per-pair agreement count — the
+    recall-first fusion a curation pipeline runs before review
+    (threshold ``n_signals >= 2`` downstream for the precision-first
+    intersection).  ``doc_id`` and ``vec_id`` share the id space
+    (synth invariant).
+
+    Shape: each signal's pair table is already tiny (pairs, not
+    corpus); the fusion is one union with a source tag, a sort on the
+    composite pair key (equal pairs land whole per block), and a
+    per-block distinct-signal count.  Output: (doc_a, doc_b,
+    n_signals)."""
+
+    def tag(kind: str):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = batch.column_names
+            a = batch.column("doc_a" if "doc_a" in cols else "vec_a")
+            b = batch.column("doc_b" if "doc_b" in cols else "vec_b")
+            return pa.table({
+                "doc_a": a.cast(pa.int64()),
+                "doc_b": b.cast(pa.int64()),
+                "kind": pa.array([kind] * batch.num_rows, pa.string()),
+            })
+        return f
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "n_signals": pa.array([], pa.int64())}
+        if df.empty:
+            return pa.table(empty)
+        g = (df.groupby(["doc_a", "doc_b"], sort=False)["kind"]
+             .nunique().reset_index(name="n_signals"))
+        return pa.table({
+            "doc_a": pa.array(np.asarray(g["doc_a"], np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(np.asarray(g["doc_b"], np.int64),
+                              pa.int64()),
+            "n_signals": pa.array(np.asarray(g["n_signals"], np.int64),
+                                  pa.int64()),
+        })
+
+    mh = minhash_lsh_pairs(docs, threshold=threshold).map_batches(
+        tag("mh"), batch_format="pyarrow")
+    em = embedding_dup_pairs(vecs, threshold=cos_threshold).map_batches(
+        tag("em"), batch_format="pyarrow")
+    return (mh.union(em)
+            .sort(["doc_a", "doc_b"])
+            .map_batches(merge, batch_format="pyarrow",
+                         batch_size=None))

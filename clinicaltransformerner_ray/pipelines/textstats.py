@@ -283,6 +283,52 @@ def hash_stratified_sample(
     return docs.map_batches(sample, batch_format="pyarrow")
 
 
+def chunk_documents(
+    docs: rd.Dataset,
+    *,
+    chunk_tokens: int = 16,
+    stride: int = 8,
+) -> rd.Dataset:
+    """Sliding-window document chunking (the embedding-prep flat-map):
+    one output row per ``chunk_tokens``-token window every ``stride``
+    tokens; the last window clamps at the document end.
+
+    n_chunks = 1 if L <= chunk else (L - chunk + stride - 1)//stride + 1
+    — pure integer arithmetic, so the SQL oracle (1-based inclusive
+    list slices) is exact.  Pure flat-map expansion, no shuffle; the
+    per-doc Python loop is inherent to the ragged window emission
+    (same trade as doc_fingerprints).
+
+    Output: (doc_id, chunk_idx, text, n_tokens)."""
+    assert stride >= 1 and chunk_tokens >= 1
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_ci, o_tx, o_nt = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = (t or "").split(" ")
+            n = len(toks)
+            if n <= chunk_tokens:
+                nc = 1
+            else:
+                nc = (n - chunk_tokens + stride - 1) // stride + 1
+            for i in range(nc):
+                w = toks[i * stride: i * stride + chunk_tokens]
+                o_id.append(did)
+                o_ci.append(i)
+                o_tx.append(" ".join(w))
+                o_nt.append(len(w))
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_idx": pa.array(o_ci, pa.int64()),
+            "text": pa.array(o_tx, pa.string()),
+            "n_tokens": pa.array(o_nt, pa.int64()),
+        })
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
 def pack_sequences(
     docs: rd.Dataset,
     *,

@@ -31,7 +31,7 @@ SQL_CHECKED = [
     "ann_topk", "ann_ivf", "kmeans",
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
-    "corpus_splits", "corpus_pack",
+    "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble",
 ]
 
 
