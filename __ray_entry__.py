@@ -430,7 +430,7 @@ def _q_corpus_pack(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.textstats import (
         pack_sequences)
 
-    return pack_sequences(_docs(sf_dir), capacity=2048, shard_size=64)
+    return pack_sequences(_docs(sf_dir), capacity=2048)
 
 
 def _q_corpus_splits(sf_dir: str):

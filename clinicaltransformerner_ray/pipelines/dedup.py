@@ -718,7 +718,7 @@ def dup_clusters(
 
 
 # ---------------------------------------------------------------------------
-# 7. ensemble near-dup (text signal ∩ embedding signal)
+# 7. ensemble near-dup (text signal ∪ embedding signal + agreement count)
 
 
 def ensemble_dup_pairs(

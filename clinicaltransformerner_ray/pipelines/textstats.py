@@ -47,6 +47,16 @@ TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]")
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
 
 
+def _id_mod100(ids: np.ndarray) -> np.ndarray:
+    """md5_64(str(id)) % 100 — the one hashing convention shared by
+    every deterministic id-keyed selector (`hash_stratified_sample`,
+    `assign_splits`) and their `md5_number_upper` SQL oracles."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    return (_hash64([str(int(i)) for i in ids])
+            % np.uint64(100)).astype(np.int64)
+
+
 def stats_columns(batch: pa.Table) -> pa.Table:
     """Vectorized per-doc shape/quality kernel shared by
     :func:`doc_stats` and :func:`curate_corpus`."""
@@ -261,17 +271,13 @@ def hash_stratified_sample(
     own lang_pred via :func:`stats_columns` and filters locally.
 
     Output: (doc_id, lang_pred)."""
-    from clinicaltransformerner_ray.pipelines.dedup import _hash64
-
     rates = dict(SAMPLE_RATES_PCT if rates_pct is None else rates_pct)
 
     def sample(batch: pa.Table) -> pa.Table:
         stats = stats_columns(batch)
-        ids = np.asarray(batch.column("doc_id").to_pylist(),
-                         dtype=np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         lang = np.asarray(stats.column("lang_pred").to_pylist())
-        mod = (_hash64([str(i) for i in ids])
-               % np.uint64(100)).astype(np.int64)
+        mod = _id_mod100(ids)
         rate = np.asarray([rates.get(lg, 0) for lg in lang],
                           dtype=np.int64)
         keep = mod < rate
@@ -300,7 +306,9 @@ def chunk_documents(
     (same trade as doc_fingerprints).
 
     Output: (doc_id, chunk_idx, text, n_tokens)."""
-    assert stride >= 1 and chunk_tokens >= 1
+    # stride > chunk would SKIP tokens between windows (silent data
+    # loss) and emit empty windows past the end — refuse it
+    assert 1 <= stride <= chunk_tokens
 
     def chunk(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -333,7 +341,7 @@ def pack_sequences(
     docs: rd.Dataset,
     *,
     capacity: int = 2048,
-    shard_size: int = 4096,
+    shard_size: int | None = None,
 ) -> rd.Dataset:
     """Sequence packing for pretraining: concatenate documents in
     doc_id order and cut fixed ``capacity``-token bins; each document
@@ -351,21 +359,27 @@ def pack_sequences(
        corpus scale), and compute each doc's global offset = shard
        offset + within-shard exclusive cumsum.
 
-    Scale note: the broadcast offset table is one int64 per shard
-    (n_docs / shard_size entries); beyond ~10^8 shards a second
-    sharding level (offsets-of-offset-shards) keeps it bounded —
-    documented escalation, not needed at any plausible corpus here.
+    ``shard_size=None`` (default) auto-scales to target ~2^16 shards
+    (`max(1, n_docs // 65536)`), keeping the sort key high-cardinality
+    (CLAUDE.md perf rule 2 — a fixed shard size becomes a
+    low-cardinality sort at mid-scale) while bounding the broadcast
+    offset table at ~2^16 int64s; beyond ~10^8 shards a second
+    sharding level (offsets-of-offset-shards) is the documented
+    escalation.  The auto path calls ``docs.count()`` (metadata-cheap
+    on parquet); pre-transformed inputs should pass it explicitly.
 
     Output: (doc_id, n_tokens, start_tok, bin_id) — all integer, so
     the SQL oracle (window cumsum over doc_id order) is bit-exact."""
     import pyarrow.compute as pc
 
+    if shard_size is None:
+        shard_size = max(1, docs.count() // 65536)
+
     def shard_sums(batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch.column("text"), "")
         n_tok = pc.add(pc.cast(pc.count_substring(text, " "),
                                pa.int64()), 1).to_numpy()
-        ids = np.asarray(batch.column("doc_id").to_pylist(),
-                         dtype=np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         g = (pd.DataFrame({"shard": ids // shard_size, "tok": n_tok})
              .groupby("shard", sort=False)["tok"].sum().reset_index())
         return pa.table({
@@ -390,8 +404,7 @@ def pack_sequences(
         text = pc.fill_null(batch.column("text"), "")
         n_tok = pc.add(pc.cast(pc.count_substring(text, " "),
                                pa.int64()), 1).to_numpy()
-        ids = np.asarray(batch.column("doc_id").to_pylist(),
-                         dtype=np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_tokens": pa.array(n_tok, pa.int64()),
@@ -440,16 +453,15 @@ def assign_splits(
     replicated by the SQL oracle.  Pure projection, no shuffle.
 
     Output: (doc_id, split)."""
-    from clinicaltransformerner_ray.pipelines.dedup import _hash64
-
     names = [n for n, _ in layout]
+    assert names, "layout must name at least one split"
     bounds = np.cumsum([p for _, p in layout]).astype(np.int64)
+    assert (np.diff(bounds, prepend=0) >= 0).all() and bounds[-1] <= 100, \
+        "layout percents must be non-negative and sum to <= 100"
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(),
-                         dtype=np.int64)
-        mod = (_hash64([str(i) for i in ids])
-               % np.uint64(100)).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mod = _id_mod100(ids)
         idx = np.minimum(np.searchsorted(bounds, mod, side="right"),
                          len(names) - 1)
         return pa.table({
