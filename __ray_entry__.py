@@ -330,6 +330,30 @@ def _q_corpus_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir))
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Cross-corpus incremental dedup via the sharded mutable-index
+    actors (state/dedup_index.py): base = even doc_ids folded into the
+    index, new = odd doc_ids filtered read-only against it.  Oracle:
+    NOT EXISTS text anti-join between the two halves."""
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.state.dedup_index import (
+        build_index, filter_unseen)
+
+    def half(par: int):
+        def f(batch):
+            ids = batch.column("doc_id")
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(ids, 1), par))
+        return f
+
+    docs = _docs(sf_dir)
+    base = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    shards = build_index(base)
+    return filter_unseen(new, shards)
+
+
 def _q_ann_topk(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.similarity import knn_bruteforce
 
@@ -663,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ensemble": _q_dedup_ensemble,
+        "dedup_incremental": _q_dedup_incremental,
         "corpus_chunks": _q_corpus_chunks,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
@@ -1226,6 +1251,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             "FROM u GROUP BY doc_a, doc_b"
         ).format(mh=_MINHASH_SQL.format(perm_vals=_minhash_perm_values()),
                  em=_EMBEDDING_SQL),
+        "dedup_incremental": """
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents b
+                  WHERE b.doc_id % 2 = 0
+                    AND coalesce(b.text, '') = coalesce(d.text, ''))
+        """,
         "corpus_chunks": """
             WITH d AS (SELECT doc_id,
                               string_split(coalesce(text, ''), ' ') AS l

@@ -31,7 +31,7 @@ SQL_CHECKED = [
     "ann_topk", "ann_ivf", "kmeans",
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
-    "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble",
+    "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
 ]
 
 
@@ -601,3 +601,45 @@ def test_pack_sequences_prefix_sum(ray_session):
     # bins are contiguous from 0
     bins = np.sort(out["bin_id"].unique())
     assert bins[0] == 0 and (np.diff(bins) == 1).all()
+
+
+def test_dedup_index_semantics(ray_session):
+    """Sharded mutable-index dedup: a new doc repeating ANY base text
+    is dropped (even across shards/blocks), unique docs survive,
+    intra-new duplicates both survive (read-only phase — documented),
+    and the result is identical across two runs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.state.dedup_index import (
+        build_index, filter_unseen)
+
+    base = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array([f"base doc {i % 50}" for i in range(200)]),
+    })).repartition(4)
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1010), pa.int64()),
+        "text": pa.array(
+            ["base doc 7",        # seen in base -> dropped
+             "base doc 49",       # seen in base -> dropped
+             "fresh alpha",       # kept
+             "fresh beta",        # kept
+             "fresh alpha",       # intra-new dup: BOTH kept
+             "base doc 7",        # dropped again
+             "fresh gamma", "fresh delta", "fresh epsilon",
+             "fresh zeta"]),
+    })).repartition(3)
+    shards = build_index(base, n_shards=4)
+    a = (filter_unseen(new, shards).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (filter_unseen(new, shards).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].tolist() == [1002, 1003, 1004, 1006, 1007,
+                                    1008, 1009]
+    assert (a["text"].str.startswith("fresh")).all()
+    # the index holds one digest per DISTINCT base text
+    import ray as _ray
+
+    assert sum(_ray.get([s.size.remote() for s in shards])) == 50
