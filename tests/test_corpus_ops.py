@@ -643,3 +643,52 @@ def test_dedup_index_semantics(ray_session):
     import ray as _ray
 
     assert sum(_ray.get([s.size.remote() for s in shards])) == 50
+
+
+# property-based fuzzing (hypothesis): pure kernels, no Ray needed
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1,
+                max_size=400),
+       st.integers(min_value=1, max_value=100))
+def test_quantile_position_rule_matches_inverted_cdf(counts, q):
+    """The engine's integer CDF-position rule ((q*N+99)//100 over the
+    value histogram) == numpy's 'inverted_cdf' quantile for every
+    distribution and percentile."""
+    import numpy as np
+
+    vals = np.sort(np.asarray(counts, dtype=np.int64))
+    uniq, n = np.unique(vals, return_counts=True)
+    cum = np.cumsum(n)
+    pos = (q * len(vals) + 99) // 100
+    got = uniq[np.searchsorted(cum, pos, side="left")]
+    want = np.quantile(vals, q / 100, method="inverted_cdf")
+    assert got == want, (q, vals.tolist())
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=1, max_value=200),
+       st.integers(min_value=1, max_value=32))
+def test_chunk_windows_cover_every_token(n_toks, chunk):
+    """chunk_documents' window arithmetic: with any stride <= chunk,
+    the windows cover every token index, chunk 0 starts at 0, windows
+    advance by exactly stride, and only the LAST window may be short."""
+    for stride in {1, max(1, chunk // 2), chunk}:
+        if n_toks <= chunk:
+            nc = 1
+        else:
+            nc = (n_toks - chunk + stride - 1) // stride + 1
+        covered = set()
+        for i in range(nc):
+            lo = i * stride
+            hi = min(lo + chunk, n_toks)
+            assert lo < n_toks, (n_toks, chunk, stride, i)
+            if i < nc - 1:
+                assert hi - lo == chunk  # only the last may be short
+            covered.update(range(lo, hi))
+        assert covered == set(range(n_toks)), (n_toks, chunk, stride)
