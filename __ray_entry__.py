@@ -76,6 +76,44 @@ def _q_kg_triples(sf_dir: str):
     return _kg(sf_dir)["triples"]
 
 
+def _q_kg_degrees(sf_dir: str):
+    """Graph statistics chained off the flagship's triple table:
+    undirected co-occurrence degree per entity (each triple contributes
+    one endpoint row per side).  Combine/sort/combine over the already
+    pair-deduped triples — demonstrates pipeline chaining; the oracle
+    extends the triples SQL with a UNION ALL endpoint explode."""
+    import numpy as np
+    import pyarrow as pa
+
+    triples = _kg(sf_dir)["triples"]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        if "degree" not in df.columns:
+            co = df[df["pred"] == "co_occurs"]
+            df = pd.DataFrame({
+                "entity_id": np.concatenate([co["subj"].to_numpy(),
+                                             co["obj"].to_numpy()]),
+                "degree": np.int64(1),
+            })
+        g = (df.groupby("entity_id", sort=False)["degree"]
+             .sum().reset_index())
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].tolist(),
+                                  pa.string()),
+            "degree": pa.array(np.asarray(g["degree"], np.int64),
+                               pa.int64()),
+        })
+
+    return (triples.map_batches(combine, batch_format="pyarrow",
+                                batch_size=1 << 19)
+            .sort("entity_id")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))
+
+
 def _q_kg_turn_entities(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions, link_mentions
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
@@ -668,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_triples": _q_kg_triples,
         "kg_turn_entities": _q_kg_turn_entities,
+        "kg_degrees": _q_kg_degrees,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
@@ -1112,7 +1151,21 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM (SELECT * FROM co UNION ALL SELECT * FROM fo)
             GROUP BY subj, pred, obj
         """
+    degrees_sql = cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), pairs AS (SELECT DISTINCT subj, obj FROM co),
+            ends AS (SELECT subj AS entity_id FROM pairs
+                     UNION ALL SELECT obj FROM pairs)
+            SELECT entity_id, CAST(count(*) AS BIGINT) AS degree
+            FROM ends GROUP BY entity_id
+        """
     return {
+        "kg_degrees": degrees_sql,
         "kg_mentions": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    surface_norm, type, n AS n_mentions

@@ -213,7 +213,7 @@ def test_sql_oracle_parity_small(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     for name in ["kg_mentions", "kg_mentions_crf", "kg_triples",
-                 "kg_entities", "kg_turn_entities"]:
+                 "kg_entities", "kg_turn_entities", "kg_degrees"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
