@@ -114,6 +114,16 @@ def _q_kg_degrees(sf_dir: str):
                          batch_size=None))
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (5 rounds, 85% damping) over the
+    co-occurrence graph — iterative graph algorithm, oracle-checked
+    because every operation is integer (order-free sums; unrolled-CTE
+    replica, the kmeans trick)."""
+    from clinicaltransformerner_ray.pipelines.graph import pagerank
+
+    return pagerank(_kg(sf_dir)["triples"], iters=5)
+
+
 def _q_kg_turn_entities(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions, link_mentions
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
@@ -707,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_turn_entities": _q_kg_turn_entities,
         "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
@@ -1113,6 +1124,48 @@ _EMBEDDING_SQL = """
 """
 
 
+def _pagerank_sql(cte: str, iters: int = 5) -> str:
+    """Unrolled-CTE replica of `graph.pagerank` (integer fixed-point:
+    every op is BIGINT/HUGEINT floor arithmetic, so sums commute and
+    the replica is bit-exact — the kmeans unrolling trick applied to
+    a graph iteration)."""
+    parts = [cte + """
+        , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm)
+        , cop AS (
+            SELECT a.entity_id AS subj, b.entity_id AS obj
+            FROM te a JOIN te b
+              ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+             AND a.entity_id < b.entity_id
+        ), pairs AS (SELECT DISTINCT subj, obj FROM cop),
+        edges AS (SELECT subj AS src, obj AS dst FROM pairs
+                  UNION ALL SELECT obj, subj FROM pairs),
+        deg AS (SELECT src AS entity_id, CAST(count(*) AS BIGINT) AS d
+                FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT entity_id,
+                      CAST(1000000000000 // n AS BIGINT) AS r
+               FROM deg, nn)"""]
+    for t in range(iters):
+        parts.append("""
+        , c{t} AS (
+            SELECT e.dst AS entity_id, SUM(r.r // d.d) AS s
+            FROM edges e
+            JOIN r{t} r ON r.entity_id = e.src
+            JOIN deg d ON d.entity_id = e.src
+            GROUP BY e.dst
+        ), r{t1} AS (
+            SELECT dg.entity_id,
+                   ((1000000000000 * 15) // 100) // nn.n
+                   + (85 * COALESCE(c.s, 0)) // 100 AS r
+            FROM deg dg LEFT JOIN c{t} c USING (entity_id), nn
+        )""".format(t=t, t1=t + 1))
+    parts.append("""
+        SELECT entity_id, CAST(r AS BIGINT) AS rank_e12
+        FROM r{it}
+    """.format(it=iters))
+    return "".join(parts)
+
+
 def _minhash_perm_values() -> str:
     from clinicaltransformerner_ray.pipelines.dedup import _minhash_params
 
@@ -1166,6 +1219,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """
     return {
         "kg_degrees": degrees_sql,
+        "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_mentions": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    surface_norm, type, n AS n_mentions

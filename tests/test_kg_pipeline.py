@@ -213,7 +213,8 @@ def test_sql_oracle_parity_small(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     for name in ["kg_mentions", "kg_mentions_crf", "kg_triples",
-                 "kg_entities", "kg_turn_entities", "kg_degrees"]:
+                 "kg_entities", "kg_turn_entities", "kg_degrees",
+                 "kg_pagerank"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
@@ -310,3 +311,32 @@ def test_tagger_no_quarantine_dir_still_counts(alias_rows, caplog):
     assert out.num_rows == 0
     assert tagger.n_failed == 1
     assert any("quarantined" in r.message for r in caplog.records)
+
+
+def test_pagerank_star_graph(ray_session):
+    """Integer PageRank semantics on a hand-built star: the hub
+    out-ranks every leaf, leaves tie exactly, total mass is conserved
+    up to floor dust, and two runs agree bit-for-bit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import (
+        SCALE, pagerank)
+
+    leaves = [f"L{i}" for i in range(6)]
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(["HUB"] * 6 + ["X"], pa.string()),
+        "pred": pa.array(["co_occurs"] * 6 + ["follows"], pa.string()),
+        "obj": pa.array(leaves + ["Y"], pa.string()),
+    })).repartition(3)
+    a = pagerank(triples, iters=5).to_pandas().set_index("entity_id")
+    b = pagerank(triples, iters=5).to_pandas().set_index("entity_id")
+    assert a.equals(b)
+    # 'follows' edges are excluded from the graph
+    assert set(a.index) == {"HUB", *leaves}
+    hub = a.loc["HUB", "rank_e12"]
+    leaf_ranks = a.loc[leaves, "rank_e12"]
+    assert (leaf_ranks == leaf_ranks.iloc[0]).all()
+    assert hub > leaf_ranks.iloc[0] * 3
+    total = a["rank_e12"].sum()
+    assert SCALE * 0.999 < total <= SCALE
