@@ -90,14 +90,13 @@ def _q_kg_degrees(sf_dir: str):
     def combine(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = batch.to_pandas()
-        if "degree" not in df.columns:
-            co = df[df["pred"] == "co_occurs"]
-            df = pd.DataFrame({
-                "entity_id": np.concatenate([co["subj"].to_numpy(),
-                                             co["obj"].to_numpy()]),
-                "degree": np.int64(1),
-            })
+        co = batch.to_pandas()
+        co = co[co["pred"] == "co_occurs"]
+        df = pd.DataFrame({
+            "entity_id": np.concatenate([co["subj"].to_numpy(),
+                                         co["obj"].to_numpy()]),
+            "degree": np.int64(1),
+        })
         g = (df.groupby("entity_id", sort=False)["degree"]
              .sum().reset_index())
         return pa.table({
@@ -107,11 +106,19 @@ def _q_kg_degrees(sf_dir: str):
                                pa.int64()),
         })
 
-    return (triples.map_batches(combine, batch_format="pyarrow",
-                                batch_size=1 << 19)
-            .sort("entity_id")
-            .map_batches(combine, batch_format="pyarrow",
-                         batch_size=None))
+    # node state is lexicon-bounded (~10^2 entities), so partial
+    # counts fold on the driver (pagerank's degree-collection shape)
+    # — a sort on so few distinct keys is the repo's own documented
+    # low-cardinality pathology.  take_all is O(entities x blocks).
+    deg: dict[str, int] = {}
+    for r in triples.map_batches(combine, batch_format="pyarrow",
+                                 batch_size=1 << 19).take_all():
+        deg[r["entity_id"]] = deg.get(r["entity_id"], 0) + r["degree"]
+    ents = sorted(deg)
+    return pa.table({
+        "entity_id": pa.array(ents, pa.string()),
+        "degree": pa.array([deg[e] for e in ents], pa.int64()),
+    })
 
 
 def _q_kg_pagerank(sf_dir: str):
@@ -1124,11 +1131,17 @@ _EMBEDDING_SQL = """
 """
 
 
-def _pagerank_sql(cte: str, iters: int = 5) -> str:
+def _pagerank_sql(cte: str, iters: int = 5,
+                  damping_pct: int = 85) -> str:
     """Unrolled-CTE replica of `graph.pagerank` (integer fixed-point:
     every op is BIGINT/HUGEINT floor arithmetic, so sums commute and
     the replica is bit-exact — the kmeans unrolling trick applied to
-    a graph iteration)."""
+    a graph iteration).  `damping_pct` and the rank scale are threaded
+    from graph.py so a non-default damping can't silently diverge from
+    the oracle."""
+    from clinicaltransformerner_ray.pipelines.graph import SCALE
+
+    dp, scale = int(damping_pct), int(SCALE)
     parts = [cte + """
         , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm)
         , cop AS (
@@ -1143,8 +1156,8 @@ def _pagerank_sql(cte: str, iters: int = 5) -> str:
                 FROM edges GROUP BY src),
         nn AS (SELECT count(*) AS n FROM deg),
         r0 AS (SELECT entity_id,
-                      CAST(1000000000000 // n AS BIGINT) AS r
-               FROM deg, nn)"""]
+                      CAST({scale} // n AS BIGINT) AS r
+               FROM deg, nn)""".format(scale=scale)]
     for t in range(iters):
         parts.append("""
         , c{t} AS (
@@ -1155,10 +1168,10 @@ def _pagerank_sql(cte: str, iters: int = 5) -> str:
             GROUP BY e.dst
         ), r{t1} AS (
             SELECT dg.entity_id,
-                   ((1000000000000 * 15) // 100) // nn.n
-                   + (85 * COALESCE(c.s, 0)) // 100 AS r
+                   (({scale} * {res}) // 100) // nn.n
+                   + ({dp} * COALESCE(c.s, 0)) // 100 AS r
             FROM deg dg LEFT JOIN c{t} c USING (entity_id), nn
-        )""".format(t=t, t1=t + 1))
+        )""".format(t=t, t1=t + 1, dp=dp, res=100 - dp, scale=scale))
     parts.append("""
         SELECT entity_id, CAST(r AS BIGINT) AS rank_e12
         FROM r{it}

@@ -289,6 +289,20 @@ def hash_stratified_sample(
     return docs.map_batches(sample, batch_format="pyarrow")
 
 
+def chunk_spans(n_toks: int, chunk_tokens: int,
+                stride: int) -> list[tuple[int, int]]:
+    """Pure window arithmetic shared by `chunk_documents` and its
+    property test: [lo, hi) token spans covering every index, advancing
+    by `stride`, only the last window short.  n_chunks = 1 if
+    L <= chunk else (L - chunk + stride - 1)//stride + 1."""
+    if n_toks <= chunk_tokens:
+        nc = 1
+    else:
+        nc = (n_toks - chunk_tokens + stride - 1) // stride + 1
+    return [(i * stride, min(i * stride + chunk_tokens, n_toks))
+            for i in range(nc)]
+
+
 def chunk_documents(
     docs: rd.Dataset,
     *,
@@ -316,13 +330,9 @@ def chunk_documents(
         o_id, o_ci, o_tx, o_nt = [], [], [], []
         for did, t in zip(ids, texts):
             toks = (t or "").split(" ")
-            n = len(toks)
-            if n <= chunk_tokens:
-                nc = 1
-            else:
-                nc = (n - chunk_tokens + stride - 1) // stride + 1
-            for i in range(nc):
-                w = toks[i * stride: i * stride + chunk_tokens]
+            for i, (lo, hi) in enumerate(
+                    chunk_spans(len(toks), chunk_tokens, stride)):
+                w = toks[lo:hi]
                 o_id.append(did)
                 o_ci.append(i)
                 o_tx.append(" ".join(w))

@@ -15,9 +15,9 @@ racy, which is why new-corpus internal duplicates are left to a
 subsequent `dedup.exact_dedup` pass instead.
 
 Scale shape: the index holds raw sha1 digests (20 B + set overhead per
-distinct base text) sharded by the digest's first byte-derived slot, so
-memory splits K ways and each map task issues ONE batched RPC per
-shard per batch (digests travel, never text).  Growth path: raise
+distinct base text) sharded by 64 bits of the digest mod K, so memory
+splits K ways and each map task issues ONE batched RPC per shard per
+batch (digests travel, never text).  Growth path: raise
 ``n_shards`` and/or spill each shard's set to a sorted on-disk run —
 the actor boundary localizes that change.
 
@@ -37,7 +37,10 @@ import ray
 import ray.data as rd
 
 
-@ray.remote(num_cpus=0.25)
+# num_cpus=0: the shards do trivial set ops and must never reserve
+# CPUs for their lifetime — reserving K*0.25 CPUs on a small cluster
+# starves the feed/probe map tasks (the CLAUDE.md pool-deadlock rule).
+@ray.remote(num_cpus=0)
 class DedupIndexShard:
     """One shard of the content-hash membership set."""
 
@@ -63,8 +66,12 @@ def _digests(batch: pa.Table) -> list[bytes]:
 
 
 def _shard_of(digests: list[bytes], n_shards: int) -> np.ndarray:
-    return np.asarray([d[0] % n_shards for d in digests],
-                      dtype=np.int64)
+    # 64 bits of the digest mod n_shards: uniform for ANY shard count
+    # (a single-byte slot would leave shards >=256 empty and skew
+    # non-power-of-two counts).
+    return np.asarray(
+        [int.from_bytes(d[:8], "little") % n_shards for d in digests],
+        dtype=np.int64)
 
 
 def build_index(base: rd.Dataset, *, n_shards: int = 8):
@@ -101,12 +108,17 @@ def filter_unseen(new: rd.Dataset, shards) -> rd.Dataset:
         digs = _digests(batch)
         slot = _shard_of(digs, n_shards)
         keep = np.ones(len(digs), dtype=bool)
+        # launch every shard's lookup first, gather ONCE — serial
+        # ray.get per shard would multiply batch latency by n_shards
+        idxs, refs = [], []
         for s in range(n_shards):
             idx = np.flatnonzero(slot == s)
             if not len(idx):
                 continue
-            hit = ray.get(shards[s].contains.remote(
+            idxs.append(idx)
+            refs.append(shards[s].contains.remote(
                 [digs[i] for i in idx]))
+        for idx, hit in zip(idxs, ray.get(refs)):
             keep[idx[np.asarray(hit, dtype=bool)]] = False
         t = batch.select(["doc_id", "text"]).filter(pa.array(keep))
         return t

@@ -675,20 +675,19 @@ def test_quantile_position_rule_matches_inverted_cdf(counts, q):
 @given(st.integers(min_value=1, max_value=200),
        st.integers(min_value=1, max_value=32))
 def test_chunk_windows_cover_every_token(n_toks, chunk):
-    """chunk_documents' window arithmetic: with any stride <= chunk,
+    """chunk_documents' window arithmetic (the REAL `chunk_spans`
+    helper it calls, not a re-derivation): with any stride <= chunk,
     the windows cover every token index, chunk 0 starts at 0, windows
     advance by exactly stride, and only the LAST window may be short."""
+    from clinicaltransformerner_ray.pipelines.textstats import chunk_spans
+
     for stride in {1, max(1, chunk // 2), chunk}:
-        if n_toks <= chunk:
-            nc = 1
-        else:
-            nc = (n_toks - chunk + stride - 1) // stride + 1
+        spans = chunk_spans(n_toks, chunk, stride)
         covered = set()
-        for i in range(nc):
-            lo = i * stride
-            hi = min(lo + chunk, n_toks)
+        for i, (lo, hi) in enumerate(spans):
+            assert lo == i * stride
             assert lo < n_toks, (n_toks, chunk, stride, i)
-            if i < nc - 1:
+            if i < len(spans) - 1:
                 assert hi - lo == chunk  # only the last may be short
             covered.update(range(lo, hi))
         assert covered == set(range(n_toks)), (n_toks, chunk, stride)
