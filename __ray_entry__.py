@@ -325,6 +325,20 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8)
 
 
+def _q_dedup_triangles(sf_dir: str):
+    """Per-document triangle counts over the n-gram-Jaccard near-dup
+    pair graph (degree-oriented wedge generation + closure join —
+    distributed subgraph enumeration over corpus-scale node ids).
+    Chained off the oracle-checked pair query, so the float threshold
+    is bit-identical on both sides."""
+    from clinicaltransformerner_ray.pipelines.dedup import ngram_jaccard_pairs
+    from clinicaltransformerner_ray.pipelines.graph import triangle_counts
+
+    return triangle_counts(
+        ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8),
+        out_col="doc_id")
+
+
 def _q_dedup_minhash(sf_dir: str):
     """64-perm MinHash + 16-band LSH near-dup pairs.  Oracle-checked:
     `_hash64` is md5-derived (== DuckDB `md5_number_upper`), the
@@ -558,6 +572,21 @@ def _q_events_hll_users_rowsonly(sf_dir: str):
                         columns=["event_type", "user_id"]))
 
 
+def _q_tpch_top_orders(sf_dir: str):
+    """Grouped top-k: each customer's 3 highest-value orders with rank
+    (tie rule cents DESC, orderkey ASC on both engines)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        top_orders_per_customer)
+
+    return top_orders_per_customer(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey",
+                                 "o_totalprice"]),
+        k=3)
+
+
 def _q_tpch_pricing(sf_dir: str):
     """Q1-shaped pricing summary over lineitem — integer-cents sums
     (the repo's exactness invariant) + averages derived from them.
@@ -739,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_triangles": _q_dedup_triangles,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -759,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing": _q_tpch_pricing,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
+        "tpch_top_orders": _q_tpch_top_orders,
         "top_tokens": _q_top_tokens,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
@@ -1344,6 +1375,26 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
         """,
+        # triangle (x<y<z) iff all 3 edges in the near-dup pair set;
+        # each triangle credits all 3 corners — mirrors the engine's
+        # anchor + both endpoints emission exactly
+        "dedup_triangles": "WITH " + _JACCARD_PAIRS_CTE + """
+            , tri AS (
+                SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+                FROM pairs e1
+                JOIN pairs e2 ON e2.doc_a = e1.doc_a
+                             AND e2.doc_b > e1.doc_b
+                JOIN pairs e3 ON e3.doc_a = e1.doc_b
+                             AND e3.doc_b = e2.doc_b
+            ), roles AS (
+                SELECT x AS doc_id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_triangles
+            FROM roles GROUP BY doc_id
+        """,
         "dedup_minhash": _MINHASH_SQL.format(perm_vals=_minhash_perm_values()),
         "dedup_simhash": _SIMHASH_SQL,
         "kmeans": _kmeans_sql(16, 5),
@@ -1579,6 +1630,17 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        """,
+        "tpch_top_orders": """
+            SELECT o_custkey, o_orderkey, total_cents, rk FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS total_cents,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY round(o_totalprice * 100) DESC,
+                                    o_orderkey ASC) AS BIGINT) AS rk
+                FROM orders) WHERE rk <= 3
         """,
         "corpus_pack": """
             WITH d AS (

@@ -1,7 +1,11 @@
-"""Iterative graph algorithms over the KG's co-occurrence edges.
+"""Graph algorithms over edge tables (KG co-occurrence, near-dup pairs).
 
-  pagerank  fixed-point (integer) PageRank — ``iters`` synchronous
-            rounds of r'_v = (15% of mass)/N + 85% * Σ r_u // deg_u
+  pagerank         fixed-point (integer) PageRank — ``iters`` synchronous
+                   rounds of r'_v = (15% of mass)/N + 85% * Σ r_u // deg_u
+  triangle_counts  per-node triangle counts over an UNBOUNDED node id
+                   space (degree-oriented wedge generation + closure
+                   join) — subgraph enumeration, the op pagerank's
+                   broadcast-node-state trick can't cover
 
 Why INTEGER fixed-point: float PageRank sums neighbor contributions in
 engine-dependent order, so a SQL oracle could never hash-match.  With
@@ -117,3 +121,202 @@ def pagerank(
         "entity_id": pa.array(nodes, pa.string()),
         "rank_e12": pa.array([ranks[v] for v in nodes], pa.int64()),
     })
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    out_col: str = "node_id",
+) -> rd.Dataset:
+    """Per-node triangle counts over DISTINCT undirected edges
+    (``a_col < b_col``, int64 node ids) — e.g. the near-dup pair graph,
+    whose node ids scale with the CORPUS, so nothing here may broadcast
+    node state (the opposite regime from :func:`pagerank`'s
+    lexicon-bounded vocabulary).
+
+    Classic distributed triangle enumeration (Cohen's MR scheme,
+    re-expressed in the engine's union -> sort(key) -> per-block-merge
+    join shape; no Dataset.join, per CLAUDE.md rule 5):
+
+      1. degrees        combine/sort/combine endpoint counts
+      2. annotate       two sort-merge passes attach deg(a), deg(b) to
+                        every edge (union with the degree table, sort on
+                        the SINGLE node key — equal keys never split)
+      3. orient         u -> v iff (deg(u), u) < (deg(v), v); acyclic,
+                        and every out-degree is bounded by O(sqrt(E)),
+                        so hub nodes cannot square the wedge emission
+      4. wedges         sort oriented edges on src; per src emit each
+                        unordered out-neighbor pair (canonical id order)
+      5. closure        union(edges, wedges), sort on the FULL (p, q)
+                        composite (both kinds share exact keys), count
+                        wedges whose pair is an edge; each triangle is
+                        found exactly once (its unique out-degree-2
+                        node anchors it) and credits all 3 corners
+      6. counts         combine/sort/combine per-node partials
+
+    Output: (``out_col``, n_triangles) — only nodes in >= 1 triangle,
+    matching the SQL oracle's GROUP BY."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch.column(a_col).cast(pa.int64()),
+            "b": batch.column(b_col).cast(pa.int64()),
+        })
+
+    ed = edges.map_batches(norm, batch_format="pyarrow",
+                           batch_size=1 << 19)
+
+    # -- 1. degrees: one row per (node, partial) per block ------------
+    def deg_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "deg" not in df.columns:
+            df = pd.DataFrame({
+                "node": np.concatenate([df["a"].to_numpy(),
+                                        df["b"].to_numpy()]),
+                "deg": np.int64(1),
+            })
+        g = df.groupby("node", sort=False)["deg"].sum().reset_index()
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(), pa.int64()),
+            "deg": pa.array(np.asarray(g["deg"], np.int64), pa.int64()),
+        })
+
+    deg = (ed.map_batches(deg_combine, batch_format="pyarrow",
+                          batch_size=1 << 19)
+           .sort("node")
+           .map_batches(deg_combine, batch_format="pyarrow",
+                        batch_size=None))
+
+    # -- 2. annotate: sort-merge the degree table onto each endpoint --
+    def _tag(src: rd.Dataset, key: str, other: str) -> rd.Dataset:
+        def t(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": batch.column(key).cast(pa.int64()),
+                "other": batch.column(other).cast(pa.int64()),
+                "dcarry": (batch.column("dcarry").cast(pa.int64())
+                           if "dcarry" in batch.column_names
+                           else pa.array([0] * batch.num_rows,
+                                         pa.int64())),
+                "deg": pa.array([0] * batch.num_rows, pa.int64()),
+                "kind": pa.array([1] * batch.num_rows, pa.int64()),
+            })
+        return src.map_batches(t, batch_format="pyarrow",
+                               batch_size=1 << 19)
+
+    def _deg_rows(batch: pa.Table) -> pa.Table:
+        z = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table({
+            "key": batch.column("node"), "other": z, "dcarry": z,
+            "deg": batch.column("deg"),
+            "kind": z,
+        })
+
+    def attach(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dm = dict(zip(df.loc[df["kind"] == 0, "key"],
+                      df.loc[df["kind"] == 0, "deg"]))
+        e = df[df["kind"] == 1]
+        return pa.table({
+            # key flips to the OTHER endpoint for the next pass; the
+            # just-attached degree rides in dcarry
+            "key": pa.array(e["other"].to_numpy(), pa.int64()),
+            "other": pa.array(e["key"].to_numpy(), pa.int64()),
+            "dcarry": pa.array(
+                e["key"].map(dm).to_numpy(dtype=np.int64), pa.int64()),
+            "deg": pa.array(e["dcarry"].to_numpy(), pa.int64()),
+            "kind": pa.array(np.ones(len(e), np.int64), pa.int64()),
+        })
+
+    degt = deg.map_batches(_deg_rows, batch_format="pyarrow",
+                           batch_size=1 << 19)
+    # pass A keys on a (other=b); attach() flips so pass B keys on b
+    p1 = (degt.union(_tag(ed, "a", "b"))
+          .sort("key")
+          .map_batches(attach, batch_format="pyarrow", batch_size=None))
+    p2 = (degt.union(p1)
+          .sort("key")
+          .map_batches(attach, batch_format="pyarrow", batch_size=None))
+    # p2 rows: key=a, other=b, dcarry=deg(b), deg=deg(a)  (kind=1)
+
+    # -- 3+4. orient and emit wedges ----------------------------------
+    def orient(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a = df["key"].to_numpy()
+        b = df["other"].to_numpy()
+        da = df["deg"].to_numpy()
+        db = df["dcarry"].to_numpy()
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            "src": pa.array(np.where(fwd, a, b), pa.int64()),
+            "dst": pa.array(np.where(fwd, b, a), pa.int64()),
+        })
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o_p, o_q, o_anchor = [], [], []
+        for s, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())  # canonical id order
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            o_p.append(nb[i])
+            o_q.append(nb[j])
+            o_anchor.append(np.full(len(i), s, np.int64))
+        if not o_p:
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64()),
+                             "anchor": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        p = np.concatenate(o_p)
+        return pa.table({
+            "p": pa.array(p, pa.int64()),
+            "q": pa.array(np.concatenate(o_q), pa.int64()),
+            "anchor": pa.array(np.concatenate(o_anchor), pa.int64()),
+            "kind": pa.array(np.ones(len(p), np.int64), pa.int64()),
+        })
+
+    wed = (p2.map_batches(orient, batch_format="pyarrow",
+                          batch_size=1 << 19)
+           .sort("src")
+           .map_batches(wedges, batch_format="pyarrow",
+                        batch_size=None))
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        z = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table({"p": batch.column("a"), "q": batch.column("b"),
+                         "anchor": z, "kind": z})
+
+    # -- 5. closure join + per-corner credit --------------------------
+    def close(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hit = df[df["kind"] == 1].merge(
+            df.loc[df["kind"] == 0, ["p", "q"]], on=["p", "q"])
+        nodes = np.concatenate([hit["anchor"].to_numpy(),
+                                hit["p"].to_numpy(),
+                                hit["q"].to_numpy()])
+        g = (pd.DataFrame({"node": nodes, "n": np.int64(1)})
+             .groupby("node", sort=False)["n"].sum().reset_index())
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(), pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    def count_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("node", sort=False)["n"].sum().reset_index()
+        return pa.table({
+            out_col: pa.array(g["node"].to_numpy(), pa.int64()),
+            "n_triangles": pa.array(np.asarray(g["n"], np.int64),
+                                    pa.int64()),
+        })
+
+    return (ed.map_batches(edge_keys, batch_format="pyarrow",
+                           batch_size=1 << 19)
+            .union(wed)
+            .sort(["p", "q"])
+            .map_batches(close, batch_format="pyarrow", batch_size=None)
+            .sort("node")
+            .map_batches(count_combine, batch_format="pyarrow",
+                         batch_size=None))

@@ -9,6 +9,9 @@
   customers_without_orders  distributed anti-join (NOT EXISTS shape):
                      per-batch distinct-key reduction of the probe
                      side, then the same union/sort/per-block pattern
+  top_orders_per_customer  grouped top-k (window row_number() <= k):
+                     per-batch local top-k partials, one sort on the
+                     group key, vectorized per-block final rank
 
 Join strategy: `ray.data.Dataset.join` is unusable at 2.49 (see
 CLAUDE.md rule 5), so equi-joins are expressed as union of both sides
@@ -339,3 +342,60 @@ def revenue_by_nation(
         .sort("nationkey")
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def top_orders_per_customer(orders: rd.Dataset, *, k: int = 3) -> rd.Dataset:
+    """Grouped top-k (the window-rank `row_number() <= k` shape the
+    reference and the engine both lacked): each customer's ``k``
+    highest-value orders, rank attached.
+
+    Shape: per-batch LOCAL top-k per custkey — a valid partial, since a
+    group's global top-k is contained in the union of its local
+    top-ks — so the shuffle moves at most k rows per (custkey, block);
+    then one sort on the HIGH-CARDINALITY custkey (equal keys arrive
+    whole per block) and a vectorized per-block final rank.
+
+    Tie rule on BOTH engines: (cents DESC, o_orderkey ASC) — total
+    order, so the boundary cut is deterministic.  Money is integer
+    cents (o_totalprice is cent-integral; the repo's integer-derivation
+    invariant), making the output hash-exact vs the SQL window oracle.
+
+    Output: (o_custkey, o_orderkey, total_cents, rk)."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "total_cents" not in df.columns:
+            df = pd.DataFrame({
+                "o_custkey": df["o_custkey"],
+                "o_orderkey": df["o_orderkey"],
+                "total_cents": _round_half_away(
+                    df["o_totalprice"].to_numpy() * 100),
+            })
+        df = df.sort_values(["o_custkey", "total_cents", "o_orderkey"],
+                            ascending=[True, False, True])
+        df = df.groupby("o_custkey", sort=False).head(k)
+        return pa.table({
+            "o_custkey": pa.array(df["o_custkey"].to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "total_cents": pa.array(df["total_cents"].to_numpy(), pa.int64()),
+        })
+
+    def final_rank(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["o_custkey", "total_cents", "o_orderkey"],
+                           ascending=[True, False, True]))
+        rk = df.groupby("o_custkey", sort=False).cumcount() + 1
+        df = df[rk <= k]
+        return pa.table({
+            "o_custkey": pa.array(df["o_custkey"].to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "total_cents": pa.array(df["total_cents"].to_numpy(), pa.int64()),
+            "rk": pa.array(rk[rk <= k].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        })
+
+    return (orders.map_batches(local_topk, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("o_custkey")
+            .map_batches(final_rank, batch_format="pyarrow",
+                         batch_size=None))

@@ -32,6 +32,7 @@ SQL_CHECKED = [
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
+    "dedup_triangles",
 ]
 
 
@@ -691,3 +692,66 @@ def test_chunk_windows_cover_every_token(n_toks, chunk):
                 assert hi - lo == chunk  # only the last may be short
             covered.update(range(lo, hi))
         assert covered == set(range(n_toks)), (n_toks, chunk, stride)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts: brute-force parity on constructed graphs (the synth
+# near-dup graph has few triangles, so the oracle row is a weak signal)
+
+
+def _brute_triangles(edges):
+    from itertools import combinations
+
+    es = set(map(tuple, edges))
+    nodes = sorted({n for e in edges for n in e})
+    counts = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("case", ["random", "hub", "clique", "empty"])
+def test_triangle_counts_brute_force(ray_session, case):
+    """triangle_counts == itertools brute force on: a seeded random
+    graph, a hub star + one closing rim (exercises degree orientation —
+    the hub must NOT anchor wedges), a 7-clique (C(7,3) triangles,
+    every corner C(6,2)), and a triangle-free path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import triangle_counts
+
+    if case == "random":
+        rng = np.random.default_rng(7)
+        n = 40
+        edges = sorted({tuple(sorted(p)) for p in
+                        rng.integers(0, n, size=(260, 2)).tolist()
+                        if p[0] != p[1]})
+    elif case == "hub":
+        # hub 0 connects to 1..30; only one rim edge closes a triangle
+        edges = [(0, i) for i in range(1, 31)] + [(5, 9)]
+    elif case == "clique":
+        edges = [(a, b) for a in range(7) for b in range(a + 1, 7)]
+    else:
+        edges = [(i, i + 1) for i in range(10)]
+
+    tbl = pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    })
+    # several input blocks so combine/sort/per-block paths are real
+    got = triangle_counts(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    want = _brute_triangles(edges)
+    if case == "empty":
+        # a triangle-free graph yields zero rows (Ray drops the schema
+        # with it when every block is empty — column check is vacuous)
+        assert len(got) == 0
+        assert want == {}
+        return
+    got = got.sort_values("node_id").reset_index(drop=True)
+    assert dict(zip(got["node_id"], got["n_triangles"])) == want
+    if case == "clique":
+        assert set(got["n_triangles"]) == {15}  # C(6,2) per corner

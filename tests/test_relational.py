@@ -27,7 +27,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", ["tpch_pricing", "tpch_revenue_nation",
-                                  "tpch_antijoin"])
+                                  "tpch_antijoin", "tpch_top_orders"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -145,3 +145,34 @@ def test_pricing_summary_cutoff_and_groups(ray_session):
     assert af["avg_disc_pct"] == 5.0
     no = out[out["l_returnflag"] == "N"].iloc[0]
     assert no["sum_charge_e6"] == 3000 * 100 * 108
+
+
+def test_top_orders_per_customer_semantics(ray_session):
+    """Grouped top-k on a hand-built orders table: ties break by
+    orderkey ASC, a customer with < k orders keeps them all, and the
+    result is invariant to how blocks split a customer's orders (the
+    local-top-k partial argument)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        top_orders_per_customer)
+
+    # cust 1: five orders, two tied at the k boundary (30.00 twice)
+    # cust 2: one order only
+    keys = [101, 102, 103, 104, 105, 201]
+    cust = [1, 1, 1, 1, 1, 2]
+    price = [10.0, 40.0, 30.0, 30.0, 20.0, 7.5]
+    tbl = pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_totalprice": pa.array(price, pa.float64()),
+    })
+    for parts in (1, 4):
+        out = (top_orders_per_customer(
+                   rd.from_arrow(tbl).repartition(parts), k=3)
+               .to_pandas()
+               .sort_values(["o_custkey", "rk"]).reset_index(drop=True))
+        assert out["o_orderkey"].tolist() == [102, 103, 104, 201]
+        assert out["rk"].tolist() == [1, 2, 3, 1]
+        assert out["total_cents"].tolist() == [4000, 3000, 3000, 750]
