@@ -131,6 +131,16 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(_kg(sf_dir)["triples"], iters=5)
 
 
+def _q_kg_assoc(sf_dir: str):
+    """Association statistics (integer PMI numerators) per co-occurring
+    entity pair: n_co / n_subj / n_obj / n_turns, all distinct-turn
+    counts — chained off the flagship's linked + triple tables."""
+    from clinicaltransformerner_ray.pipelines.kg import association_stats
+
+    out = _kg(sf_dir)
+    return association_stats(out["linked"], out["triples"])
+
+
 def _q_kg_turn_entities(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions, link_mentions
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
@@ -754,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_entities": _q_kg_turn_entities,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_assoc": _q_kg_assoc,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
@@ -1264,6 +1275,30 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return {
         "kg_degrees": degrees_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
+        # all four counts are distinct-turn integers; the engine's
+        # n_co reuses the triple table's n_evidence (already
+        # hash-checked by kg_triples), n_subj/n_obj/n_turns fold the
+        # same te relation — so the row is exact, no float PMI emitted
+        "kg_assoc": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , etc AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n
+                      FROM te GROUP BY entity_id)
+            , tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+                     (SELECT DISTINCT conv_id, turn_idx FROM te))
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), pc AS (SELECT subj, obj, CAST(count(*) AS BIGINT) AS n_co
+                      FROM co GROUP BY subj, obj)
+            SELECT pc.subj, pc.obj, pc.n_co,
+                   es.n AS n_subj, eo.n AS n_obj, tt.n AS n_turns
+            FROM pc
+            JOIN etc es ON es.entity_id = pc.subj
+            JOIN etc eo ON eo.entity_id = pc.obj, tt
+        """,
         "kg_mentions": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    surface_norm, type, n AS n_mentions

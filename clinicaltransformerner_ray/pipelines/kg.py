@@ -27,6 +27,10 @@ plus mega-partitions) — both measured failure modes, see emit_triples.
 
 Mention rows never take part in a wide shuffle: they flow straight from
 the tagger pool into the linker pool under streaming execution.
+
+Downstream analytics chained off the flagship tables:
+`association_stats` (integer PMI numerators per co-occurring pair),
+plus `graph.pagerank` / `graph.triangle_counts` over the edge table.
 """
 
 from __future__ import annotations
@@ -624,3 +628,92 @@ def kg_pipeline(
         "entities": canonical_entities(linked),
         "triples": emit_triples(linked, salt_span=salt_span),
     }
+
+
+def association_stats(
+    linked: rd.Dataset,
+    triples: rd.Dataset,
+) -> rd.Dataset:
+    """Association statistics per co-occurring entity pair — the
+    integer PMI numerators (PMI = log(n_co * n_turns / (n_subj *
+    n_obj)) is float and engine-order-dependent, so the engine emits
+    the four EXACT counts and leaves the log to the consumer; the
+    repo's integer-derivation invariant).
+
+    Counts (all per DISTINCT turn, matching the triple semantics):
+      n_co      turns where subj and obj co-occur (the co_occurs
+                triple's n_evidence — reuses the flagship output)
+      n_subj/n_obj  turns containing the entity at all
+      n_turns   turns containing >= 1 linked entity (global)
+
+    Shape: ONE sort of the distinct (conv, turn, entity) partials on
+    (conv_id, turn_idx) ALONE — a turn's rows land whole per block
+    (equal keys never split; sorting on the 3-key composite would
+    split a turn across blocks and double-count it), so per-block
+    dedup, per-entity distinct-turn partials AND the distinct-turn
+    total are all exact.  Entity vocabulary is lexicon-bounded, so the
+    partials fold on the driver (the pagerank precedent) and broadcast
+    into the final annotate pass; the corpus-scale triple table
+    streams.
+
+    Output: (subj, obj, n_co, n_subj, n_obj, n_turns) — all int64."""
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        df = (batch.select(["conv_id", "turn_idx", "entity_id"])
+              .to_pandas().drop_duplicates())
+        return pa.table({
+            "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+            "entity_id": pa.array(df["entity_id"].tolist(), pa.string()),
+        })
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = (df.groupby("entity_id", sort=False)
+             .size().reset_index(name="n"))
+        n_turns = len(df[["conv_id", "turn_idx"]].drop_duplicates())
+        # "" is the distinct-turn-total sentinel (entity ids are
+        # E-prefixed, so it cannot collide)
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].tolist() + [""],
+                                  pa.string()),
+            "n": pa.array(list(np.asarray(g["n"], np.int64))
+                          + [np.int64(n_turns)], pa.int64()),
+        })
+
+    ent_turns: dict[str, int] = {}
+    n_turns = 0
+    # O(entities x blocks) rows — driver fold, order-free integer sums
+    for r in (linked.map_batches(local_dedup, batch_format="pyarrow",
+                                 batch_size=COMBINE_BATCH)
+              .sort(["conv_id", "turn_idx"])
+              .map_batches(block_partials, batch_format="pyarrow",
+                           batch_size=None)
+              .take_all()):
+        if r["entity_id"] == "":
+            n_turns += r["n"]
+        else:
+            ent_turns[r["entity_id"]] = (
+                ent_turns.get(r["entity_id"], 0) + r["n"])
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["pred"] == "co_occurs"]
+        return pa.table({
+            "subj": pa.array(df["subj"].tolist(), pa.string()),
+            "obj": pa.array(df["obj"].tolist(), pa.string()),
+            "n_co": pa.array(df["n_evidence"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "n_subj": pa.array(
+                df["subj"].map(ent_turns).to_numpy(dtype=np.int64),
+                pa.int64()),
+            "n_obj": pa.array(
+                df["obj"].map(ent_turns).to_numpy(dtype=np.int64),
+                pa.int64()),
+            "n_turns": pa.array(
+                np.full(len(df), n_turns, np.int64), pa.int64()),
+        })
+
+    return triples.map_batches(annotate, batch_format="pyarrow",
+                               batch_size=COMBINE_BATCH)

@@ -214,7 +214,7 @@ def test_sql_oracle_parity_small(ray_session):
 
     for name in ["kg_mentions", "kg_mentions_crf", "kg_triples",
                  "kg_entities", "kg_turn_entities", "kg_degrees",
-                 "kg_pagerank"]:
+                 "kg_pagerank", "kg_assoc"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
@@ -340,3 +340,39 @@ def test_pagerank_star_graph(ray_session):
     assert hub > leaf_ranks.iloc[0] * 3
     total = a["rank_e12"].sum()
     assert SCALE * 0.999 < total <= SCALE
+
+
+def test_association_stats_semantics(ray_session):
+    """Hand-built micro-KG: duplicate mentions inside a turn count the
+    turn once, the follows triple is ignored, n_turns counts turns with
+    any entity — invariant to block splits (the sort on (conv, turn)
+    lands each turn whole)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.kg import association_stats
+
+    linked = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1", "c1", "c1",
+                             "c2", "c2", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 0, 1, 1, 1, 0, 5, 5], pa.int64()),
+        "entity_id": pa.array(["E1", "E2", "E1", "E2", "E1",
+                               "E2", "E3", "E1"], pa.string()),
+    })
+    triples = pa.table({
+        "subj": pa.array(["E1", "E1", "E1"], pa.string()),
+        "pred": pa.array(["co_occurs", "co_occurs", "follows"],
+                         pa.string()),
+        "obj": pa.array(["E2", "E3", "E2"], pa.string()),
+        "n_evidence": pa.array([2, 1, 9], pa.int64()),
+    })
+    for parts in (1, 3):
+        out = (association_stats(
+                   rd.from_arrow(linked).repartition(parts),
+                   rd.from_arrow(triples))
+               .to_pandas().sort_values("obj").reset_index(drop=True))
+        assert out[["subj", "obj"]].values.tolist() == [
+            ["E1", "E2"], ["E1", "E3"]]
+        assert out["n_co"].tolist() == [2, 1]
+        assert out["n_subj"].tolist() == [3, 3]   # E1 in turns 0,1,5
+        assert out["n_obj"].tolist() == [3, 1]    # E2 in 3, E3 in 1
+        assert out["n_turns"].tolist() == [4, 4]
