@@ -123,23 +123,124 @@ def pagerank(
     })
 
 
+def _triangles_broadcast(ed: rd.Dataset, out_col: str) -> rd.Dataset:
+    """Broadcast-small-side triangle path (see :func:`triangle_counts`):
+    the caller guarantees the edge table fits driver/worker memory.
+    Degrees, orientation and src-grouping are vectorized on the
+    collected edges (blocks cut only at src boundaries, so NO wide op
+    remains), the canonical pair table ships once via ``ray.put``, and
+    each block does wedge emission with IMMEDIATE closure against the
+    broadcast pairs — the O(sum out-deg^2) wedge work is the only
+    distributed stage, which is exactly the part that grows past any
+    single machine."""
+    import ray
+
+    pdf = ed.to_pandas()  # small side by contract (broadcast_edges_max)
+    empty = pa.table({out_col: pa.array([], pa.int64()),
+                      "n_triangles": pa.array([], pa.int64())})
+    if pdf.empty:
+        return rd.from_arrow(empty)
+
+    deg = pd.concat([pdf["a"], pdf["b"]]).value_counts()
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    da = pdf["a"].map(deg).to_numpy(dtype=np.int64)
+    db = pdf["b"].map(deg).to_numpy(dtype=np.int64)
+    fwd = (da < db) | ((da == db) & (a < b))
+    src = np.where(fwd, a, b)
+    dst = np.where(fwd, b, a)
+    # pre-group by src ON THE DRIVER (it already holds the edges by
+    # contract), cutting blocks only at src boundaries — no Dataset
+    # sort needed at all, the one remaining wide op disappears
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    n_blocks = max(1, min(64, len(src) // 4096))
+    cuts = [0]
+    for pos in range(1, n_blocks):
+        c = np.searchsorted(src, src[min(pos * len(src) // n_blocks,
+                                         len(src) - 1)], side="left")
+        if c > cuts[-1]:
+            cuts.append(int(c))
+    cuts.append(len(src))
+    blocks = [pa.table({"src": pa.array(src[lo:hi], pa.int64()),
+                        "dst": pa.array(dst[lo:hi], pa.int64())})
+              for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
+    pairs_ref = ray.put(pdf)
+
+    def wedge_close(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        w_p, w_q, w_s = [], [], []
+        for s, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            w_p.append(nb[i])
+            w_q.append(nb[j])
+            w_s.append(np.full(len(i), s, np.int64))
+        if not w_p:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        wdf = pd.DataFrame({"a": np.concatenate(w_p),
+                            "b": np.concatenate(w_q),
+                            "s": np.concatenate(w_s)})
+        # one merge per block against the broadcast pair table
+        hit = wdf.merge(ray.get(pairs_ref), on=["a", "b"])
+        nodes = np.concatenate([hit["s"].to_numpy(),
+                                hit["a"].to_numpy(),
+                                hit["b"].to_numpy()])
+        g = (pd.DataFrame({"node": nodes, "n": np.int64(1)})
+             .groupby("node", sort=False)["n"].sum().reset_index())
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(), pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    counts: dict[int, int] = {}
+    # O(triangle-nodes x blocks) partials; node count <= 2E fits the
+    # driver by the same contract that allowed the broadcast
+    for r in (rd.from_arrow(blocks)
+              .map_batches(wedge_close, batch_format="pyarrow",
+                           batch_size=None)
+              .take_all()):
+        counts[r["node"]] = counts.get(r["node"], 0) + r["n"]
+    nodes = sorted(counts)
+    return rd.from_arrow(pa.table({
+        out_col: pa.array(nodes, pa.int64()),
+        "n_triangles": pa.array([counts[n] for n in nodes], pa.int64()),
+    }))
+
+
 def triangle_counts(
     edges: rd.Dataset,
     *,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     out_col: str = "node_id",
+    broadcast_edges_max: int = 1 << 22,
 ) -> rd.Dataset:
     """Per-node triangle counts over DISTINCT undirected edges
     (``a_col < b_col``, int64 node ids) — e.g. the near-dup pair graph,
-    whose node ids scale with the CORPUS, so nothing here may broadcast
-    node state (the opposite regime from :func:`pagerank`'s
-    lexicon-bounded vocabulary).
+    whose node ids scale with the CORPUS (the opposite regime from
+    :func:`pagerank`'s lexicon-bounded vocabulary).
 
-    Classic distributed triangle enumeration (Cohen's MR scheme,
-    re-expressed in the engine's union -> sort(key) -> per-block-merge
-    join shape; no Dataset.join, per CLAUDE.md rule 5):
+    Classic distributed triangle enumeration (Cohen's MR scheme) in the
+    engine's union -> sort(key) -> per-block-merge join shape (no
+    Dataset.join, per CLAUDE.md rule 5).  The edge table is normalized
+    and materialized ONCE — it is read three times downstream and is
+    the dedup output, far smaller than the corpus (the dup_clusters
+    iterative-lineage precedent) — then one of two paths runs:
 
+    BROADCAST path (edge count <= ``broadcast_edges_max``): the engine's
+    broadcast-small-side join rule.  Degrees, orientation and
+    src-grouped block cuts happen on the driver (which holds the edges
+    by contract), the (p, q) pair table ships once via ``ray.put``,
+    and each block runs wedge emission + immediate closure against the
+    broadcast pairs — ZERO wide ops.  The distributed work is the part
+    that cannot fit anywhere: the wedge explosion (sum of out-deg^2,
+    up to ~E^1.5).
+
+    DISTRIBUTED path (bigger graphs): nothing broadcasts —
       1. degrees        combine/sort/combine endpoint counts
       2. annotate       two sort-merge passes attach deg(a), deg(b) to
                         every edge (union with the degree table, sort on
@@ -156,8 +257,9 @@ def triangle_counts(
                         node anchors it) and credits all 3 corners
       6. counts         combine/sort/combine per-node partials
 
-    Output: (``out_col``, n_triangles) — only nodes in >= 1 triangle,
-    matching the SQL oracle's GROUP BY."""
+    Both paths are output-identical (asserted in tests).  Output:
+    (``out_col``, n_triangles) — only nodes in >= 1 triangle, matching
+    the SQL oracle's GROUP BY."""
 
     def norm(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -165,8 +267,13 @@ def triangle_counts(
             "b": batch.column(b_col).cast(pa.int64()),
         })
 
+    # read 3x downstream (degrees / wedges / closure): materialize so
+    # an expensive upstream (e.g. the ngram-Jaccard join) runs once
     ed = edges.map_batches(norm, batch_format="pyarrow",
-                           batch_size=1 << 19)
+                           batch_size=1 << 19).materialize()
+
+    if ed.count() <= broadcast_edges_max:
+        return _triangles_broadcast(ed, out_col)
 
     # -- 1. degrees: one row per (node, partial) per block ------------
     def deg_combine(batch: pa.Table) -> pa.Table:

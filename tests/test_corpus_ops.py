@@ -742,16 +742,20 @@ def test_triangle_counts_brute_force(ray_session, case):
         "doc_a": pa.array([a for a, _ in edges], pa.int64()),
         "doc_b": pa.array([b for _, b in edges], pa.int64()),
     })
-    # several input blocks so combine/sort/per-block paths are real
-    got = triangle_counts(rd.from_arrow(tbl).repartition(4)).to_pandas()
     want = _brute_triangles(edges)
-    if case == "empty":
-        # a triangle-free graph yields zero rows (Ray drops the schema
-        # with it when every block is empty — column check is vacuous)
-        assert len(got) == 0
-        assert want == {}
-        return
-    got = got.sort_values("node_id").reset_index(drop=True)
-    assert dict(zip(got["node_id"], got["n_triangles"])) == want
-    if case == "clique":
-        assert set(got["n_triangles"]) == {15}  # C(6,2) per corner
+    # several input blocks so combine/sort/per-block paths are real;
+    # max=0 forces the 6-sort distributed path, default the broadcast
+    # path — both must match brute force (and hence each other)
+    for bmax in (1 << 22, 0):
+        got = triangle_counts(rd.from_arrow(tbl).repartition(4),
+                              broadcast_edges_max=bmax).to_pandas()
+        if case == "empty":
+            # a triangle-free graph yields zero rows (the distributed
+            # path drops the schema with it when every block is empty)
+            assert len(got) == 0
+            assert want == {}
+            continue
+        got = got.sort_values("node_id").reset_index(drop=True)
+        assert dict(zip(got["node_id"], got["n_triangles"])) == want
+        if case == "clique":
+            assert set(got["n_triangles"]) == {15}  # C(6,2) per corner
