@@ -323,6 +323,16 @@ def _q_events_latest(sf_dir: str):
                                  "event_type"]))
 
 
+def _q_corpus_ranks(sf_dir: str):
+    """Exact percentile-rank normalization of per-doc token counts:
+    integer (n_smaller, n_docs) numerators via a driver-folded value
+    histogram + broadcast searchsorted — zero shuffles."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        token_count_ranks)
+
+    return token_count_ranks(_docs(sf_dir))
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
         "doc_quantiles": _q_doc_quantiles,
+        "corpus_ranks": _q_corpus_ranks,
         "corpus_sample": _q_corpus_sample,
         "bm25_topk": _q_bm25_topk,
         "tpch_pricing": _q_tpch_pricing,
@@ -1665,6 +1676,21 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        """,
+        # rank()-1 == count of strictly-smaller docs; the token count
+        # (spaces+1) matches the engine's count_substring kernel
+        "corpus_ranks": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(coalesce(text, ''))
+                       - len(replace(coalesce(text, ''), ' ', '')) + 1
+                       AS n_tokens
+                FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(rank() OVER (ORDER BY n_tokens) - 1 AS BIGINT)
+                       AS n_smaller,
+                   CAST(count(*) OVER () AS BIGINT) AS n_docs
+            FROM d
         """,
         "tpch_top_orders": """
             SELECT o_custkey, o_orderkey, total_cents, rk FROM (

@@ -538,3 +538,62 @@ def top_tokens(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def token_count_ranks(docs: rd.Dataset) -> rd.Dataset:
+    """Exact percentile-rank normalization of the per-doc token count
+    (the feature-scaling pass a training-mix pipeline runs): every
+    document gets the exact number of strictly-smaller documents
+    (``n_smaller`` = SQL ``rank() - 1``) and the corpus size — integer
+    numerators only; the float percentile n_smaller/n_docs is left to
+    the consumer (the engine's integer-derivation invariant).
+
+    Shape: the `token_count_quantiles` value-histogram trick without
+    even its sort — per-block (value, count) partials fold on the
+    driver with order-free integer sums (O(distinct counts), bounded
+    by the max document length, not the corpus), then ONE stateless
+    map annotates every document via broadcast searchsorted.  No
+    shuffle at all; the corpus streams exactly twice.
+
+    Output: (doc_id, n_tokens, n_smaller, n_docs)."""
+    import pyarrow.compute as pc
+
+    def _counts(batch: pa.Table) -> pa.Array:
+        text = pc.fill_null(batch.column("text"), "")
+        # split(" ") semantics: every doc has spaces+1 tokens
+        return pc.add(pc.cast(pc.count_substring(text, " "),
+                              pa.int64()), 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = pa.table({"v": _counts(batch)}).to_pandas()
+        df["n"] = np.int64(1)
+        g = df.groupby("v", sort=False)["n"].sum().reset_index()
+        return pa.table({
+            "v": pa.array(g["v"].to_numpy(), pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    acc: dict[int, int] = {}
+    for r in docs.map_batches(hist, batch_format="pyarrow",
+                              batch_size=1 << 17).take_all():
+        acc[r["v"]] = acc.get(r["v"], 0) + r["n"]
+    vals = np.asarray(sorted(acc), dtype=np.int64)
+    below = np.concatenate(
+        [[0], np.cumsum([acc[v] for v in vals])[:-1]]
+    ).astype(np.int64) if len(vals) else np.array([], np.int64)
+    n_docs = int(sum(acc.values()))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        v = np.asarray(_counts(batch), dtype=np.int64)
+        idx = np.searchsorted(vals, v, side="left")  # exact: v in vals
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(v, pa.int64()),
+            "n_smaller": pa.array(below[idx] if len(v) else
+                                  np.array([], np.int64), pa.int64()),
+            "n_docs": pa.array(np.full(len(v), n_docs, np.int64),
+                               pa.int64()),
+        })
+
+    return docs.map_batches(annotate, batch_format="pyarrow",
+                            batch_size=1 << 17)
