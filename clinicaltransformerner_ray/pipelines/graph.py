@@ -123,6 +123,34 @@ def pagerank(
     })
 
 
+def _orient_fwd(a: np.ndarray, b: np.ndarray,
+                da: np.ndarray, db: np.ndarray) -> np.ndarray:
+    """Degree-orientation predicate shared by BOTH triangle paths
+    (keeping them contractually output-identical): edge (a, b) points
+    a -> b iff (deg(a), a) < (deg(b), b)."""
+    return (da < db) | ((da == db) & (a < b))
+
+
+def _wedge_arrays(df: pd.DataFrame):
+    """Per-src out-neighbor pair emission shared by BOTH triangle
+    paths: (p, q, anchor) int64 arrays, p < q in canonical id order,
+    one row per unordered out-neighbor pair of each src."""
+    o_p, o_q, o_s = [], [], []
+    for s, g in df.groupby("src", sort=False):
+        nb = np.sort(g["dst"].to_numpy())  # canonical id order
+        if len(nb) < 2:
+            continue
+        i, j = np.triu_indices(len(nb), k=1)
+        o_p.append(nb[i])
+        o_q.append(nb[j])
+        o_s.append(np.full(len(i), s, np.int64))
+    if not o_p:
+        z = np.array([], np.int64)
+        return z, z, z
+    return (np.concatenate(o_p), np.concatenate(o_q),
+            np.concatenate(o_s))
+
+
 def _triangles_broadcast(ed: rd.Dataset, out_col: str) -> rd.Dataset:
     """Broadcast-small-side triangle path (see :func:`triangle_counts`):
     the caller guarantees the edge table fits driver/worker memory.
@@ -146,7 +174,7 @@ def _triangles_broadcast(ed: rd.Dataset, out_col: str) -> rd.Dataset:
     b = pdf["b"].to_numpy()
     da = pdf["a"].map(deg).to_numpy(dtype=np.int64)
     db = pdf["b"].map(deg).to_numpy(dtype=np.int64)
-    fwd = (da < db) | ((da == db) & (a < b))
+    fwd = _orient_fwd(a, b, da, db)
     src = np.where(fwd, a, b)
     dst = np.where(fwd, b, a)
     # pre-group by src ON THE DRIVER (it already holds the edges by
@@ -168,22 +196,11 @@ def _triangles_broadcast(ed: rd.Dataset, out_col: str) -> rd.Dataset:
     pairs_ref = ray.put(pdf)
 
     def wedge_close(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        w_p, w_q, w_s = [], [], []
-        for s, g in df.groupby("src", sort=False):
-            nb = np.sort(g["dst"].to_numpy())
-            if len(nb) < 2:
-                continue
-            i, j = np.triu_indices(len(nb), k=1)
-            w_p.append(nb[i])
-            w_q.append(nb[j])
-            w_s.append(np.full(len(i), s, np.int64))
-        if not w_p:
+        w_p, w_q, w_s = _wedge_arrays(batch.to_pandas())
+        if not len(w_p):
             return pa.table({"node": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        wdf = pd.DataFrame({"a": np.concatenate(w_p),
-                            "b": np.concatenate(w_q),
-                            "s": np.concatenate(w_s)})
+        wdf = pd.DataFrame({"a": w_p, "b": w_q, "s": w_s})
         # one merge per block against the broadcast pair table
         hit = wdf.merge(ray.get(pairs_ref), on=["a", "b"])
         nodes = np.concatenate([hit["s"].to_numpy(),
@@ -299,14 +316,12 @@ def triangle_counts(
     # -- 2. annotate: sort-merge the degree table onto each endpoint --
     def _tag(src: rd.Dataset, key: str, other: str) -> rd.Dataset:
         def t(batch: pa.Table) -> pa.Table:
+            z = pa.array([0] * batch.num_rows, pa.int64())
             return pa.table({
                 "key": batch.column(key).cast(pa.int64()),
                 "other": batch.column(other).cast(pa.int64()),
-                "dcarry": (batch.column("dcarry").cast(pa.int64())
-                           if "dcarry" in batch.column_names
-                           else pa.array([0] * batch.num_rows,
-                                         pa.int64())),
-                "deg": pa.array([0] * batch.num_rows, pa.int64()),
+                "dcarry": z,
+                "deg": z,
                 "kind": pa.array([1] * batch.num_rows, pa.int64()),
             })
         return src.map_batches(t, batch_format="pyarrow",
@@ -336,8 +351,11 @@ def triangle_counts(
             "kind": pa.array(np.ones(len(e), np.int64), pa.int64()),
         })
 
+    # degt feeds BOTH annotate unions; Ray does no common-subexpression
+    # elimination, so without this materialize the degree shuffle would
+    # execute twice (the same rule that materialized `ed`)
     degt = deg.map_batches(_deg_rows, batch_format="pyarrow",
-                           batch_size=1 << 19)
+                           batch_size=1 << 19).materialize()
     # pass A keys on a (other=b); attach() flips so pass B keys on b
     p1 = (degt.union(_tag(ed, "a", "b"))
           .sort("key")
@@ -352,35 +370,19 @@ def triangle_counts(
         df = batch.to_pandas()
         a = df["key"].to_numpy()
         b = df["other"].to_numpy()
-        da = df["deg"].to_numpy()
-        db = df["dcarry"].to_numpy()
-        fwd = (da < db) | ((da == db) & (a < b))
+        fwd = _orient_fwd(a, b, df["deg"].to_numpy(),
+                          df["dcarry"].to_numpy())
         return pa.table({
             "src": pa.array(np.where(fwd, a, b), pa.int64()),
             "dst": pa.array(np.where(fwd, b, a), pa.int64()),
         })
 
     def wedges(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        o_p, o_q, o_anchor = [], [], []
-        for s, g in df.groupby("src", sort=False):
-            nb = np.sort(g["dst"].to_numpy())  # canonical id order
-            if len(nb) < 2:
-                continue
-            i, j = np.triu_indices(len(nb), k=1)
-            o_p.append(nb[i])
-            o_q.append(nb[j])
-            o_anchor.append(np.full(len(i), s, np.int64))
-        if not o_p:
-            return pa.table({"p": pa.array([], pa.int64()),
-                             "q": pa.array([], pa.int64()),
-                             "anchor": pa.array([], pa.int64()),
-                             "kind": pa.array([], pa.int64())})
-        p = np.concatenate(o_p)
+        p, q, anchor = _wedge_arrays(batch.to_pandas())
         return pa.table({
             "p": pa.array(p, pa.int64()),
-            "q": pa.array(np.concatenate(o_q), pa.int64()),
-            "anchor": pa.array(np.concatenate(o_anchor), pa.int64()),
+            "q": pa.array(q, pa.int64()),
+            "anchor": pa.array(anchor, pa.int64()),
             "kind": pa.array(np.ones(len(p), np.int64), pa.int64()),
         })
 

@@ -363,14 +363,14 @@ def top_orders_per_customer(orders: rd.Dataset, *, k: int = 3) -> rd.Dataset:
     Output: (o_custkey, o_orderkey, total_cents, rk)."""
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        # runs once, pre-shuffle only (final_rank completes post-sort)
         df = batch.to_pandas()
-        if "total_cents" not in df.columns:
-            df = pd.DataFrame({
-                "o_custkey": df["o_custkey"],
-                "o_orderkey": df["o_orderkey"],
-                "total_cents": _round_half_away(
-                    df["o_totalprice"].to_numpy() * 100),
-            })
+        df = pd.DataFrame({
+            "o_custkey": df["o_custkey"],
+            "o_orderkey": df["o_orderkey"],
+            "total_cents": _round_half_away(
+                df["o_totalprice"].to_numpy() * 100),
+        })
         df = df.sort_values(["o_custkey", "total_cents", "o_orderkey"],
                             ascending=[True, False, True])
         df = df.groupby("o_custkey", sort=False).head(k)
