@@ -1,0 +1,75 @@
+"""CLI surface (`python -m clinicaltransformerner_ray`): the reference's
+batch-prediction + format-converter jobs driven end-to-end over temp
+output dirs, with content checks against the mention table."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(argv):
+    from clinicaltransformerner_ray.cli import main
+
+    main(argv)  # session owned by the fixture; main must not kill it
+
+
+def test_cli_predict_brat_files(ray_session, tmp_path):
+    out = str(tmp_path / "brat")
+    _run(["predict", "--sf-dir", SF, "--output-dir", out,
+          "--format", "brat", "--files"])
+    files = glob.glob(os.path.join(out, "files", "*.ann"))
+    assert files, "no .ann files written"
+    body = open(sorted(files)[0]).read()
+    # brat T lines: id, type, offsets, surface
+    assert body.startswith("T1\t")
+    # parquet twin holds the same documents
+    n_rows = sum(pq.read_metadata(f).num_rows
+                 for f in glob.glob(os.path.join(out, "parquet",
+                                                 "*.parquet")))
+    assert n_rows == len(files)
+
+
+def test_cli_predict_bio_labels_match_mentions(ray_session, tmp_path):
+    """BIO output: every turn present, token count == whitespace tokens,
+    and a turn's B- label count == its mention count."""
+    from clinicaltransformerner_ray.pipelines.kg import detect_mentions
+    from clinicaltransformerner_ray.sources.turns import (
+        load_alias_rows, read_turns)
+
+    out = str(tmp_path / "bio")
+    _run(["predict", "--sf-dir", SF, "--output-dir", out,
+          "--format", "bio"])
+    df = pd.concat([pq.read_table(f).to_pandas() for f in
+                    glob.glob(os.path.join(out, "parquet", "*.parquet"))])
+    turns = read_turns(SF, columns=["conv_id", "turn_idx", "text"]) \
+        .to_pandas()
+    assert len(df) == len(turns)
+    m = (detect_mentions(
+            read_turns(SF, columns=["conv_id", "turn_idx", "text"]),
+            load_alias_rows(SF)).to_pandas()
+         .groupby(["conv_id", "turn_idx"]).size())
+    from clinicaltransformerner_ray.functions.text import (
+        tokenize_with_offsets)
+
+    merged = df.merge(turns, on=["conv_id", "turn_idx"])
+    for r in merged.head(200).itertuples():
+        lines = [ln for ln in r.bio_text.split("\n") if ln]
+        assert len(lines) == len(tokenize_with_offsets(r.text or "")[0])
+        n_b = sum(1 for ln in lines if ln.split(" ")[1].startswith("B-"))
+        assert n_b == m.get((r.conv_id, r.turn_idx), 0)
+
+
+def test_cli_kg_writes_tables(ray_session, tmp_path):
+    out = str(tmp_path / "kg")
+    _run(["kg", "--sf-dir", SF, "--output-dir", out])
+    tri = sum(pq.read_metadata(f).num_rows for f in
+              glob.glob(os.path.join(out, "triples", "*.parquet")))
+    ent = sum(pq.read_metadata(f).num_rows for f in
+              glob.glob(os.path.join(out, "entities", "*.parquet")))
+    assert tri == 1387 and ent == 120  # the sf0.001 flagship outputs
