@@ -141,6 +141,68 @@ def _q_kg_assoc(sf_dir: str):
     return association_stats(out["linked"], out["triples"])
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components over the co-occurrence graph — reuses the
+    dedup engine's pointer-jumping label propagation (`dup_clusters`)
+    by coding the lexicon-bounded entity vocabulary to dense ints in
+    SORTED order, so min-code == lexicographically-min entity and the
+    mapped-back result matches the SQL recursive-closure oracle
+    exactly.  Completes the graph family: components / degrees /
+    pagerank / triangles / association stats, all over the same edge
+    table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.dedup import dup_clusters
+
+    triples = _kg(sf_dir)["triples"]
+
+    def co_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        co = df[df["pred"] == "co_occurs"]
+        return pa.table({
+            "subj": pa.array(co["subj"].tolist(), pa.string()),
+            "obj": pa.array(co["obj"].tolist(), pa.string()),
+        })
+
+    # read twice (vocab fold + coded pairs); deduped pair list <<
+    # corpus — the dup_clusters iterative-lineage precedent
+    pairs = triples.map_batches(co_pairs, batch_format="pyarrow",
+                                batch_size=1 << 19).materialize()
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        u = pd.unique(pd.concat([df["subj"], df["obj"]]))
+        return pa.table({"e": pa.array(sorted(u), pa.string())})
+
+    vocab: set = set()
+    for r in pairs.map_batches(vocab_partial, batch_format="pyarrow",
+                               batch_size=1 << 19).take_all():
+        vocab.add(r["e"])
+    inv = sorted(vocab)
+    code = {e: i for i, e in enumerate(inv)}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "doc_a": pa.array(df["subj"].map(code).to_numpy(
+                dtype=np.int64), pa.int64()),
+            "doc_b": pa.array(df["obj"].map(code).to_numpy(
+                dtype=np.int64), pa.int64()),
+        })
+
+    cl = dup_clusters(pairs.map_batches(
+        encode, batch_format="pyarrow", batch_size=1 << 19)).to_pandas()
+    inv_a = np.asarray(inv, dtype=object)
+    return pa.table({
+        "entity_id": pa.array(inv_a[cl["doc_id"].to_numpy()].tolist(),
+                              pa.string()),
+        "component_id": pa.array(
+            inv_a[cl["cluster_id"].to_numpy()].tolist(), pa.string()),
+    })
+
+
 def _q_kg_turn_entities(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions, link_mentions
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
@@ -775,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "kg_assoc": _q_kg_assoc,
+        "kg_components": _q_kg_components,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
@@ -1286,6 +1349,30 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return {
         "kg_degrees": degrees_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
+        # recursive transitive closure over the undirected co-occurrence
+        # pairs; component id = lexicographic min entity, matching the
+        # engine's sorted dense coding + dup_clusters min-label rule
+        "kg_components": ("WITH RECURSIVE" + cte[len("\nWITH"):] + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , cop AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), prs AS (SELECT DISTINCT subj, obj FROM cop),
+            edges AS (
+                SELECT subj AS u, obj AS v FROM prs
+                UNION SELECT obj, subj FROM prs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS entity_id, least(u, min(v)) AS component_id
+            FROM reach GROUP BY u
+        """),
         # all four counts are distinct-turn integers; the engine's
         # n_co reuses the triple table's n_evidence (already
         # hash-checked by kg_triples), n_subj/n_obj/n_turns fold the
