@@ -203,6 +203,27 @@ def _q_kg_components(sf_dir: str):
     })
 
 
+def _q_kg_common_neighbors(sf_dir: str):
+    """Common-neighbor link prediction over the co-occurrence graph:
+    entity pairs never seen together that share >= 2 co-occurrence
+    partners — exact counts, chained off the flagship triple table."""
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.graph import common_neighbors
+
+    def co_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        co = df[df["pred"] == "co_occurs"]
+        return pa.table({
+            "subj": pa.array(co["subj"].tolist(), pa.string()),
+            "obj": pa.array(co["obj"].tolist(), pa.string()),
+        })
+
+    pairs = _kg(sf_dir)["triples"].map_batches(
+        co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    return common_neighbors(pairs, min_common=2)
+
+
 def _q_kg_turn_entities(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions, link_mentions
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
@@ -838,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_assoc": _q_kg_assoc,
         "kg_components": _q_kg_components,
+        "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
@@ -1349,6 +1371,34 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return {
         "kg_degrees": degrees_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
+        # per-center wedge counting (both directions) minus direct
+        # pairs; string '<' is binary-codepoint on both engines
+        "kg_common_neighbors": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , cop AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), prs AS (SELECT DISTINCT subj, obj FROM cop),
+            edges AS (
+                SELECT subj AS u, obj AS v FROM prs
+                UNION ALL SELECT obj, subj FROM prs
+            ),
+            cn AS (
+                SELECT a.v AS subj, b.v AS obj,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM edges a JOIN edges b
+                  ON a.u = b.u AND a.v < b.v
+                GROUP BY 1, 2
+            )
+            SELECT subj, obj, n_common FROM cn
+            WHERE n_common >= 2
+              AND NOT EXISTS (SELECT 1 FROM prs p
+                              WHERE p.subj = cn.subj
+                                AND p.obj = cn.obj)
+        """,
         # recursive transitive closure over the undirected co-occurrence
         # pairs; component id = lexicographic min entity, matching the
         # engine's sorted dense coding + dup_clusters min-label rule

@@ -6,6 +6,9 @@
                    space (degree-oriented wedge generation + closure
                    join) — subgraph enumeration, the op pagerank's
                    broadcast-node-state trick can't cover
+  common_neighbors link prediction: non-adjacent pairs sharing >= m
+                   neighbors, exact counts (per-center wedge counting
+                   + a NOT-EXISTS drop in one sorted pass)
 
 Why INTEGER fixed-point: float PageRank sums neighbor contributions in
 engine-dependent order, so a SQL oracle could never hash-match.  With
@@ -428,4 +431,101 @@ def triangle_counts(
             .map_batches(close, batch_format="pyarrow", batch_size=None)
             .sort("node")
             .map_batches(count_combine, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def common_neighbors(
+    edges: rd.Dataset,
+    *,
+    a_col: str = "subj",
+    b_col: str = "obj",
+    min_common: int = 2,
+    node_type: pa.DataType = pa.string(),
+) -> rd.Dataset:
+    """Common-neighbor link prediction: pairs of nodes NOT directly
+    connected that share >= ``min_common`` neighbors, with the exact
+    count — the classic related-entities suggestion over the
+    co-occurrence graph.
+
+    Input: DISTINCT undirected edges (``a_col < b_col``).  Unlike
+    :func:`triangle_counts`, wedges here must be counted per CENTER
+    over its FULL neighbor set (degree orientation would split a
+    center's wedges across endpoints), so hub centers cost deg^2 —
+    bounded for lexicon-bounded entity graphs; for corpus-scale use a
+    pre-filter on degree (the ngram max_df precedent: an opt-in cap
+    diverges from the exact oracle, so it is not a default here).
+
+    Shape: two sorts.  (1) both-direction rows sorted on the center
+    (equal keys land whole) -> per-block wedge-pair partial counts;
+    (2) partials UNIONED with the direct-edge rows, sorted on the full
+    (x, y) composite (equal composites land whole) -> per-block final
+    sum + NOT-EXISTS drop of directly-connected pairs.
+
+    Output: (``a_col``, ``b_col``, n_common) for surviving pairs."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        a, b = batch.column(a_col), batch.column(b_col)
+        return pa.table({
+            "u": pa.concat_arrays([a.combine_chunks(),
+                                   b.combine_chunks()]),
+            "v": pa.concat_arrays([b.combine_chunks(),
+                                   a.combine_chunks()]),
+        })
+
+    def wedge_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o_x, o_y = [], []
+        for _, g in df.groupby("u", sort=False):
+            nb = np.sort(g["v"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            o_x.append(nb[i])
+            o_y.append(nb[j])
+        if o_x:
+            g = (pd.DataFrame({"x": np.concatenate(o_x),
+                               "y": np.concatenate(o_y),
+                               "n": np.int64(1)})
+                 .groupby(["x", "y"], sort=False)["n"].sum()
+                 .reset_index())
+        else:
+            g = pd.DataFrame({"x": [], "y": [], "n": []})
+        return pa.table({
+            "x": pa.array(g["x"].tolist(), node_type),
+            "y": pa.array(g["y"].tolist(), node_type),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(g), np.int64), pa.int64()),
+        })
+
+    def direct(batch: pa.Table) -> pa.Table:
+        z = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table({
+            "x": batch.column(a_col), "y": batch.column(b_col),
+            "n": z, "kind": z,
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        w = df[df["kind"] == 1]
+        g = (w.groupby(["x", "y"], sort=False)["n"].sum()
+             .reset_index())
+        d = df.loc[df["kind"] == 0, ["x", "y"]]
+        g = g.merge(d, on=["x", "y"], how="left", indicator=True)
+        g = g[(g["_merge"] == "left_only") & (g["n"] >= min_common)]
+        return pa.table({
+            a_col: pa.array(g["x"].tolist(), node_type),
+            b_col: pa.array(g["y"].tolist(), node_type),
+            "n_common": pa.array(np.asarray(g["n"], np.int64),
+                                 pa.int64()),
+        })
+
+    partials = (edges.map_batches(both, batch_format="pyarrow",
+                                  batch_size=1 << 19)
+                .sort("u")
+                .map_batches(wedge_partials, batch_format="pyarrow",
+                             batch_size=None))
+    return (partials.union(edges.map_batches(
+                direct, batch_format="pyarrow", batch_size=1 << 19))
+            .sort(["x", "y"])
+            .map_batches(finish, batch_format="pyarrow",
                          batch_size=None))

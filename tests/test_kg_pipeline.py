@@ -214,7 +214,8 @@ def test_sql_oracle_parity_small(ray_session):
 
     for name in ["kg_mentions", "kg_mentions_crf", "kg_triples",
                  "kg_entities", "kg_turn_entities", "kg_degrees",
-                 "kg_pagerank", "kg_assoc", "kg_components"]:
+                 "kg_pagerank", "kg_assoc", "kg_components",
+                 "kg_common_neighbors"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
@@ -376,3 +377,25 @@ def test_association_stats_semantics(ray_session):
         assert out["n_subj"].tolist() == [3, 3]   # E1 in turns 0,1,5
         assert out["n_obj"].tolist() == [3, 1]    # E2 in 3, E3 in 1
         assert out["n_turns"].tolist() == [4, 4]
+
+
+def test_common_neighbors_semantics(ray_session):
+    """Hand-built graph: a pair sharing two centers is emitted with the
+    exact count, a directly-connected pair is dropped even when it
+    qualifies, and single-shared-neighbor pairs fall below min_common."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import common_neighbors
+
+    edges = [("0", "1"), ("0", "2"), ("0", "3"),
+             ("1", "9"), ("2", "9"), ("1", "2")]
+    tbl = pa.table({
+        "subj": pa.array([a for a, _ in edges], pa.string()),
+        "obj": pa.array([b for _, b in edges], pa.string()),
+    })
+    out = (common_neighbors(rd.from_arrow(tbl).repartition(3),
+                            min_common=2)
+           .to_pandas().sort_values(["subj", "obj"])
+           .reset_index(drop=True))
+    # (1,2) shares {0,9} but is adjacent -> dropped; (0,9) shares {1,2}
+    assert out.values.tolist() == [["0", "9", 2]]
