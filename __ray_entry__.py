@@ -416,6 +416,19 @@ def _q_corpus_ranks(sf_dir: str):
     return token_count_ranks(_docs(sf_dir))
 
 
+def _q_events_funnel(sf_dir: str):
+    """Two-step conversion funnel: first click -> first purchase within
+    24 h per user (total-order definition, so the SQL oracle is exact)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        funnel_conversions)
+
+    return funnel_conversions(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_type"]))
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -872,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_salted": _q_events_range_join_salted,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_latest": _q_events_latest,
+        "events_funnel": _q_events_funnel,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_triangles": _q_dedup_triangles,
@@ -1903,6 +1917,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM qs, cum
             WHERE cum >= (q_pct * n_total + 99) // 100
             GROUP BY event_type, q_pct
+        """,
+        "events_funnel": """
+            WITH f AS (SELECT user_id, min(ts) AS fc FROM events
+                       WHERE event_type = 'click' GROUP BY user_id)
+            SELECT e.user_id, f.fc AS first_ts, min(e.ts) AS conv_ts
+            FROM events e JOIN f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > f.fc
+              AND e.ts <= f.fc + INTERVAL 24 HOUR
+            GROUP BY e.user_id, f.fc
         """,
         "events_latest": """
             SELECT user_id, event_id, ts, event_type FROM (

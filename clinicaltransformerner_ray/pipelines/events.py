@@ -31,6 +31,9 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
                     the driver walks each group's tiny CDF
   latest_event_per_user  dedup-to-latest (CDC-style snapshot): local
                     per-batch last per user, one sort, per-block final
+  funnel_conversions  two-step conversion funnel: first click ->
+                    first purchase within a horizon, per user — type
+                    filter pre-shuffle, one user sort, grouped mins
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
 lands in one block.  `sessionize_salted` is the 100 TB path: the sort
@@ -873,4 +876,73 @@ def asof_join_events_salted(
                          batch_size=None)
             .sort("stkey")
             .map_batches(stitch, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def funnel_conversions(
+    events: rd.Dataset,
+    *,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    horizon_us: int = 24 * 3600 * 1_000_000,
+) -> rd.Dataset:
+    """Conversion funnel: users whose FIRST ``first_type`` event is
+    followed by a ``then_type`` event strictly later but within
+    ``horizon_us`` — with the exact first-step and conversion
+    timestamps (product-analytics' two-step funnel; the reference has
+    no events surface at all).
+
+    Definition (total order, so both engines agree): fc = min ts of
+    the user's first_type events; conversion = min then_type ts in
+    (fc, fc + horizon]; only converted users emit a row.
+
+    Shape (the asof precedent): a column-pruning TYPE FILTER runs
+    before the shuffle, one sort on user_id alone (a user's rows land
+    whole per block), then a vectorized per-block pass — two grouped
+    mins, no per-user Python.  Output: (user_id, first_ts, conv_ts).
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([first_type, then_type]))
+        t = batch.filter(keep)
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "is_first": pc.cast(
+                pc.equal(t.column("event_type"), first_type),
+                pa.int64()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.timestamp("us")),
+                "conv_ts": pa.array([], pa.timestamp("us")),
+            })
+        f = df[df["is_first"] == 1]
+        fc = (f.groupby("user_id", sort=False)["ts_us"].min()
+              .rename("fc").reset_index())
+        p = df[df["is_first"] == 0].merge(fc, on="user_id")
+        p = p[(p["ts_us"] > p["fc"])
+              & (p["ts_us"] <= p["fc"] + horizon_us)]
+        conv = (p.groupby("user_id", sort=False)
+                .agg(fc=("fc", "first"), conv=("ts_us", "min"))
+                .reset_index())
+        return pa.table({
+            "user_id": pa.array(conv["user_id"].to_numpy(), pa.int64()),
+            "first_ts": pa.array(conv["fc"].to_numpy(),
+                                 pa.timestamp("us")),
+            "conv_ts": pa.array(conv["conv"].to_numpy(),
+                                pa.timestamp("us")),
+        })
+
+    return (events.map_batches(project, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))

@@ -320,7 +320,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_asof", "events_range_join",
                  "events_sessions_salted", "events_asof_salted",
                  "events_range_join_salted", "events_distinct_users",
-                 "events_value_quantiles", "events_latest"]:
+                 "events_value_quantiles", "events_latest",
+                 "events_funnel"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -762,3 +763,40 @@ def test_latest_event_per_user_ties(ray_session):
     want = {u: max(i for i in range(n) if i % 7 == u) for u in range(7)}
     got = dict(zip(out["user_id"], out["event_id"]))
     assert got == want
+
+
+def test_funnel_conversions_semantics(ray_session):
+    """Hand-built stream: conversion must be STRICTLY after the first
+    click and within the horizon; a purchase before the first click or
+    past the horizon doesn't convert; first purchase wins."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        funnel_conversions)
+
+    t0 = pd.Timestamp("2024-01-01")
+    us = lambda m: t0 + pd.Timedelta(minutes=m)
+    rows = [
+        # user 1: click@0, purchases @10 and @5 -> converts at 5
+        (1, us(0), "click"), (1, us(10), "purchase"),
+        (1, us(5), "purchase"),
+        # user 2: purchase BEFORE its only click -> no conversion
+        (2, us(10), "click"), (2, us(3), "purchase"),
+        # user 3: purchase past the horizon -> no conversion
+        (3, us(0), "click"), (3, us(120), "purchase"),
+        # user 4: equal-ts purchase (not strictly after) -> none
+        (4, us(7), "click"), (4, us(7), "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = (funnel_conversions(rd.from_arrow(tbl).repartition(3),
+                              horizon_us=60 * 60 * 1_000_000)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1]
+    assert out["first_ts"].tolist() == [us(0)]
+    assert out["conv_ts"].tolist() == [us(5)]
