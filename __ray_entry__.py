@@ -34,6 +34,19 @@ def _kg(sf_dir: str):
     return kg_pipeline(sf_dir)
 
 
+def _co_pairs(batch):
+    """Shared projection: triple rows -> (subj, obj) co-occurrence
+    pairs (used by the components and common-neighbors queries)."""
+    import pyarrow as pa
+
+    df = batch.to_pandas()
+    co = df[df["pred"] == "co_occurs"]
+    return pa.table({
+        "subj": pa.array(co["subj"].tolist(), pa.string()),
+        "obj": pa.array(co["obj"].tolist(), pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -158,17 +171,9 @@ def _q_kg_components(sf_dir: str):
 
     triples = _kg(sf_dir)["triples"]
 
-    def co_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        co = df[df["pred"] == "co_occurs"]
-        return pa.table({
-            "subj": pa.array(co["subj"].tolist(), pa.string()),
-            "obj": pa.array(co["obj"].tolist(), pa.string()),
-        })
-
     # read twice (vocab fold + coded pairs); deduped pair list <<
     # corpus — the dup_clusters iterative-lineage precedent
-    pairs = triples.map_batches(co_pairs, batch_format="pyarrow",
+    pairs = triples.map_batches(_co_pairs, batch_format="pyarrow",
                                 batch_size=1 << 19).materialize()
 
     def vocab_partial(batch: pa.Table) -> pa.Table:
@@ -207,20 +212,10 @@ def _q_kg_common_neighbors(sf_dir: str):
     """Common-neighbor link prediction over the co-occurrence graph:
     entity pairs never seen together that share >= 2 co-occurrence
     partners — exact counts, chained off the flagship triple table."""
-    import pyarrow as pa
-
     from clinicaltransformerner_ray.pipelines.graph import common_neighbors
 
-    def co_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        co = df[df["pred"] == "co_occurs"]
-        return pa.table({
-            "subj": pa.array(co["subj"].tolist(), pa.string()),
-            "obj": pa.array(co["obj"].tolist(), pa.string()),
-        })
-
     pairs = _kg(sf_dir)["triples"].map_batches(
-        co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
     return common_neighbors(pairs, min_common=2)
 
 

@@ -32,86 +32,29 @@ import pyarrow as pa
 
 
 def _bio_documents(mentions, turns):
-    """(conv_id, turn_idx, bio_text): per-turn BIO documents — mention
-    spans projected back to token labels (`labels_from_mentions`), then
-    one more union/sort join to pair labels with the turn's whitespace
-    tokens (the engine's standard equi-join shape)."""
-    import numpy as np
-    import ray.data as rd
-
+    """(conv_id, turn_idx, bio_text): per-turn BIO documents —
+    `labels_from_mentions(emit_tokens=True)` already joins mentions
+    onto the turn token grid AND carries the tokens through its one
+    union/sort, so rendering is a pure stateless map (no second
+    tokenization, no second shuffle)."""
     from clinicaltransformerner_ray.pipelines.eval_pipeline import (
         labels_from_mentions)
     from clinicaltransformerner_ray.sinks.formatters import bio_lines
 
-    labels = labels_from_mentions(mentions, turns)
-
-    SCHEMA = pa.schema([
-        ("conv_id", pa.string()),
-        ("turn_idx", pa.int64()),
-        ("side", pa.string()),
-        ("tokens", pa.list_(pa.string())),
-        ("labels", pa.list_(pa.string())),
-    ])
-
-    def t_side(batch: pa.Table) -> pa.Table:
-        from clinicaltransformerner_ray.functions.text import (
-            tokenize_with_offsets)
-
-        # the SAME tokenizer labels_from_mentions projects spans onto —
-        # split(" ") would disagree on empty/multi-space turns and
-        # misalign tokens with labels
-        toks = [tokenize_with_offsets(t or "")[0]
-                for t in batch.column("text").to_pylist()]
+    def render(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens").to_pylist()
+        labs = batch.column("labels").to_pylist()
+        body = [bio_lines(list(t), list(l)) + "\n"
+                for t, l in zip(toks, labs)]
         return pa.table({
             "conv_id": batch.column("conv_id").cast(pa.string()),
             "turn_idx": batch.column("turn_idx").cast(pa.int64()),
-            "side": pa.array(["t"] * batch.num_rows, pa.string()),
-            "tokens": pa.array(toks, pa.list_(pa.string())),
-            "labels": pa.array([[]] * batch.num_rows,
-                               pa.list_(pa.string())),
-        }, schema=SCHEMA)
-
-    def l_side(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "conv_id": batch.column("conv_id").cast(pa.string()),
-            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
-            "side": pa.array(["l"] * batch.num_rows, pa.string()),
-            "tokens": pa.array([[]] * batch.num_rows,
-                               pa.list_(pa.string())),
-            "labels": batch.column("labels").cast(pa.list_(pa.string())),
-        }, schema=SCHEMA)
-
-    def per_block(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if df.empty:
-            return pa.table({"conv_id": pa.array([], pa.string()),
-                             "turn_idx": pa.array([], pa.int64()),
-                             "bio_text": pa.array([], pa.string())})
-        out = []
-        for (cid, tix), g in df.groupby(["conv_id", "turn_idx"],
-                                        sort=False):
-            toks = next((r for r in g.loc[g["side"] == "t", "tokens"]),
-                        None)
-            if toks is None:
-                continue  # label row without its turn cannot happen
-            labs = next((list(r)
-                         for r in g.loc[g["side"] == "l", "labels"]),
-                        None)
-            if labs is None:
-                labs = ["O"] * len(toks)  # turn with no mentions
-            out.append((cid, int(tix),
-                        bio_lines(list(toks), labs) + "\n"))
-        return pa.table({
-            "conv_id": pa.array([c for c, _, _ in out], pa.string()),
-            "turn_idx": pa.array([t for _, t, _ in out], pa.int64()),
-            "bio_text": pa.array([b for _, _, b in out], pa.string()),
+            "bio_text": pa.array(body, pa.string()),
         })
 
-    both = (turns.map_batches(t_side, batch_format="pyarrow")
-            .union(labels.map_batches(l_side, batch_format="pyarrow")))
-    # sort on (conv, turn): every turn's 1-2 rows land whole per block
-    return both.sort(["conv_id", "turn_idx"]).map_batches(
-        per_block, batch_format="pyarrow", batch_size=None)
+    return labels_from_mentions(mentions, turns,
+                                emit_tokens=True).map_batches(
+        render, batch_format="pyarrow")
 
 
 def _write_files(ds, out_dir: str, col: str, ext: str) -> int:

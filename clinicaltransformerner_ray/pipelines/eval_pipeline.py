@@ -81,13 +81,18 @@ def span_prf(
 
 
 def labels_from_mentions(
-    mentions: rd.Dataset, turns: rd.Dataset
+    mentions: rd.Dataset, turns: rd.Dataset, *, emit_tokens: bool = False
 ) -> rd.Dataset:
     """Project a mention span table back onto per-turn BIO label rows
     (for evaluating span tables with the label-sequence machinery).
 
     Joins mentions onto turn token grids by (conv_id, turn_idx) via the
-    same union/sort/block-pair shape used everywhere else."""
+    same union/sort/block-pair shape used everywhere else.
+
+    ``emit_tokens=True`` additionally carries each turn's token list
+    through to the output (for renderers like the CLI's BIO writer) —
+    the tokens ride the SAME union/sort, so no caller ever needs a
+    second tokenization pass or a second join."""
     from clinicaltransformerner_ray.functions.spans import spans_to_bio
     from clinicaltransformerner_ray.functions.text import tokenize_with_offsets
 
@@ -101,10 +106,11 @@ def labels_from_mentions(
         ("start", pa.int64()),
         ("end", pa.int64()),
         ("type", pa.string()),
+        ("tokens", pa.list_(pa.string())),
     ])
 
     def turn_tokens(batch: pa.Table) -> pa.Table:
-        cids, tis, starts_col, ntoks = [], [], [], []
+        cids, tis, starts_col, ntoks, toks_col = [], [], [], [], []
         for cid, ti, text in zip(batch.column("conv_id").to_pylist(),
                                  batch.column("turn_idx").to_pylist(),
                                  batch.column("text").to_pylist()):
@@ -113,6 +119,7 @@ def labels_from_mentions(
             tis.append(int(ti))
             starts_col.append([s for s, _ in offsets])
             ntoks.append(len(tokens))
+            toks_col.append(tokens if emit_tokens else None)
         n = len(cids)
         return pa.table({
             "conv_id": pa.array(cids, pa.string()),
@@ -123,6 +130,7 @@ def labels_from_mentions(
             "start": pa.array([None] * n, pa.int64()),
             "end": pa.array([None] * n, pa.int64()),
             "type": pa.array([None] * n, pa.string()),
+            "tokens": pa.array(toks_col, pa.list_(pa.string())),
         }, schema=UNION_SCHEMA)
 
     def mention_rows(batch: pa.Table) -> pa.Table:
@@ -137,6 +145,7 @@ def labels_from_mentions(
             "start": pa.array(df["start"].astype("int64").tolist(), pa.int64()),
             "end": pa.array(df["end"].astype("int64").tolist(), pa.int64()),
             "type": pa.array(df["type"].tolist(), pa.string()),
+            "tokens": pa.array([None] * n, pa.list_(pa.string())),
         }, schema=UNION_SCHEMA)
 
     t = turns.map_batches(turn_tokens, batch_format="pyarrow")
@@ -165,16 +174,24 @@ def labels_from_mentions(
                 while ei < n and starts[ei] < int(r.end):
                     ei += 1
                 spans.append((si, ei, r.type))
-            out.append({
+            row = {
                 "conv_id": g["conv_id"].iloc[0],
                 "turn_idx": g["turn_idx"].iloc[0],
                 "labels": spans_to_bio(n, spans),
-            })
-        return pa.Table.from_pandas(pd.DataFrame(out)) if out else pa.table({
+            }
+            if emit_tokens:
+                row["tokens"] = list(tr["tokens"].iloc[0])
+            out.append(row)
+        if out:
+            return pa.Table.from_pandas(pd.DataFrame(out))
+        cols = {
             "conv_id": pa.array([], pa.string()),
             "turn_idx": pa.array([], pa.int32()),
             "labels": pa.array([], pa.list_(pa.string())),
-        })
+        }
+        if emit_tokens:
+            cols["tokens"] = pa.array([], pa.list_(pa.string()))
+        return pa.table(cols)
 
     both = t.union(m)
     return both.sort(KEY).map_batches(

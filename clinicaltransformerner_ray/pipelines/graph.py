@@ -441,6 +441,7 @@ def common_neighbors(
     b_col: str = "obj",
     min_common: int = 2,
     node_type: pa.DataType = pa.string(),
+    broadcast_edges_max: int = 1 << 22,
 ) -> rd.Dataset:
     """Common-neighbor link prediction: pairs of nodes NOT directly
     connected that share >= ``min_common`` neighbors, with the exact
@@ -455,16 +456,39 @@ def common_neighbors(
     pre-filter on degree (the ngram max_df precedent: an opt-in cap
     diverges from the exact oracle, so it is not a default here).
 
-    Shape: two sorts.  (1) both-direction rows sorted on the center
-    (equal keys land whole) -> per-block wedge-pair partial counts;
-    (2) partials UNIONED with the direct-edge rows, sorted on the full
-    (x, y) composite (equal composites land whole) -> per-block final
-    sum + NOT-EXISTS drop of directly-connected pairs.
+    The normalized edge table is MATERIALIZED once — it feeds both the
+    wedge and the direct-pair branches, and Ray does no common-
+    subexpression elimination (the triangle_counts rule), so without
+    it an expensive upstream (the flagship triple dedup) would run
+    twice.  Small edge tables (<= ``broadcast_edges_max``, e.g. the
+    lexicon-bounded KG) then take a pre-grouped path: the driver cuts
+    wedge blocks at center boundaries itself, removing the sort on the
+    low-cardinality center key (the kg_degrees pathology).  The second
+    exchange keys on the much-wider (x, y) wedge pairs in both paths.
+
+    Shape (distributed path): two sorts.  (1) both-direction rows
+    sorted on the center (equal keys land whole) -> per-block
+    wedge-pair partial counts; (2) partials UNIONED with the
+    direct-edge rows, sorted on the full (x, y) composite (equal
+    composites land whole) -> per-block final sum + NOT-EXISTS drop of
+    directly-connected pairs.  The (x, y) exchange stays distributed
+    in BOTH paths: wedge-pair counts are bounded by sum deg^2, which
+    no driver may hold (a 4M-edge star is 10^12 wedges).
 
     Output: (``a_col``, ``b_col``, n_common) for surviving pairs."""
 
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch.column(a_col).cast(node_type),
+            "b": batch.column(b_col).cast(node_type),
+        })
+
+    # read twice (wedge + direct branches): materialize once
+    ed = edges.map_batches(norm, batch_format="pyarrow",
+                           batch_size=1 << 19).materialize()
+
     def both(batch: pa.Table) -> pa.Table:
-        a, b = batch.column(a_col), batch.column(b_col)
+        a, b = batch.column("a"), batch.column("b")
         return pa.table({
             "u": pa.concat_arrays([a.combine_chunks(),
                                    b.combine_chunks()]),
@@ -500,7 +524,9 @@ def common_neighbors(
     def direct(batch: pa.Table) -> pa.Table:
         z = pa.array([0] * batch.num_rows, pa.int64())
         return pa.table({
-            "x": batch.column(a_col), "y": batch.column(b_col),
+            # already cast to node_type by norm — both union sides
+            # carry identical x/y schemas
+            "x": batch.column("a"), "y": batch.column("b"),
             "n": z, "kind": z,
         })
 
@@ -519,12 +545,42 @@ def common_neighbors(
                                  pa.int64()),
         })
 
-    partials = (edges.map_batches(both, batch_format="pyarrow",
-                                  batch_size=1 << 19)
-                .sort("u")
-                .map_batches(wedge_partials, batch_format="pyarrow",
-                             batch_size=None))
-    return (partials.union(edges.map_batches(
+    if ed.count() <= broadcast_edges_max:
+        # pre-group on the driver (it can hold the edges by contract):
+        # blocks cut only at center boundaries — no center sort at all
+        pdf = ed.to_pandas()
+        if pdf.empty:
+            return rd.from_arrow(pa.table({
+                a_col: pa.array([], node_type),
+                b_col: pa.array([], node_type),
+                "n_common": pa.array([], pa.int64()),
+            }))
+        u = np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
+        v = np.concatenate([pdf["b"].to_numpy(), pdf["a"].to_numpy()])
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        n_blocks = max(1, min(64, len(u) // 4096))
+        cuts = [0]
+        for pos in range(1, n_blocks):
+            c = int(np.searchsorted(
+                u, u[min(pos * len(u) // n_blocks, len(u) - 1)],
+                side="left"))
+            if c > cuts[-1]:
+                cuts.append(c)
+        cuts.append(len(u))
+        blocks = [pa.table({"u": pa.array(u[lo:hi].tolist(), node_type),
+                            "v": pa.array(v[lo:hi].tolist(), node_type)})
+                  for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
+        centered = rd.from_arrow(blocks)
+    else:
+        centered = (ed.map_batches(both, batch_format="pyarrow",
+                                   batch_size=1 << 19)
+                    .sort("u"))
+
+    partials = centered.map_batches(wedge_partials,
+                                    batch_format="pyarrow",
+                                    batch_size=None)
+    return (partials.union(ed.map_batches(
                 direct, batch_format="pyarrow", batch_size=1 << 19))
             .sort(["x", "y"])
             .map_batches(finish, batch_format="pyarrow",

@@ -57,6 +57,18 @@ def _id_mod100(ids: np.ndarray) -> np.ndarray:
             % np.uint64(100)).astype(np.int64)
 
 
+def space_token_counts(batch: pa.Table) -> "pa.Array":
+    """THE per-doc token-count kernel: ``split(" ")`` semantics, every
+    doc has spaces+1 tokens (empty text included).  Single shared
+    definition — the rule is load-bearing for oracle parity (several
+    SQL oracles replicate it as len - len(replace) + 1), so operators
+    must not drift apart."""
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(batch.column("text"), "")
+    return pc.add(pc.cast(pc.count_substring(text, " "), pa.int64()), 1)
+
+
 def stats_columns(batch: pa.Table) -> pa.Table:
     """Vectorized per-doc shape/quality kernel shared by
     :func:`doc_stats` and :func:`curate_corpus`."""
@@ -211,11 +223,7 @@ def token_count_quantiles(
 
     def combine(batch: pa.Table) -> pa.Table:
         if "v" not in batch.column_names:
-            text = pc.fill_null(batch.column("text"), "")
-            # split(" ") semantics: every doc has spaces+1 tokens
-            v = pc.add(pc.cast(pc.count_substring(text, " "),
-                               pa.int64()), 1)
-            df = pa.table({"v": v}).to_pandas()
+            df = pa.table({"v": space_token_counts(batch)}).to_pandas()
             df["n"] = np.int64(1)
         else:
             df = batch.to_pandas()
@@ -386,9 +394,7 @@ def pack_sequences(
         shard_size = max(1, docs.count() // 65536)
 
     def shard_sums(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(batch.column("text"), "")
-        n_tok = pc.add(pc.cast(pc.count_substring(text, " "),
-                               pa.int64()), 1).to_numpy()
+        n_tok = space_token_counts(batch).to_numpy()
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         g = (pd.DataFrame({"shard": ids // shard_size, "tok": n_tok})
              .groupby("shard", sort=False)["tok"].sum().reset_index())
@@ -411,9 +417,7 @@ def pack_sequences(
         acc += totals[s]
 
     def tag(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(batch.column("text"), "")
-        n_tok = pc.add(pc.cast(pc.count_substring(text, " "),
-                               pa.int64()), 1).to_numpy()
+        n_tok = space_token_counts(batch).to_numpy()
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
@@ -556,13 +560,7 @@ def token_count_ranks(docs: rd.Dataset) -> rd.Dataset:
     shuffle at all; the corpus streams exactly twice.
 
     Output: (doc_id, n_tokens, n_smaller, n_docs)."""
-    import pyarrow.compute as pc
-
-    def _counts(batch: pa.Table) -> pa.Array:
-        text = pc.fill_null(batch.column("text"), "")
-        # split(" ") semantics: every doc has spaces+1 tokens
-        return pc.add(pc.cast(pc.count_substring(text, " "),
-                              pa.int64()), 1)
+    _counts = space_token_counts
 
     def hist(batch: pa.Table) -> pa.Table:
         df = pa.table({"v": _counts(batch)}).to_pandas()
