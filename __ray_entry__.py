@@ -424,6 +424,19 @@ def _q_events_funnel(sf_dir: str):
                         columns=["user_id", "ts", "event_type"]))
 
 
+def _q_events_retention(sf_dir: str):
+    """Weekly cohort-retention triangle (integer week buckets
+    ts_us // WEEK_US, so the SQL oracle is bit-exact)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        cohort_retention)
+
+    return cohort_retention(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -881,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_latest": _q_events_latest,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_triangles": _q_dedup_triangles,
@@ -1912,6 +1926,18 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM qs, cum
             WHERE cum >= (q_pct * n_total + 99) // 100
             GROUP BY event_type, q_pct
+        """,
+        "events_retention": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 604800000000 AS week
+                       FROM events),
+            c AS (SELECT user_id, min(week) AS cw FROM p
+                  GROUP BY user_id)
+            SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+                   CAST(p.week - c.cw AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "events_funnel": """
             WITH f AS (SELECT user_id, min(ts) AS fc FROM events

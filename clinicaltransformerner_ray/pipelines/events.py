@@ -34,6 +34,10 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
   funnel_conversions  two-step conversion funnel: first click ->
                     first purchase within a horizon, per user — type
                     filter pre-shuffle, one user sort, grouped mins
+  cohort_retention  weekly retention triangle: cohort by first-event
+                    week, count distinct active users per (cohort,
+                    offset) — distinct pairs pre-shuffle, one user
+                    sort, driver-folded weeks^2 cells
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
 lands in one block.  `sessionize_salted` is the 100 TB path: the sort
@@ -946,3 +950,76 @@ def funnel_conversions(
             .sort("user_id")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def cohort_retention(events: rd.Dataset) -> rd.Dataset:
+    """Cohort retention (the classic weekly-retention triangle): users
+    are cohorted by the week of their FIRST event; for every later
+    week in which a cohort member is active, the (cohort, offset) cell
+    counts them once.
+
+    Weeks are pure integer buckets ``ts_us // WEEK_US`` (no calendar
+    semantics — the same fixed-width windowing as windowed_counts), so
+    the SQL oracle is bit-exact.
+
+    Shape: batch-local distinct (user, week) pairs pre-shuffle, ONE
+    sort on user_id alone (a user's rows land whole per block), then a
+    vectorized per-block pass: per-user min week (the cohort) and one
+    row per distinct active week -> (cohort, offset) partial counts.
+    The result table is bounded by weeks^2 (a few thousand cells for
+    years of data), so partials fold on the driver — order-free
+    integer sums, the kg_degrees precedent.
+
+    Output: (cohort_week, week_offset, n_users); offset 0 rows give
+    each cohort's size."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "week": batch.column("ts").cast(pa.int64()).to_numpy()
+            // WEEK_US,
+        }).drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "week": pa.array(df["week"].to_numpy(), pa.int64()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        if df.empty:
+            return pa.table({
+                "cohort_week": pa.array([], pa.int64()),
+                "week_offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        df["cohort_week"] = df.groupby("user_id")["week"].transform("min")
+        df["week_offset"] = df["week"] - df["cohort_week"]
+        g = (df.groupby(["cohort_week", "week_offset"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "cohort_week": pa.array(g["cohort_week"].to_numpy(),
+                                    pa.int64()),
+            "week_offset": pa.array(g["week_offset"].to_numpy(),
+                                    pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    acc: dict[tuple[int, int], int] = {}
+    for r in (events.map_batches(pairs, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+              .sort("user_id")
+              .map_batches(per_block, batch_format="pyarrow",
+                           batch_size=None)
+              .take_all()):
+        k = (r["cohort_week"], r["week_offset"])
+        acc[k] = acc.get(k, 0) + r["n"]
+    keys = sorted(acc)
+    return pa.table({
+        "cohort_week": pa.array([c for c, _ in keys], pa.int64()),
+        "week_offset": pa.array([o for _, o in keys], pa.int64()),
+        "n_users": pa.array([acc[k] for k in keys], pa.int64()),
+    })

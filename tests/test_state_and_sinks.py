@@ -321,7 +321,7 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_sessions_salted", "events_asof_salted",
                  "events_range_join_salted", "events_distinct_users",
                  "events_value_quantiles", "events_latest",
-                 "events_funnel"]:
+                 "events_funnel", "events_retention"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -800,3 +800,35 @@ def test_funnel_conversions_semantics(ray_session):
     assert out["user_id"].tolist() == [1]
     assert out["first_ts"].tolist() == [us(0)]
     assert out["conv_ts"].tolist() == [us(5)]
+
+
+def test_cohort_retention_semantics(ray_session):
+    """Hand-built stream: two cohorts, a returning user counted once
+    per week (duplicates collapse), offsets relative to each user's
+    own first week."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        WEEK_US, cohort_retention)
+
+    # buckets are epoch-aligned fixed 7-day windows: construct
+    # timestamps INSIDE known buckets (base + w weeks + a few hours)
+    base = (pd.Timestamp("2024-01-01").value // 1000 // WEEK_US + 1)
+    wk = lambda w, h=1: pd.Timestamp(
+        ((base + w) * WEEK_US + h * 3_600_000_000) * 1000)
+    rows = [
+        (1, wk(0)), (1, wk(0, 5)),  # user 1: week 0 twice -> once
+        (1, wk(2)),                 # returns in week 2
+        (2, wk(0)),                 # user 2: week-0 cohort, never back
+        (3, wk(1)), (3, wk(2)),     # user 3: week-1 cohort, back at +1
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = cohort_retention(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    got = {(r.cohort_week - base, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
