@@ -1927,6 +1927,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             WHERE cum >= (q_pct * n_total + 99) // 100
             GROUP BY event_type, q_pct
         """,
+        # DuckDB // truncates toward zero vs numpy floor — identical
+        # for the table's non-negative timestamps (see cohort_retention)
         "events_retention": """
             WITH p AS (SELECT DISTINCT user_id,
                               epoch_us(ts) // 604800000000 AS week

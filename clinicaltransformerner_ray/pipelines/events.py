@@ -955,7 +955,7 @@ def funnel_conversions(
 WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
-def cohort_retention(events: rd.Dataset) -> rd.Dataset:
+def cohort_retention(events: rd.Dataset) -> pa.Table:
     """Cohort retention (the classic weekly-retention triangle): users
     are cohorted by the week of their FIRST event; for every later
     week in which a cohort member is active, the (cohort, offset) cell
@@ -963,7 +963,10 @@ def cohort_retention(events: rd.Dataset) -> rd.Dataset:
 
     Weeks are pure integer buckets ``ts_us // WEEK_US`` (no calendar
     semantics — the same fixed-width windowing as windowed_counts), so
-    the SQL oracle is bit-exact.
+    the SQL oracle is bit-exact FOR NON-NEGATIVE timestamps (DuckDB's
+    integer ``//`` truncates toward zero while numpy floors; they
+    agree everywhere >= epoch, and event time before 1970 is out of
+    domain for this table).
 
     Shape: batch-local distinct (user, week) pairs pre-shuffle, ONE
     sort on user_id alone (a user's rows land whole per block), then a
