@@ -437,6 +437,20 @@ def _q_events_retention(sf_dir: str):
                         columns=["user_id", "ts"]))
 
 
+def _q_events_attribution(sf_dir: str):
+    """Last-touch attribution: revenue cents per attributing click
+    (asof carry rule + grouped integer sums — one shuffle)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        attributed_revenue)
+
+    return attributed_revenue(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type", "value"]))
+
+
 def _q_dedup_exact(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.dedup import exact_dedup
 
@@ -597,6 +611,16 @@ def _q_doc_fingerprint(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.textstats import doc_fingerprints
 
     return doc_fingerprints(_docs(sf_dir))
+
+
+def _q_token_bigrams(sf_dir: str):
+    """Corpus bigram counts (LM n-gram counts) under the shared BPE-ish
+    regex tokenizer — token_vocab's combiner-wordcount shape over
+    adjacent pairs."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        token_bigrams)
+
+    return token_bigrams(_docs(sf_dir))
 
 
 def _q_token_vocab(sf_dir: str):
@@ -895,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_attribution": _q_events_attribution,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_triangles": _q_dedup_triangles,
@@ -912,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate": _q_corpus_curate,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
+        "token_bigrams": _q_token_bigrams,
         "doc_quantiles": _q_doc_quantiles,
         "corpus_ranks": _q_corpus_ranks,
         "corpus_sample": _q_corpus_sample,
@@ -1749,6 +1775,22 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             ) u
             GROUP BY u.tok
         """,
+        "token_bigrams": """
+            WITH d AS (
+                SELECT regexp_extract_all(
+                    coalesce(text, ''),
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]') AS l
+                FROM documents
+            ),
+            b AS (
+                SELECT unnest(list_transform(
+                    range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))
+                    AS bigram
+                FROM d
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bigram
+        """,
         # quantile_disc semantics: value at 1-based sorted position
         # ceil(q*N/100), in pure integer arithmetic on both sides
         "doc_quantiles": """
@@ -1929,6 +1971,31 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         # DuckDB // truncates toward zero vs numpy floor — identical
         # for the table's non-negative timestamps (see cohort_retention)
+        # same IGNORE-NULLS window carry as _ASOF_SQL, rolled up per
+        # attributing click with exact integer-cents sums
+        "events_attribution": """
+            WITH e AS (
+                SELECT event_id, user_id, ts, event_type, value,
+                       CASE WHEN event_type = 'click'
+                            THEN event_id END AS cid
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            f AS (
+                SELECT *,
+                       last_value(cid IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS aid
+                FROM e
+            )
+            SELECT CAST(aid AS BIGINT) AS click_event_id,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_value_cents
+            FROM f
+            WHERE event_type = 'purchase' AND aid IS NOT NULL
+            GROUP BY aid
+        """,
         "events_retention": """
             WITH p AS (SELECT DISTINCT user_id,
                               epoch_us(ts) // 604800000000 AS week

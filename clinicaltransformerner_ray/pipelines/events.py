@@ -1026,3 +1026,78 @@ def cohort_retention(events: rd.Dataset) -> pa.Table:
         "week_offset": pa.array([o for _, o in keys], pa.int64()),
         "n_users": pa.array([acc[k] for k in keys], pa.int64()),
     })
+
+
+def attributed_revenue(events: rd.Dataset) -> rd.Dataset:
+    """Last-touch attribution report: every purchase is attributed to
+    the user's most recent strictly-prior click (the
+    :func:`asof_join_events` carry rule, (ts, event_id) tie order) and
+    revenue rolls up per attributing click.
+
+    Output: (click_event_id, n_purchases, sum_value_cents) — integer
+    cents (the repo invariant), one row per click with >= 1 attributed
+    purchase.
+
+    Shape: type filter + projection pre-shuffle, ONE sort on user_id
+    (a user's clicks and purchases land whole per block — so each
+    click's attribution group is complete per block and no second
+    shuffle is needed), vectorized forward-carry + grouped sum."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(keep)
+        is_click = pc.equal(t.column("event_type"), "click")
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "is_click": pc.cast(is_click, pa.int64()),
+            "cents": pa.array(
+                _round_half_away(np.asarray(
+                    pc.if_else(is_click, 0.0,
+                               pc.fill_null(t.column("value"), 0.0))
+                ) * 100), pa.int64()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["user_id", "ts_us", "event_id"])
+              .reset_index(drop=True))
+        if df.empty:
+            return pa.table({
+                "click_event_id": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "sum_value_cents": pa.array([], pa.int64()),
+            })
+        idx = np.where(df["is_click"].to_numpy() == 1,
+                       np.arange(len(df)), -1)
+        carried = (pd.Series(idx).groupby(df["user_id"].to_numpy())
+                   .cummax().to_numpy())
+        pur = (df["is_click"].to_numpy() == 0) & (carried >= 0)
+        g = (pd.DataFrame({
+                "click_event_id":
+                    df["event_id"].to_numpy()[carried[pur]],
+                "n_purchases": np.int64(1),
+                "sum_value_cents": df["cents"].to_numpy()[pur],
+             })
+             .groupby("click_event_id", sort=False)
+             .agg(n_purchases=("n_purchases", "sum"),
+                  sum_value_cents=("sum_value_cents", "sum"))
+             .reset_index())
+        return pa.table({
+            "click_event_id": pa.array(
+                g["click_event_id"].to_numpy(), pa.int64()),
+            "n_purchases": pa.array(
+                np.asarray(g["n_purchases"], np.int64), pa.int64()),
+            "sum_value_cents": pa.array(
+                np.asarray(g["sum_value_cents"], np.int64), pa.int64()),
+        })
+
+    return (events.map_batches(project, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))

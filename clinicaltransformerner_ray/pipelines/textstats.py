@@ -595,3 +595,46 @@ def token_count_ranks(docs: rd.Dataset) -> rd.Dataset:
 
     return docs.map_batches(annotate, batch_format="pyarrow",
                             batch_size=1 << 17)
+
+
+def token_bigrams(docs: rd.Dataset, *, min_count: int = 1) -> rd.Dataset:
+    """Corpus bigram-frequency table under the BPE-ish regex tokenizer
+    (the n-gram LM-counts companion to :func:`token_vocab`; adjacent
+    token pairs within a document, no cross-document pairs).
+
+    Output: (bigram, n) with ``bigram = left || ' ' || right``; rows
+    with n < ``min_count`` are dropped AFTER the exact global sum, so
+    the threshold never changes surviving counts.  Same combiner-
+    before-shuffle wordcount shape as token_vocab — the all-to-all
+    moves one row per distinct bigram per batch."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if "n" in batch.column_names:
+            df = batch.to_pandas()
+            g = (df.groupby("bigram", sort=False)["n"].sum()
+                 .reset_index())
+            g = g[g["n"] >= min_count]
+            return pa.table({
+                "bigram": pa.array(g["bigram"].tolist(), pa.string()),
+                "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            })
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            for a, b in zip(toks, toks[1:]):
+                k = a + " " + b
+                counts[k] = counts.get(k, 0) + 1
+        return pa.table({
+            "bigram": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    # min_count must only apply AFTER the global sum: the pre-shuffle
+    # combine therefore keeps every partial (the "n" branch runs the
+    # filter only in the post-sort completion pass, where counts are
+    # final because equal bigrams land whole per block)
+    partials = docs.map_batches(
+        lambda b: combine(b.select(["text"])),
+        batch_format="pyarrow", batch_size=1 << 17)
+    return partials.sort("bigram").map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
