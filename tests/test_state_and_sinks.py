@@ -833,3 +833,41 @@ def test_cohort_retention_semantics(ray_session):
     got = {(r.cohort_week - base, r.week_offset): r.n_users
            for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_attributed_revenue_semantics(ray_session):
+    """Hand-built stream: purchases before any click are unattributed,
+    the MOST RECENT prior click wins, multiple purchases roll up onto
+    one click with exact cents, equal-ts click with smaller event_id
+    counts (the asof (ts, event_id) tie rule)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        attributed_revenue)
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = lambda k: t0 + pd.Timedelta(minutes=k)
+    #  (event_id, user, ts, type, value)
+    rows = [
+        (1, 1, m(0), "purchase", 9.99),   # before any click -> dropped
+        (2, 1, m(1), "click", 0.0),
+        (3, 1, m(2), "purchase", 1.25),   # -> click 2
+        (4, 1, m(3), "click", 0.0),
+        (5, 1, m(4), "purchase", 2.00),   # -> click 4 (most recent)
+        (6, 1, m(4), "purchase", 0.50),   # -> click 4 (rolls up)
+        (8, 2, m(5), "click", 0.0),
+        (9, 2, m(5), "purchase", 3.00),   # equal ts, click id 8 < 9
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    out = (attributed_revenue(rd.from_arrow(tbl).repartition(3))
+           .to_pandas().sort_values("click_event_id")
+           .reset_index(drop=True))
+    assert out.values.tolist() == [[2, 1, 125], [4, 2, 250], [8, 1, 300]]
