@@ -219,6 +219,55 @@ def _q_kg_common_neighbors(sf_dir: str):
     return common_neighbors(pairs, min_common=2)
 
 
+def _q_kg_conv_entities(sf_dir: str):
+    """Per-conversation entity statistics: distinct entities and
+    entity-bearing turns per conv — the KG coverage report a corpus
+    curator reads.  One sort on the high-cardinality conv_id (batch-
+    local pair dedup first, so the shuffle moves distinct pairs)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    linked = _kg(sf_dir)["linked"]
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        df = (batch.select(["conv_id", "turn_idx", "entity_id"])
+              .to_pandas().drop_duplicates())
+        return pa.table({
+            "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy(
+                dtype=np.int64), pa.int64()),
+            "entity_id": pa.array(df["entity_id"].tolist(),
+                                  pa.string()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        if df.empty:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "n_entities": pa.array([], pa.int64()),
+                "n_entity_turns": pa.array([], pa.int64()),
+            })
+        g = (df.groupby("conv_id", sort=False)
+             .agg(n_entities=("entity_id", "nunique"),
+                  n_entity_turns=("turn_idx", "nunique"))
+             .reset_index())
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
+            "n_entities": pa.array(
+                np.asarray(g["n_entities"], np.int64), pa.int64()),
+            "n_entity_turns": pa.array(
+                np.asarray(g["n_entity_turns"], np.int64), pa.int64()),
+        })
+
+    return (linked.map_batches(local_pairs, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("conv_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
 def _q_kg_turn_entities(sf_dir: str):
     from clinicaltransformerner_ray.pipelines.kg import detect_mentions, link_mentions
     from clinicaltransformerner_ray.sources.turns import load_alias_rows, read_turns
@@ -735,6 +784,22 @@ def _q_tpch_top_orders(sf_dir: str):
         k=3)
 
 
+def _q_tpch_promo(sf_dir: str):
+    """Q14-shaped promo revenue per ship month: one co-partition join
+    with the SF-scaled part table (no broadcast), integer e4 sums."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        promo_revenue_by_month)
+
+    return promo_revenue_by_month(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type"]))
+
+
 def _q_tpch_pricing(sf_dir: str):
     """Q1-shaped pricing summary over lineitem — integer-cents sums
     (the repo's exactness invariant) + averages derived from them.
@@ -905,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assoc": _q_kg_assoc,
         "kg_components": _q_kg_components,
         "kg_common_neighbors": _q_kg_common_neighbors,
+        "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
@@ -946,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
+        "tpch_promo": _q_tpch_promo,
         "top_tokens": _q_top_tokens,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
@@ -1420,6 +1487,16 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return {
         "kg_degrees": degrees_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
+        "kg_conv_entities": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            SELECT conv_id,
+                   CAST(count(DISTINCT entity_id) AS BIGINT)
+                       AS n_entities,
+                   CAST(count(DISTINCT turn_idx) AS BIGINT)
+                       AS n_entity_turns
+            FROM te GROUP BY conv_id
+        """,
         # per-center wedge counting (both directions) minus direct
         # pairs; string '<' is binary-codepoint on both engines
         "kg_common_neighbors": cte + """
@@ -1893,6 +1970,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS n_smaller,
                    CAST(count(*) OVER () AS BIGINT) AS n_docs
             FROM d
+        """,
+        "tpch_promo": """
+            WITH li AS (
+                SELECT l_partkey,
+                       year(l_shipdate) * 100 + month(l_shipdate)
+                           AS ship_month,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev_e4
+                FROM lineitem
+            )
+            SELECT CAST(ship_month AS BIGINT) AS ship_month,
+                   CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN rev_e4 ELSE 0 END) AS BIGINT)
+                       AS promo_rev_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4
+            FROM li JOIN part p ON p.p_partkey = li.l_partkey
+            GROUP BY ship_month
         """,
         "tpch_top_orders": """
             SELECT o_custkey, o_orderkey, total_cents, rk FROM (

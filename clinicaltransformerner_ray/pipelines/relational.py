@@ -12,6 +12,10 @@
   top_orders_per_customer  grouped top-k (window row_number() <= k):
                      per-batch local top-k partials, one sort on the
                      group key, vectorized per-block final rank
+  promo_revenue_by_month  Q14-shaped promo report: fact pre-aggregated
+                     per (partkey, month), ONE co-partition join with
+                     part (which scales with SF — never broadcast),
+                     month-bounded driver fold
 
 Join strategy: `ray.data.Dataset.join` is unusable at 2.49 (see
 CLAUDE.md rule 5), so equi-joins are expressed as union of both sides
@@ -399,3 +403,101 @@ def top_orders_per_customer(orders: rd.Dataset, *, k: int = 3) -> rd.Dataset:
             .sort("o_custkey")
             .map_batches(final_rank, batch_format="pyarrow",
                          batch_size=None))
+
+
+def promo_revenue_by_month(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+) -> pa.Table:
+    """TPC-H Q14-shaped promotion report: per ship month, discounted
+    revenue from PROMO-type parts and total revenue — the consumer
+    divides for the promo share (float ratios of exact int64 sums are
+    bit-identical across engines, the Q1 avg_* rule).
+
+    Scale shape: part SCALES WITH SF (200k x SF rows — unlike Q5's
+    fixed 25/5 dims it must NOT broadcast).  The fact side combines to
+    per-(partkey, month) revenue partials BEFORE the shuffle, then one
+    sort-merge co-partition join on l_partkey (union with the
+    projected part table, sort on the single key, per-block annotate —
+    the engine's standard join), and the month-bounded final fold runs
+    on the driver (months ~ O(100); the kg_degrees precedent).
+
+    Output: small pa.Table (ship_month = year*100+month BIGINT,
+    promo_rev_e4, total_rev_e4)."""
+
+    def li_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+        ts = pd.to_datetime(df["l_shipdate"])
+        g = (pd.DataFrame({
+                "key": df["l_partkey"].to_numpy(),
+                "month": (ts.dt.year * 100 + ts.dt.month).to_numpy(),
+                "rev_e4": price_c * (100 - disc),
+             })
+             .groupby(["key", "month"], sort=False)["rev_e4"].sum()
+             .reset_index())
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(), pa.int64()),
+            "month": pa.array(np.asarray(g["month"], np.int64),
+                              pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "kind": pa.array(np.ones(len(g), np.int64), pa.int64()),
+        })
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        promo = pc.cast(pc.equal(batch.column("p_type"), "PROMO"),
+                        pa.int64())
+        z = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table({
+            "key": batch.column("p_partkey").cast(pa.int64()),
+            # is_promo rides in `month`, the slot unused by kind=0 rows
+            "month": promo,
+            "rev_e4": z,
+            "kind": z,
+        })
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pm = dict(zip(df.loc[df["kind"] == 0, "key"],
+                      df.loc[df["kind"] == 0, "month"]))
+        li = df[df["kind"] == 1]
+        is_promo = li["key"].map(pm).to_numpy(dtype=np.int64)
+        g = (pd.DataFrame({
+                "month": li["month"].to_numpy(),
+                "promo_rev_e4": li["rev_e4"].to_numpy() * is_promo,
+                "total_rev_e4": li["rev_e4"].to_numpy(),
+             })
+             .groupby("month", sort=False).sum().reset_index())
+        return pa.table({
+            "month": pa.array(g["month"].to_numpy(), pa.int64()),
+            "promo_rev_e4": pa.array(
+                np.asarray(g["promo_rev_e4"], np.int64), pa.int64()),
+            "total_rev_e4": pa.array(
+                np.asarray(g["total_rev_e4"], np.int64), pa.int64()),
+        })
+
+    partials = (part.map_batches(part_rows, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+                .union(lineitem.map_batches(li_combine,
+                                            batch_format="pyarrow",
+                                            batch_size=1 << 19))
+                .sort("key")
+                .map_batches(annotate, batch_format="pyarrow",
+                             batch_size=None))
+    acc: dict[int, tuple[int, int]] = {}
+    for r in partials.take_all():  # O(months x blocks) — tiny
+        p, t = acc.get(r["month"], (0, 0))
+        acc[r["month"]] = (p + r["promo_rev_e4"],
+                           t + r["total_rev_e4"])
+    months = sorted(acc)
+    return pa.table({
+        "ship_month": pa.array(months, pa.int64()),
+        "promo_rev_e4": pa.array([acc[m][0] for m in months],
+                                 pa.int64()),
+        "total_rev_e4": pa.array([acc[m][1] for m in months],
+                                 pa.int64()),
+    })

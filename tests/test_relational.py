@@ -9,7 +9,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-TABLES = ["lineitem", "orders", "customer", "nation", "region"]
+TABLES = ["lineitem", "orders", "customer", "nation", "region", "part"]
 
 
 @pytest.fixture(scope="module")
@@ -27,7 +27,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", ["tpch_pricing", "tpch_revenue_nation",
-                                  "tpch_antijoin", "tpch_top_orders"])
+                                  "tpch_antijoin", "tpch_top_orders",
+                                  "tpch_promo"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
