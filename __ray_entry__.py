@@ -800,6 +800,26 @@ def _q_tpch_promo(sf_dir: str):
                         columns=["p_partkey", "p_type"]))
 
 
+def _q_tpch_top_unshipped(sf_dir: str):
+    """Q3-shaped shipping-priority top-10: three SF-scaled tables, two
+    sort-merge passes, per-block local top-k partials (total tie order
+    revenue DESC, orderkey ASC on both engines)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        top_unshipped_orders)
+
+    return top_unshipped_orders(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_orderpriority"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"]))
+
+
 def _q_tpch_pricing(sf_dir: str):
     """Q1-shaped pricing summary over lineitem — integer-cents sums
     (the repo's exactness invariant) + averages derived from them.
@@ -1013,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
         "tpch_promo": _q_tpch_promo,
+        "tpch_top_unshipped": _q_tpch_top_unshipped,
         "top_tokens": _q_top_tokens,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
@@ -1970,6 +1991,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS n_smaller,
                    CAST(count(*) OVER () AS BIGINT) AS n_docs
             FROM d
+        """,
+        "tpch_top_unshipped": """
+            SELECT o.o_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_e4 DESC, o.o_orderkey ASC
+            LIMIT 10
         """,
         "tpch_promo": """
             WITH li AS (

@@ -501,3 +501,140 @@ def promo_revenue_by_month(
         "total_rev_e4": pa.array([acc[m][1] for m in months],
                                  pa.int64()),
     })
+
+
+def top_unshipped_orders(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+) -> pa.Table:
+    """TPC-H Q3-shaped shipping-priority report: the ``k``
+    highest-revenue orders from ``segment`` customers that were placed
+    before ``cutoff`` but still have lineitems shipping after it.
+
+    Three SF-scaled tables, zero broadcasts, two sort-merge passes:
+
+      1. semi-join orders -> customer on custkey (customer reduces to
+         DISTINCT segment custkeys per batch pre-shuffle)
+      2. co-partition join on orderkey: lineitem pre-aggregated to
+         per-orderkey revenue partials (l_shipdate > cutoff filter at
+         the read side) unioned with the surviving orders
+      3. per-block LOCAL top-k (a valid partial — the global top-k is
+         inside the union of block top-ks) -> driver fold of <= k x
+         blocks rows; tie rule (revenue_e4 DESC, o_orderkey ASC) is a
+         total order on both engines.
+
+    Output: small pa.Table (o_orderkey, revenue_e4, o_orderdate,
+    o_orderpriority), k rows."""
+    cut = _ts_us(cutoff)
+
+    def c_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = np.unique(
+            df.loc[df["c_mktsegment"] == segment, "c_custkey"]
+            .to_numpy())
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "okey": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            "odate": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            "oprio": pa.array([""] * len(keys), pa.string()),
+            "kind": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+        })
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["o_orderdate"].astype("int64").to_numpy()
+        df = df[ts < cut]
+        return pa.table({
+            "key": pa.array(df["o_custkey"].to_numpy(), pa.int64()),
+            "okey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "odate": pa.array(
+                df["o_orderdate"].astype("int64").to_numpy(),
+                pa.int64()),
+            "oprio": pa.array(df["o_orderpriority"].tolist(),
+                              pa.string()),
+            "kind": pa.array(np.ones(len(df), np.int64), pa.int64()),
+        })
+
+    def semi(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = set(df.loc[df["kind"] == 0, "key"])
+        o = df[(df["kind"] == 1) & df["key"].isin(keep)]
+        return pa.table({
+            "okey": pa.array(o["okey"].to_numpy(), pa.int64()),
+            "odate": pa.array(o["odate"].to_numpy(), pa.int64()),
+            "oprio": pa.array(o["oprio"].tolist(), pa.string()),
+            "rev_e4": pa.array(np.zeros(len(o), np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(o), np.int64), pa.int64()),
+        })
+
+    def li_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["l_shipdate"].astype("int64").to_numpy()
+        df = df[ts > cut]
+        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+        g = (pd.DataFrame({"okey": df["l_orderkey"].to_numpy(),
+                           "rev_e4": price_c * (100 - disc)})
+             .groupby("okey", sort=False)["rev_e4"].sum().reset_index())
+        return pa.table({
+            "okey": pa.array(g["okey"].to_numpy(), pa.int64()),
+            "odate": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+            "oprio": pa.array([""] * len(g), pa.string()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "kind": pa.array(np.ones(len(g), np.int64), pa.int64()),
+        })
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o = df[df["kind"] == 0]
+        li = df[df["kind"] == 1]
+        g = (li.groupby("okey", sort=False)["rev_e4"].sum()
+             .reset_index().merge(
+                 o[["okey", "odate", "oprio"]], on="okey"))
+        g = (g[g["rev_e4"] > 0]
+             .sort_values(["rev_e4", "okey"], ascending=[False, True])
+             .head(k))
+        return pa.table({
+            "okey": pa.array(g["okey"].to_numpy(), pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "odate": pa.array(g["odate"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "oprio": pa.array(g["oprio"].tolist(), pa.string()),
+        })
+
+    surviving = (customer.map_batches(c_keys, batch_format="pyarrow",
+                                      batch_size=1 << 19)
+                 .union(orders.map_batches(o_rows,
+                                           batch_format="pyarrow",
+                                           batch_size=1 << 19))
+                 .sort("key")
+                 .map_batches(semi, batch_format="pyarrow",
+                              batch_size=None))
+    rows = (surviving.union(lineitem.map_batches(
+                li_combine, batch_format="pyarrow",
+                batch_size=1 << 19))
+            .sort("okey")
+            .map_batches(local_topk, batch_format="pyarrow",
+                         batch_size=None)
+            .take_all())  # <= k rows per block
+    df = (pd.DataFrame(rows)
+          .sort_values(["rev_e4", "okey"], ascending=[False, True])
+          .head(k)) if rows else pd.DataFrame(
+              {"okey": [], "rev_e4": [], "odate": [], "oprio": []})
+    return pa.table({
+        "o_orderkey": pa.array(df["okey"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+        "revenue_e4": pa.array(df["rev_e4"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+        "o_orderdate": pa.array(
+            df["odate"].to_numpy(dtype=np.int64),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(df["oprio"].tolist(), pa.string()),
+    })

@@ -28,7 +28,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", ["tpch_pricing", "tpch_revenue_nation",
                                   "tpch_antijoin", "tpch_top_orders",
-                                  "tpch_promo"])
+                                  "tpch_promo", "tpch_top_unshipped"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
