@@ -820,6 +820,22 @@ def _q_tpch_top_unshipped(sf_dir: str):
                         columns=["c_custkey", "c_mktsegment"]))
 
 
+def _q_tpch_supplier_revenue(sf_dir: str):
+    """Supply-side revenue per supplier nation — covers the last side
+    table (supplier); co-partition join + fixed-25 driver fold."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        revenue_by_supplier_nation)
+
+    return revenue_by_supplier_nation(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice",
+                                 "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]))
+
+
 def _q_tpch_pricing(sf_dir: str):
     """Q1-shaped pricing summary over lineitem — integer-cents sums
     (the repo's exactness invariant) + averages derived from them.
@@ -1034,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_orders": _q_tpch_top_orders,
         "tpch_promo": _q_tpch_promo,
         "tpch_top_unshipped": _q_tpch_top_unshipped,
+        "tpch_supplier_revenue": _q_tpch_supplier_revenue,
         "top_tokens": _q_top_tokens,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
@@ -1991,6 +2008,18 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS n_smaller,
                    CAST(count(*) OVER () AS BIGINT) AS n_docs
             FROM d
+        """,
+        "tpch_supplier_revenue": """
+            SELECT CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN supplier s
+              ON s.s_suppkey = l.l_suppkey
+            GROUP BY s.s_nationkey
         """,
         "tpch_top_unshipped": """
             SELECT o.o_orderkey,

@@ -16,6 +16,10 @@
                      per (partkey, month), ONE co-partition join with
                      part (which scales with SF — never broadcast),
                      month-bounded driver fold
+  top_unshipped_orders  Q3-shaped top-10: segment semi-join, orderkey
+                     co-partition join, per-block local top-k partials
+  revenue_by_supplier_nation  supply-side revenue per supplier nation
+                     (covers the supplier table; fixed-25 driver fold)
 
 Join strategy: `ray.data.Dataset.join` is unusable at 2.49 (see
 CLAUDE.md rule 5), so equi-joins are expressed as union of both sides
@@ -637,4 +641,82 @@ def top_unshipped_orders(
             df["odate"].to_numpy(dtype=np.int64),
             pa.timestamp("us")),
         "o_orderpriority": pa.array(df["oprio"].tolist(), pa.string()),
+    })
+
+
+def revenue_by_supplier_nation(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+) -> pa.Table:
+    """Discounted revenue per SUPPLIER nation (the supply-side twin of
+    :func:`revenue_by_nation`, covering the last side table): lineitem
+    revenue partials per l_suppkey pre-shuffle, one sort-merge
+    co-partition join with supplier (SF-scaled — never broadcast),
+    then a driver fold over the fixed-25 nation keys (the kg_degrees
+    precedent).
+
+    Output: small pa.Table (s_nationkey, revenue_e4, n_items) —
+    integer-exact."""
+
+    def li_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+        g = (pd.DataFrame({"key": df["l_suppkey"].to_numpy(),
+                           "rev_e4": price_c * (100 - disc),
+                           "n": np.int64(1)})
+             .groupby("key", sort=False).sum().reset_index())
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(), pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(g), np.int64), pa.int64()),
+        })
+
+    def s_rows(batch: pa.Table) -> pa.Table:
+        z = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table({
+            "key": batch.column("s_suppkey").cast(pa.int64()),
+            # nationkey rides in rev_e4's unused kind=0 slot
+            "rev_e4": batch.column("s_nationkey").cast(pa.int64()),
+            "n": z,
+            "kind": z,
+        })
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nk = dict(zip(df.loc[df["kind"] == 0, "key"],
+                      df.loc[df["kind"] == 0, "rev_e4"]))
+        li = df[df["kind"] == 1]
+        g = (pd.DataFrame({
+                "nation": li["key"].map(nk).to_numpy(dtype=np.int64),
+                "rev_e4": li["rev_e4"].to_numpy(),
+                "n": li["n"].to_numpy(),
+             })
+             .groupby("nation", sort=False).sum().reset_index())
+        return pa.table({
+            "nation": pa.array(g["nation"].to_numpy(), pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    acc: dict[int, tuple[int, int]] = {}
+    for r in (supplier.map_batches(s_rows, batch_format="pyarrow",
+                                   batch_size=1 << 19)
+              .union(lineitem.map_batches(li_combine,
+                                          batch_format="pyarrow",
+                                          batch_size=1 << 19))
+              .sort("key")
+              .map_batches(annotate, batch_format="pyarrow",
+                           batch_size=None)
+              .take_all()):  # O(25 nations x blocks)
+        rv, n = acc.get(r["nation"], (0, 0))
+        acc[r["nation"]] = (rv + r["rev_e4"], n + r["n"])
+    keys = sorted(acc)
+    return pa.table({
+        "s_nationkey": pa.array(keys, pa.int64()),
+        "revenue_e4": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_items": pa.array([acc[k][1] for k in keys], pa.int64()),
     })

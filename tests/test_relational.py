@@ -9,7 +9,8 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-TABLES = ["lineitem", "orders", "customer", "nation", "region", "part"]
+TABLES = ["lineitem", "orders", "customer", "nation", "region", "part",
+          "supplier"]
 
 
 @pytest.fixture(scope="module")
@@ -28,7 +29,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", ["tpch_pricing", "tpch_revenue_nation",
                                   "tpch_antijoin", "tpch_top_orders",
-                                  "tpch_promo", "tpch_top_unshipped"])
+                                  "tpch_promo", "tpch_top_unshipped",
+                                  "tpch_supplier_revenue"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
