@@ -242,7 +242,8 @@ def _q_kg_conv_entities(sf_dir: str):
         })
 
     def per_block(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
+        # no dedup needed: nunique ignores duplicate rows
+        df = batch.to_pandas()
         if df.empty:
             return pa.table({
                 "conv_id": pa.array([], pa.string()),

@@ -58,6 +58,16 @@ def _ts_us(iso_date: str) -> int:
     return int(pd.Timestamp(iso_date).value // 1000)
 
 
+def _rev_e4(df: pd.DataFrame) -> np.ndarray:
+    """THE discounted-revenue kernel: cents * (100 - disc_pct), both
+    recovered exactly from the cent-integral doubles via half-away
+    rounding.  Single shared definition — four join pipelines derive
+    their integer sums from it, so the exactness rule cannot drift."""
+    price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
+    disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+    return price_c * (100 - disc)
+
+
 def pricing_summary(
     lineitem: rd.Dataset,
     *,
@@ -431,13 +441,11 @@ def promo_revenue_by_month(
 
     def li_combine(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
-        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
         ts = pd.to_datetime(df["l_shipdate"])
         g = (pd.DataFrame({
                 "key": df["l_partkey"].to_numpy(),
                 "month": (ts.dt.year * 100 + ts.dt.month).to_numpy(),
-                "rev_e4": price_c * (100 - disc),
+                "rev_e4": _rev_e4(df),
              })
              .groupby(["key", "month"], sort=False)["rev_e4"].sum()
              .reset_index())
@@ -469,7 +477,11 @@ def promo_revenue_by_month(
         pm = dict(zip(df.loc[df["kind"] == 0, "key"],
                       df.loc[df["kind"] == 0, "month"]))
         li = df[df["kind"] == 1]
-        is_promo = li["key"].map(pm).to_numpy(dtype=np.int64)
+        mapped = li["key"].map(pm)
+        # inner-join semantics: a fact key with no dim row DROPS
+        # (matching the oracle) instead of NaN-crashing the cast
+        li, mapped = li[mapped.notna()], mapped.dropna()
+        is_promo = mapped.to_numpy(dtype=np.int64)
         g = (pd.DataFrame({
                 "month": li["month"].to_numpy(),
                 "promo_rev_e4": li["rev_e4"].to_numpy() * is_promo,
@@ -552,13 +564,12 @@ def top_unshipped_orders(
     def o_rows(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         ts = df["o_orderdate"].astype("int64").to_numpy()
-        df = df[ts < cut]
+        keep = ts < cut
+        df = df[keep]
         return pa.table({
             "key": pa.array(df["o_custkey"].to_numpy(), pa.int64()),
             "okey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
-            "odate": pa.array(
-                df["o_orderdate"].astype("int64").to_numpy(),
-                pa.int64()),
+            "odate": pa.array(ts[keep], pa.int64()),
             "oprio": pa.array(df["o_orderpriority"].tolist(),
                               pa.string()),
             "kind": pa.array(np.ones(len(df), np.int64), pa.int64()),
@@ -580,10 +591,8 @@ def top_unshipped_orders(
         df = batch.to_pandas()
         ts = df["l_shipdate"].astype("int64").to_numpy()
         df = df[ts > cut]
-        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
-        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
         g = (pd.DataFrame({"okey": df["l_orderkey"].to_numpy(),
-                           "rev_e4": price_c * (100 - disc)})
+                           "rev_e4": _rev_e4(df)})
              .groupby("okey", sort=False)["rev_e4"].sum().reset_index())
         return pa.table({
             "okey": pa.array(g["okey"].to_numpy(), pa.int64()),
@@ -601,8 +610,9 @@ def top_unshipped_orders(
         g = (li.groupby("okey", sort=False)["rev_e4"].sum()
              .reset_index().merge(
                  o[["okey", "odate", "oprio"]], on="okey"))
-        g = (g[g["rev_e4"] > 0]
-             .sort_values(["rev_e4", "okey"], ascending=[False, True])
+        # no >0 filter: the oracle's inner join ranks zero-revenue
+        # orders too (fully-discounted lineitems), so must we
+        g = (g.sort_values(["rev_e4", "okey"], ascending=[False, True])
              .head(k))
         return pa.table({
             "okey": pa.array(g["okey"].to_numpy(), pa.int64()),
@@ -660,10 +670,8 @@ def revenue_by_supplier_nation(
 
     def li_combine(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
-        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
         g = (pd.DataFrame({"key": df["l_suppkey"].to_numpy(),
-                           "rev_e4": price_c * (100 - disc),
+                           "rev_e4": _rev_e4(df),
                            "n": np.int64(1)})
              .groupby("key", sort=False).sum().reset_index())
         return pa.table({
@@ -689,8 +697,11 @@ def revenue_by_supplier_nation(
         nk = dict(zip(df.loc[df["kind"] == 0, "key"],
                       df.loc[df["kind"] == 0, "rev_e4"]))
         li = df[df["kind"] == 1]
+        mapped = li["key"].map(nk)
+        # inner-join drop for unmatched fact keys (oracle semantics)
+        li, mapped = li[mapped.notna()], mapped.dropna()
         g = (pd.DataFrame({
-                "nation": li["key"].map(nk).to_numpy(dtype=np.int64),
+                "nation": mapped.to_numpy(dtype=np.int64),
                 "rev_e4": li["rev_e4"].to_numpy(),
                 "n": li["n"].to_numpy(),
              })
@@ -708,6 +719,8 @@ def revenue_by_supplier_nation(
               .union(lineitem.map_batches(li_combine,
                                           batch_format="pyarrow",
                                           batch_size=1 << 19))
+              # suppkey scales with SF (10k x SF) — high-cardinality
+              # at any real scale, low only in toy fixtures
               .sort("key")
               .map_batches(annotate, batch_format="pyarrow",
                            batch_size=None)

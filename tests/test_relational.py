@@ -179,3 +179,46 @@ def test_top_orders_per_customer_semantics(ray_session):
         assert out["o_orderkey"].tolist() == [102, 103, 104, 201]
         assert out["rk"].tolist() == [1, 2, 3, 1]
         assert out["total_cents"].tolist() == [4000, 3000, 3000, 750]
+
+
+@pytest.mark.parametrize("name", ["tpch_promo", "tpch_top_unshipped",
+                                  "tpch_supplier_revenue"])
+def test_new_joins_block_split_invariance(ray_session, con, name):
+    """The three newest join pipelines must produce oracle-identical
+    output when every input is split across multiple blocks — the
+    sf0.001 parquet reads are single-block, so this is the test that
+    actually exercises the co-partition / semi-join / local-top-k
+    block-boundary logic."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from clinicaltransformerner_ray.pipelines.relational import (
+        promo_revenue_by_month, revenue_by_supplier_nation,
+        top_unshipped_orders)
+
+    def ds(table, cols, parts=5):
+        t = pq.read_table(f"{SF}/{table}.parquet", columns=cols)
+        return rd.from_arrow(t).repartition(parts)
+
+    if name == "tpch_promo":
+        res = promo_revenue_by_month(
+            ds("lineitem", ["l_partkey", "l_extendedprice",
+                            "l_discount", "l_shipdate"]),
+            ds("part", ["p_partkey", "p_type"], 3))
+    elif name == "tpch_top_unshipped":
+        res = top_unshipped_orders(
+            ds("lineitem", ["l_orderkey", "l_extendedprice",
+                            "l_discount", "l_shipdate"]),
+            ds("orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"], 4),
+            ds("customer", ["c_custkey", "c_mktsegment"], 3))
+    else:
+        res = revenue_by_supplier_nation(
+            ds("lineitem", ["l_suppkey", "l_extendedprice",
+                            "l_discount"]),
+            ds("supplier", ["s_suppkey", "s_nationkey"], 2))
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+    odf = con.execute(E.oracle_sql_for(SF)[name]).df()
+    pd.testing.assert_frame_equal(_canon(rdf), _canon(odf),
+                                  check_dtype=False, obj=name)
