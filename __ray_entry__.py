@@ -527,6 +527,15 @@ def _q_dedup_triangles(sf_dir: str):
         out_col="doc_id")
 
 
+def _q_dedup_curate(sf_dir: str):
+    """End-to-end near-dup curation: jaccard pairs -> connected
+    components -> keep-one-per-cluster, one composed pipeline
+    (survivor doc ids + the cluster size each survivor represents)."""
+    from clinicaltransformerner_ray.pipelines.dedup import curate_neardup
+
+    return curate_neardup(_docs(sf_dir), threshold=0.8)
+
+
 def _q_dedup_minhash(sf_dir: str):
     """64-perm MinHash + 16-band LSH near-dup pairs.  Oracle-checked:
     `_hash64` is md5-derived (== DuckDB `md5_number_upper`), the
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_triangles": _q_dedup_triangles,
+        "dedup_curate": _q_dedup_curate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -1759,6 +1769,29 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
             FROM reach GROUP BY u
+        """,
+        # survivors = docs in no pair OR cluster representative (min
+        # doc_id of the recursive closure); n_cluster = members repped
+        "dedup_curate": "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """
+            , edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                   FROM reach GROUP BY u),
+            sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+                   FROM cl GROUP BY cluster_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sz.n, 1) AS BIGINT) AS n_cluster
+            FROM documents d
+            LEFT JOIN cl ON cl.doc_id = d.doc_id
+            LEFT JOIN sz ON sz.cluster_id = d.doc_id
+            WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
         """,
         "dedup_embedding": _EMBEDDING_SQL,
         "dedup_ensemble": (

@@ -780,3 +780,85 @@ def ensemble_dup_pairs(
             .sort(["doc_a", "doc_b"])
             .map_batches(merge, batch_format="pyarrow",
                          batch_size=None))
+
+
+def curate_neardup(docs: rd.Dataset, *, threshold: float = 0.8) -> rd.Dataset:
+    """The production near-dup curation flow END-TO-END: exact n-gram
+    Jaccard pairs -> connected components (`dup_clusters`) -> keep one
+    representative per cluster (the min doc_id), composed into one
+    lazy pipeline.  A document survives iff it is in no near-dup pair
+    or it is its cluster's representative.
+
+    Output: (doc_id, n_cluster) for every SURVIVING document —
+    n_cluster is the size of the near-dup cluster it represents (1 for
+    documents with no near-dups), i.e. how many near-copies this row
+    stands for in the curated corpus.
+
+    Shape: the cluster table is bounded by documents-that-have-dups
+    (corpus-scale in the worst case, so nothing broadcasts); survivors
+    come from ONE sort on doc_id over a three-way union — doc ids
+    (kind d), non-rep drop keys (kind x), per-rep cluster sizes
+    (kind s, keyed by the rep's own doc_id) — the tpch_antijoin shape
+    with the size attach fused into the same pass."""
+    cl = dup_clusters(
+        ngram_jaccard_pairs(docs, threshold=threshold)).materialize()
+
+    def d_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        z = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table({"key": ids, "n": z,
+                         "kind": pa.array(["d"] * batch.num_rows,
+                                          pa.string())})
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["doc_id"] != df["cluster_id"]]
+        return pa.table({
+            "key": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "n": pa.array(np.zeros(len(df), np.int64), pa.int64()),
+            "kind": pa.array(["x"] * len(df), pa.string()),
+        })
+
+    def size_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "kind" in df.columns:
+            g = df.groupby("key", sort=False)["n"].sum().reset_index()
+        else:
+            g = (df.groupby("cluster_id", sort=False).size()
+                 .reset_index(name="n")
+                 .rename(columns={"cluster_id": "key"}))
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(), pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            "kind": pa.array(["s"] * len(g), pa.string()),
+        })
+
+    # cluster sizes: combine/sort/combine keyed by the rep's doc_id
+    sizes = (cl.map_batches(size_combine, batch_format="pyarrow",
+                            batch_size=1 << 19)
+             .sort("key")
+             .map_batches(size_combine, batch_format="pyarrow",
+                          batch_size=None))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dropped = set(df.loc[df["kind"] == "x", "key"])
+        sz = dict(zip(df.loc[df["kind"] == "s", "key"],
+                      df.loc[df["kind"] == "s", "n"]))
+        d = df[df["kind"] == "d"]
+        d = d[~d["key"].isin(dropped)]
+        return pa.table({
+            "doc_id": pa.array(d["key"].to_numpy(), pa.int64()),
+            "n_cluster": pa.array(
+                d["key"].map(sz).fillna(1).to_numpy(dtype=np.int64),
+                pa.int64()),
+        })
+
+    return (docs.map_batches(d_rows, batch_format="pyarrow",
+                             batch_size=1 << 19)
+            .union(cl.map_batches(drop_rows, batch_format="pyarrow",
+                                  batch_size=1 << 19))
+            .union(sizes)
+            .sort("key")
+            .map_batches(survivors, batch_format="pyarrow",
+                         batch_size=None))

@@ -32,7 +32,7 @@ SQL_CHECKED = [
     "text_stats", "corpus_curate", "doc_fingerprint", "token_vocab",
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
-    "dedup_triangles", "corpus_ranks", "token_bigrams",
+    "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
 ]
 
 
