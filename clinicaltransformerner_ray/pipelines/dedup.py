@@ -782,7 +782,13 @@ def ensemble_dup_pairs(
                          batch_size=None))
 
 
-def curate_neardup(docs: rd.Dataset, *, threshold: float = 0.8) -> rd.Dataset:
+def curate_neardup(
+    docs: rd.Dataset,
+    *,
+    threshold: float = 0.8,
+    max_iters: int = 16,
+    on_max_iters: str = "warn",
+) -> rd.Dataset:
     """The production near-dup curation flow END-TO-END: exact n-gram
     Jaccard pairs -> connected components (`dup_clusters`) -> keep one
     representative per cluster (the min doc_id), composed into one
@@ -799,9 +805,14 @@ def curate_neardup(docs: rd.Dataset, *, threshold: float = 0.8) -> rd.Dataset:
     come from ONE sort on doc_id over a three-way union — doc ids
     (kind d), non-rep drop keys (kind x), per-rep cluster sizes
     (kind s, keyed by the rep's own doc_id) — the tpch_antijoin shape
-    with the size attach fused into the same pass."""
+    with the size attach fused into the same pass.
+
+    ``max_iters`` / ``on_max_iters`` forward to :func:`dup_clusters`
+    (set ``on_max_iters="raise"`` when a silently-split pathological
+    chain must abort the curation rather than warn)."""
     cl = dup_clusters(
-        ngram_jaccard_pairs(docs, threshold=threshold)).materialize()
+        ngram_jaccard_pairs(docs, threshold=threshold),
+        max_iters=max_iters, on_max_iters=on_max_iters).materialize()
 
     def d_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").cast(pa.int64())
@@ -819,32 +830,28 @@ def curate_neardup(docs: rd.Dataset, *, threshold: float = 0.8) -> rd.Dataset:
             "kind": pa.array(["x"] * len(df), pa.string()),
         })
 
-    def size_combine(batch: pa.Table) -> pa.Table:
+    def size_partials(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        if "kind" in df.columns:
-            g = df.groupby("key", sort=False)["n"].sum().reset_index()
-        else:
-            g = (df.groupby("cluster_id", sort=False).size()
-                 .reset_index(name="n")
-                 .rename(columns={"cluster_id": "key"}))
+        g = (df.groupby("cluster_id", sort=False).size()
+             .reset_index(name="n")
+             .rename(columns={"cluster_id": "key"}))
         return pa.table({
             "key": pa.array(g["key"].to_numpy(), pa.int64()),
             "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
             "kind": pa.array(["s"] * len(g), pa.string()),
         })
 
-    # cluster sizes: combine/sort/combine keyed by the rep's doc_id
-    sizes = (cl.map_batches(size_combine, batch_format="pyarrow",
-                            batch_size=1 << 19)
-             .sort("key")
-             .map_batches(size_combine, batch_format="pyarrow",
-                          batch_size=None))
+    # raw per-block size PARTIALS go straight into the final union —
+    # the survivors sort co-locates equal keys, so summing them there
+    # saves a whole extra sort+completion shuffle
+    sizes = cl.map_batches(size_partials, batch_format="pyarrow",
+                           batch_size=1 << 19)
 
     def survivors(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         dropped = set(df.loc[df["kind"] == "x", "key"])
-        sz = dict(zip(df.loc[df["kind"] == "s", "key"],
-                      df.loc[df["kind"] == "s", "n"]))
+        sz = (df.loc[df["kind"] == "s"]
+              .groupby("key", sort=False)["n"].sum())
         d = df[df["kind"] == "d"]
         d = d[~d["key"].isin(dropped)]
         return pa.table({

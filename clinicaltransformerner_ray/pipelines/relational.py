@@ -266,11 +266,9 @@ def revenue_by_nation(
     # --- side projections onto the union superset schema -------------
     def l_side(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        price_c = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
-        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
         part = pd.DataFrame({
             "key": df["l_orderkey"].to_numpy(),
-            "rev_e4": price_c * (100 - disc),
+            "rev_e4": _rev_e4(df),
             "n_items": np.ones(len(df), np.int64),
         })
         # combiner: one row per orderkey per batch enters the shuffle
@@ -461,8 +459,11 @@ def promo_revenue_by_month(
     def part_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        promo = pc.cast(pc.equal(batch.column("p_type"), "PROMO"),
-                        pa.int64())
+        # NULL p_type = matched-but-not-promo (the oracle's CASE):
+        # fill 0 so only keys with NO dim row ever map to NaN below
+        promo = pc.cast(pc.fill_null(
+            pc.equal(batch.column("p_type"), "PROMO"), False),
+            pa.int64())
         z = pa.array([0] * batch.num_rows, pa.int64())
         return pa.table({
             "key": batch.column("p_partkey").cast(pa.int64()),
@@ -478,8 +479,9 @@ def promo_revenue_by_month(
                       df.loc[df["kind"] == 0, "month"]))
         li = df[df["kind"] == 1]
         mapped = li["key"].map(pm)
-        # inner-join semantics: a fact key with no dim row DROPS
-        # (matching the oracle) instead of NaN-crashing the cast
+        # inner-join semantics: a fact key with NO dim row drops
+        # (matching the oracle); NULL dim payloads never reach here
+        # (p_type nulls were filled to non-promo in part_rows)
         li, mapped = li[mapped.notna()], mapped.dropna()
         is_promo = mapped.to_numpy(dtype=np.int64)
         g = (pd.DataFrame({
@@ -698,7 +700,9 @@ def revenue_by_supplier_nation(
                       df.loc[df["kind"] == 0, "rev_e4"]))
         li = df[df["kind"] == 1]
         mapped = li["key"].map(nk)
-        # inner-join drop for unmatched fact keys (oracle semantics)
+        # inner-join drop for unmatched fact keys (oracle semantics).
+        # Precondition: s_nationkey is NOT NULL (TPC-H contract) — a
+        # null payload would be indistinguishable from a missing key
         li, mapped = li[mapped.notna()], mapped.dropna()
         g = (pd.DataFrame({
                 "nation": mapped.to_numpy(dtype=np.int64),
