@@ -751,6 +751,18 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=100)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """EXACT phi-frequent tokens via two-pass Misra-Gries: pass 1
+    merges width-bounded batch sketches (plain-sum merge keeps the
+    n/(4*phi_denom) undercount bound), the prune holds the candidate
+    set to O(phi_denom) regardless of vocabulary size, pass 2 rescores
+    candidates exactly — so the output equals the brute-force HAVING
+    count*phi_denom > total SQL."""
+    from clinicaltransformerner_ray.pipelines.textstats import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir), phi_denom=2000)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact distinct users per event_type — batch-local pair dedup
     before the shuffle, composite-key sort, per-block partial counts,
@@ -1063,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_unshipped": _q_tpch_top_unshipped,
         "tpch_supplier_revenue": _q_tpch_supplier_revenue,
         "top_tokens": _q_top_tokens,
+        "heavy_hitters": _q_heavy_hitters,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
         "events_distinct_users": _q_events_distinct_users,
@@ -2138,6 +2151,17 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                   FROM u GROUP BY tok)
             SELECT token, n FROM c
             ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        "heavy_hitters": """
+            WITH u AS (
+                SELECT unnest(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS tok
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS c FROM u)
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY tok
+            HAVING count(*) * 2000 > (SELECT c FROM tot)
         """,
         "events_distinct_users": """
             SELECT event_type,

@@ -638,3 +638,128 @@ def token_bigrams(docs: rd.Dataset, *, min_count: int = 1) -> rd.Dataset:
         batch_format="pyarrow", batch_size=1 << 17)
     return partials.sort("bigram").map_batches(
         combine, batch_format="pyarrow", batch_size=None)
+
+
+def heavy_hitters(
+    docs: rd.Dataset,
+    *,
+    phi_denom: int = 2000,
+    width_mult: int = 4,
+) -> rd.Dataset:
+    """EXACT frequent-items (heavy hitters): every token whose corpus
+    frequency exceeds ``1/phi_denom`` of all tokens, with its exact
+    count — found WITHOUT ever shuffling the full vocabulary.
+
+    Classic two-pass Misra-Gries (mergeable-summaries form, Agarwal et
+    al. 2013 — public algorithm):
+
+      pass 1  per-batch MG summary of width k = width_mult*phi_denom - 1
+              (exact local counts, then the MG compress: subtract the
+              (k+1)-th largest count, keep positive — ≤ k survivors,
+              undercount added ≤ batch_tokens/(k+1)).  Summaries merge
+              by PLAIN SUM (skipping re-compression only widens the
+              summary, never the error), so the merge is the engine's
+              combine → sort(token) → combine wordcount shape over
+              ≤ k rows per batch, never the corpus vocabulary.
+      prune   total undercount ≤ n/(width_mult*phi_denom), so any true
+              heavy hitter's merged estimate exceeds
+              (width_mult-1)*n/(width_mult*phi_denom); integer test
+              ``est*width_mult*phi_denom > (width_mult-1)*n`` keeps a
+              candidate set of ≤ ~width_mult/(width_mult-1)*phi_denom
+              tokens (driver-held, bounded by phi — NOT by vocab).
+      pass 2  exact counts of candidates only (broadcast set, batch
+              filter + the same combine/sort/combine), final exact
+              filter ``n_tok*phi_denom > n_total``.
+
+    The guarantee is exactness: a token absent from every batch summary
+    has merged estimate 0, so undercount ≤ n/(k+1) means every true
+    heavy hitter survives to pass 2, where counts are exact — the
+    output equals the brute-force SQL (HAVING count*phi_denom > total).
+
+    The driver holds only the merged summary (union of per-batch MG
+    sets; worst-case n_batches*k but Zipf-bounded in practice and
+    pruned to O(phi_denom) immediately); the corpus streams twice.
+
+    Output: (token, n) sorted by token."""
+    if phi_denom < 2 or width_mult < 2:
+        raise ValueError("phi_denom and width_mult must be >= 2")
+    k = width_mult * phi_denom - 1
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        total = 0
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            total += len(toks)
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = np.array(list(counts.keys()), dtype=object)
+        est = np.fromiter(counts.values(), np.int64, len(counts))
+        if len(est) > k:
+            cut = np.partition(est, len(est) - (k + 1))[len(est) - (k + 1)]
+            keep = est > cut
+            toks, est = toks[keep], est[keep] - cut
+        # sentinel "" carries the exact batch token total through the
+        # same grouped sum (TOKEN_RE can never emit an empty string)
+        return pa.table({
+            "token": pa.array(list(toks) + [""], pa.string()),
+            "est": pa.array(np.concatenate([est, [total]]), pa.int64()),
+        })
+
+    def sum_by_token(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("token", sort=False)["est"].sum().reset_index()
+        return pa.table({
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "est": pa.array(np.asarray(g["est"], np.int64), pa.int64()),
+        })
+
+    merged = (
+        docs.map_batches(summarize, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("token")
+        .map_batches(sum_by_token, batch_format="pyarrow",
+                     batch_size=None)
+    )
+    # driver collect is O(merged summary), not O(corpus) — see docstring
+    rows = merged.take_all()
+    n_total = 0
+    cand_est: dict[str, int] = {}
+    for r in rows:
+        if r["token"] == "":
+            n_total += int(r["est"])
+        else:
+            cand_est[r["token"]] = int(r["est"])
+    candidates = {
+        t for t, e in cand_est.items()
+        if e * width_mult * phi_denom > (width_mult - 1) * n_total
+    }
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in TOKEN_RE.findall(t or ""):
+                if tok in candidates:
+                    counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(np.fromiter(counts.values(), np.int64,
+                                      len(counts)), pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("token", sort=False)["n"].sum().reset_index()
+        g = g[g["n"].to_numpy() * phi_denom > n_total]
+        g = g.sort_values("token")
+        return pa.table({
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    return (
+        docs.map_batches(exact_counts, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("token")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

@@ -33,6 +33,7 @@ SQL_CHECKED = [
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
+    "heavy_hitters",
 ]
 
 
@@ -759,3 +760,44 @@ def test_triangle_counts_brute_force(ray_session, case):
         assert dict(zip(got["node_id"], got["n_triangles"])) == want
         if case == "clique":
             assert set(got["n_triangles"]) == {15}  # C(6,2) per corner
+
+
+def test_heavy_hitters_sketch_compression_exact(ray_session):
+    """Force real Misra-Gries compression (wide alpha vocab, tiny
+    width) across many blocks and assert the two-pass result is still
+    EXACTLY the brute-force phi-frequent set — the mergeable-summary
+    undercount bound is what guarantees no heavy hitter is lost."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        TOKEN_RE, heavy_hitters)
+
+    rng = np.random.default_rng(11)
+    # ~3k distinct alphabetic tokens (no digit/punct splitting), two
+    # planted heavies; width k = 2*40-1 = 79 << vocab so every batch
+    # summary compresses
+    vocab = ["".join(chr(97 + c) for c in rng.integers(0, 26, 8))
+             for _ in range(3000)]
+    texts = []
+    for i in range(1500):
+        toks = [vocab[int(x)] for x in rng.integers(0, len(vocab), 40)]
+        if i % 2 == 0:
+            toks += ["hotword"] * 12
+        if i % 5 == 0:
+            toks += ["warmword"] * 9
+        texts.append(" ".join(toks))
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(24)
+    got = heavy_hitters(ds, phi_denom=40, width_mult=2).to_pandas()
+
+    from collections import Counter
+    c: Counter = Counter()
+    for t in texts:
+        c.update(TOKEN_RE.findall(t))
+    tot = sum(c.values())
+    exp = sorted((t, n) for t, n in c.items() if n * 40 > tot)
+    assert exp, "planted heavies must exceed the phi threshold"
+    assert list(zip(got["token"], got["n"])) == exp
