@@ -912,6 +912,23 @@ def _q_tpch_antijoin(sf_dir: str):
     return customers_without_orders(customer, orders)
 
 
+def _q_tpch_order_priority(sf_dir: str):
+    """Q4-shaped EXISTS semi-join aggregate: orders in H1-1996 with at
+    least one returned line, counted per priority — the probe side
+    ships distinct orderkeys, never raw lineitem rows."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        order_priority_counts)
+
+    return order_priority_counts(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_returnflag"]))
+
+
 def _q_brat_format(sf_dir: str):
     """K2 brat writer over the mention table (per-doc T-id numbering;
     the M12 newline repair is pytest-covered — synth surfaces are
@@ -1074,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_promo": _q_tpch_promo,
         "tpch_top_unshipped": _q_tpch_top_unshipped,
         "tpch_supplier_revenue": _q_tpch_supplier_revenue,
+        "tpch_order_priority": _q_tpch_order_priority,
         "top_tokens": _q_top_tokens,
         "heavy_hitters": _q_heavy_hitters,
         "corpus_splits": _q_corpus_splits,
@@ -2031,6 +2049,18 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     PARTITION BY query_term
                     ORDER BY s DESC, doc_id ASC) AS rk
                 FROM g) WHERE rk <= 10
+        """,
+        "tpch_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
         "tpch_antijoin": """
             SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey

@@ -20,6 +20,9 @@
                      co-partition join, per-block local top-k partials
   revenue_by_supplier_nation  supply-side revenue per supplier nation
                      (covers the supplier table; fixed-25 driver fold)
+  order_priority_counts  Q4-shaped EXISTS semi-join aggregate: probe
+                     side reduced to distinct qualifying orderkeys per
+                     batch, per-block semi-merge, tiny count finish
 
 Join strategy: `ray.data.Dataset.join` is unusable at 2.49 (see
 CLAUDE.md rule 5), so equi-joins are expressed as union of both sides
@@ -737,3 +740,94 @@ def revenue_by_supplier_nation(
         "revenue_e4": pa.array([acc[k][0] for k in keys], pa.int64()),
         "n_items": pa.array([acc[k][1] for k in keys], pa.int64()),
     })
+
+
+def order_priority_counts(
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    returnflag: str = "R",
+) -> rd.Dataset:
+    """Distributed SEMI-join aggregate (TPC-H Q4 shape, ref has no
+    analog — this completes the join family: inner/anti/as-of/range
+    exist elsewhere): orders inside the date window that have AT LEAST
+    ONE lineitem with the given returnflag, counted per priority.
+
+    The testdata lineitem carries no commitdate/receiptdate, so the
+    EXISTS predicate is `l_returnflag = returnflag` — same Q4 shape
+    (EXISTS over the fact table), different column.
+
+    Shape: the lineitem probe side reduces to DISTINCT qualifying
+    orderkeys per batch BEFORE the shuffle (≤ one row per orderkey per
+    batch, never raw lines); union with window-filtered order rows;
+    one sort on orderkey (equal keys land whole per block); per-block
+    semi-merge emits (priority, partial count) — ≤ 5 rows per block —
+    then the engine's tiny sort + completion finishes the count.
+
+    Output: (o_orderpriority, order_count) sorted by priority."""
+    lo = _ts_us(date_from)
+    hi = _ts_us(date_to)
+
+    def l_keys(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = np.unique(
+            df["l_orderkey"].to_numpy()[
+                df["l_returnflag"].to_numpy() == returnflag])
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "kind": pa.array(["l"] * len(keys), pa.string()),
+            "priority": pa.array([""] * len(keys), pa.string()),
+        })
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["o_orderdate"].astype("int64").to_numpy()
+        df = df[(ts >= lo) & (ts < hi)]
+        return pa.table({
+            "key": pa.array(np.asarray(df["o_orderkey"], np.int64),
+                            pa.int64()),
+            "kind": pa.array(["o"] * len(df), pa.string()),
+            "priority": pa.array(df["o_orderpriority"].tolist(),
+                                 pa.string()),
+        })
+
+    def semi_count(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        evid = set(df.loc[df["kind"] == "l", "key"])
+        o = df[df["kind"] == "o"]
+        o = o[o["key"].isin(evid)]
+        g = (o.groupby("priority", sort=False)["key"].size()
+             .reset_index(name="order_count"))
+        return pa.table({
+            "o_orderpriority": pa.array(g["priority"].tolist(),
+                                        pa.string()),
+            "order_count": pa.array(
+                np.asarray(g["order_count"], np.int64), pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("o_orderpriority", sort=True)["order_count"]
+             .sum().reset_index())
+        return pa.table({
+            "o_orderpriority": pa.array(g["o_orderpriority"].tolist(),
+                                        pa.string()),
+            "order_count": pa.array(
+                np.asarray(g["order_count"], np.int64), pa.int64()),
+        })
+
+    return (
+        lineitem.map_batches(l_keys, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .union(orders.map_batches(o_rows, batch_format="pyarrow",
+                                  batch_size=1 << 19))
+        # orderkey scales with SF — high-cardinality at any real scale
+        .sort("key")
+        .map_batches(semi_count, batch_format="pyarrow",
+                     batch_size=None)
+        # ≤ 5 partial rows per block: the final exchange is tiny
+        .sort("o_orderpriority")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

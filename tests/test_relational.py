@@ -30,7 +30,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", ["tpch_pricing", "tpch_revenue_nation",
                                   "tpch_antijoin", "tpch_top_orders",
                                   "tpch_promo", "tpch_top_unshipped",
-                                  "tpch_supplier_revenue"])
+                                  "tpch_supplier_revenue",
+                                  "tpch_order_priority"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -182,7 +183,8 @@ def test_top_orders_per_customer_semantics(ray_session):
 
 
 @pytest.mark.parametrize("name", ["tpch_promo", "tpch_top_unshipped",
-                                  "tpch_supplier_revenue"])
+                                  "tpch_supplier_revenue",
+                                  "tpch_order_priority"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -194,8 +196,8 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
 
     import __ray_entry__ as E
     from clinicaltransformerner_ray.pipelines.relational import (
-        promo_revenue_by_month, revenue_by_supplier_nation,
-        top_unshipped_orders)
+        order_priority_counts, promo_revenue_by_month,
+        revenue_by_supplier_nation, top_unshipped_orders)
 
     def ds(table, cols, parts=5):
         t = pq.read_table(f"{SF}/{table}.parquet", columns=cols)
@@ -213,6 +215,11 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("orders", ["o_orderkey", "o_custkey", "o_orderdate",
                           "o_orderpriority"], 4),
             ds("customer", ["c_custkey", "c_mktsegment"], 3))
+    elif name == "tpch_order_priority":
+        res = order_priority_counts(
+            ds("orders", ["o_orderkey", "o_orderdate",
+                          "o_orderpriority"], 4),
+            ds("lineitem", ["l_orderkey", "l_returnflag"]))
     else:
         res = revenue_by_supplier_nation(
             ds("lineitem", ["l_suppkey", "l_extendedprice",
@@ -222,3 +229,37 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
     odf = con.execute(E.oracle_sql_for(SF)[name]).df()
     pd.testing.assert_frame_equal(_canon(rdf), _canon(odf),
                                   check_dtype=False, obj=name)
+
+
+def test_order_priority_semi_join_semantics(ray_session):
+    """Semi-join rules: an order with MULTIPLE returned lines counts
+    ONCE; an order with no returned line never counts; the date window
+    excludes orders outside it even with returned lines."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        order_priority_counts)
+
+    def ts(s):
+        return pd.Timestamp(s)
+
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([ts("1996-02-01"), ts("1996-03-01"),
+                                 ts("1995-02-01"), ts("1996-04-01")]),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "1-URGENT", "5-LOW"], pa.string()),
+    })).repartition(2)
+    lineitem = rd.from_arrow(pa.table({
+        # order 1: two R lines (counts once); order 2: only N (no
+        # count); order 3: R but outside window; order 4: one R
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "N", "R", "R"], pa.string()),
+    })).repartition(3)
+    out = (order_priority_counts(orders, lineitem)
+           .to_pandas().sort_values("o_orderpriority")
+           .reset_index(drop=True))
+    assert out["o_orderpriority"].tolist() == ["1-URGENT", "5-LOW"]
+    assert out["order_count"].tolist() == [1, 1]
