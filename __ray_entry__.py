@@ -929,6 +929,23 @@ def _q_tpch_order_priority(sf_dir: str):
                         columns=["l_orderkey", "l_returnflag"]))
 
 
+def _q_tpch_rollup(sf_dir: str):
+    """Hierarchical ROLLUP: order revenue at (region, nation) /
+    (region, ALL) / (ALL, ALL) in ONE shuffle — level rows emitted
+    inside the per-block merge, never three fact passes."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, revenue_rollup)
+
+    return revenue_rollup(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        _nation_region_map(sf_dir))
+
+
 def _q_brat_format(sf_dir: str):
     """K2 brat writer over the mention table (per-doc T-id numbering;
     the M12 newline repair is pytest-covered — synth surfaces are
@@ -1092,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_unshipped": _q_tpch_top_unshipped,
         "tpch_supplier_revenue": _q_tpch_supplier_revenue,
         "tpch_order_priority": _q_tpch_order_priority,
+        "tpch_rollup": _q_tpch_rollup,
         "top_tokens": _q_top_tokens,
         "heavy_hitters": _q_heavy_hitters,
         "corpus_splits": _q_corpus_splits,
@@ -2049,6 +2067,22 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     PARTITION BY query_term
                     ORDER BY s DESC, doc_id ASC) AS rk
                 FROM g) WHERE rk <= 10
+        """,
+        "tpch_rollup": """
+            WITH j AS (
+                SELECT n.n_name, r.r_name,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT)
+                           AS cents
+                FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+            )
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY ROLLUP(r_name, n_name)
         """,
         "tpch_order_priority": """
             SELECT o_orderpriority,

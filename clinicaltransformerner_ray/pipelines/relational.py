@@ -23,6 +23,9 @@
   order_priority_counts  Q4-shaped EXISTS semi-join aggregate: probe
                      side reduced to distinct qualifying orderkeys per
                      batch, per-block semi-merge, tiny count finish
+  revenue_rollup     GROUP BY ROLLUP in one shuffle: per-block merge
+                     emits every group row at all three hierarchy
+                     levels ('ALL' sentinel), facts never re-scanned
 
 Join strategy: `ray.data.Dataset.join` is unusable at 2.49 (see
 CLAUDE.md rule 5), so equi-joins are expressed as union of both sides
@@ -829,5 +832,120 @@ def order_priority_counts(
                      batch_size=None)
         # ≤ 5 partial rows per block: the final exchange is tiny
         .sort("o_orderpriority")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def revenue_rollup(
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    nation_map: dict[int, tuple[str, str]],
+) -> rd.Dataset:
+    """Hierarchical ROLLUP aggregate in ONE shuffle: order revenue at
+    the (region, nation), (region, ALL) and (ALL, ALL) levels — the
+    GROUP BY ROLLUP shape a reporting pipeline needs, expressed as
+    multi-level emission inside the combine instead of three separate
+    aggregation passes over the fact table.
+
+    Shape: orders pre-aggregate per custkey BEFORE the join shuffle
+    (sum cents + count, one row per custkey per batch); one sort on
+    custkey co-partitions them with customer; the per-block merge maps
+    nationkey -> (n_name, r_name) via the fixed-25 broadcast and emits
+    every group row at ALL THREE levels ('ALL' sentinel, never NULL —
+    empty-block-safe explicit string types); the final exchange then
+    moves <= (25 + 5 + 1) rows per block regardless of fact size.  For
+    a high-cardinality hierarchy (domain/url, dataset/shard) the same
+    single-shuffle shape holds — level rows just stay proportional to
+    the hierarchy, never the facts.
+
+    Output: (r_name, n_name, revenue_cents, n_orders) where n_name =
+    'ALL' marks the region subtotal and r_name = n_name = 'ALL' the
+    grand total."""
+
+    def o_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = _round_half_away(df["o_totalprice"].to_numpy() * 100)
+        g = (pd.DataFrame({"key": df["o_custkey"].to_numpy(),
+                           "cents": cents,
+                           "n": np.ones(len(df), np.int64)})
+             .groupby("key", sort=False).sum().reset_index())
+        return pa.table({
+            "key": pa.array(np.asarray(g["key"], np.int64), pa.int64()),
+            "kind": pa.array(["o"] * len(g), pa.string()),
+            "cents": pa.array(np.asarray(g["cents"], np.int64),
+                              pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            "nationkey": pa.array(np.zeros(len(g), np.int64),
+                                  pa.int64()),
+        })
+
+    def c_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "key": pa.array(np.asarray(df["c_custkey"], np.int64),
+                            pa.int64()),
+            "kind": pa.array(["c"] * len(df), pa.string()),
+            "cents": pa.array(np.zeros(len(df), np.int64), pa.int64()),
+            "n": pa.array(np.zeros(len(df), np.int64), pa.int64()),
+            "nationkey": pa.array(
+                np.asarray(df["c_nationkey"], np.int64), pa.int64()),
+        })
+
+    def merge_emit(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = df[df["kind"] == "c"]
+        o = df[df["kind"] == "o"]
+        nk = dict(zip(c["key"], c["nationkey"]))
+        o = o[o["key"].isin(nk.keys())]
+        if len(o):
+            nat = o["key"].map(nk).to_numpy()
+            names = [nation_map[int(k)] for k in nat]
+            lvl = pd.DataFrame({
+                "r_name": [r for _, r in names],
+                "n_name": [n for n, _ in names],
+                "cents": o["cents"].to_numpy(),
+                "n": o["n"].to_numpy(),
+            })
+            parts = [lvl,
+                     lvl.assign(n_name="ALL"),
+                     lvl.assign(r_name="ALL", n_name="ALL")]
+            g = (pd.concat(parts)
+                 .groupby(["r_name", "n_name"], sort=False)
+                 [["cents", "n"]].sum().reset_index())
+        else:
+            g = pd.DataFrame({"r_name": [], "n_name": [],
+                              "cents": [], "n": []})
+        return pa.table({
+            "r_name": pa.array(g["r_name"].tolist(), pa.string()),
+            "n_name": pa.array(g["n_name"].tolist(), pa.string()),
+            "cents": pa.array(np.asarray(g["cents"], np.int64),
+                              pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["r_name", "n_name"], sort=True)
+             [["cents", "n"]].sum().reset_index())
+        return pa.table({
+            "r_name": pa.array(g["r_name"].tolist(), pa.string()),
+            "n_name": pa.array(g["n_name"].tolist(), pa.string()),
+            "revenue_cents": pa.array(np.asarray(g["cents"], np.int64),
+                                      pa.int64()),
+            "n_orders": pa.array(np.asarray(g["n"], np.int64),
+                                 pa.int64()),
+        })
+
+    return (
+        orders.map_batches(o_part, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .union(customer.map_batches(c_part, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        # custkey scales with SF — high-cardinality at any real scale
+        .sort("key")
+        .map_batches(merge_emit, batch_format="pyarrow",
+                     batch_size=None)
+        # <= 31 level rows per block: the final exchange is tiny
+        .sort(["r_name", "n_name"])
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )

@@ -31,7 +31,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_antijoin", "tpch_top_orders",
                                   "tpch_promo", "tpch_top_unshipped",
                                   "tpch_supplier_revenue",
-                                  "tpch_order_priority"])
+                                  "tpch_order_priority",
+                                  "tpch_rollup"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -263,3 +264,33 @@ def test_order_priority_semi_join_semantics(ray_session):
            .reset_index(drop=True))
     assert out["o_orderpriority"].tolist() == ["1-URGENT", "5-LOW"]
     assert out["order_count"].tolist() == [1, 1]
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    """The three ROLLUP levels must be internally consistent: nation
+    rows sum to their region row, region rows sum to the grand total —
+    and the result is block-split invariant."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, revenue_rollup)
+
+    def ds(table, cols, parts):
+        t = pq.read_table(f"{SF}/{table}.parquet", columns=cols)
+        return rd.from_arrow(t).repartition(parts)
+
+    out = revenue_rollup(
+        ds("orders", ["o_custkey", "o_totalprice"], 5),
+        ds("customer", ["c_custkey", "c_nationkey"], 3),
+        _nation_region_map(SF)).to_pandas()
+    grand = out[(out["r_name"] == "ALL")]
+    assert len(grand) == 1
+    nat = out[(out["n_name"] != "ALL")]
+    reg = out[(out["n_name"] == "ALL") & (out["r_name"] != "ALL")]
+    for col in ["revenue_cents", "n_orders"]:
+        assert nat[col].sum() == grand[col].iloc[0]
+        assert reg[col].sum() == grand[col].iloc[0]
+        per_region = nat.groupby("r_name")[col].sum()
+        for r, v in per_region.items():
+            assert reg.loc[reg["r_name"] == r, col].iloc[0] == v
