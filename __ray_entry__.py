@@ -763,6 +763,22 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_docs(sf_dir), phi_denom=2000)
 
 
+#: CMS probe tokens: high/mid/low corpus frequency + one absent token
+#: (its estimate is pure collision mass — still oracle-exact)
+_CMS_PROBES = ["the", "a", "batch", "join", "vector", "zzzunseen"]
+
+
+def _q_token_cms(sf_dir: str):
+    """Count-min sketch point estimates at fixed probe tokens.  The
+    md5-derived bucket hashes equal DuckDB md5_number_upper % width,
+    so the oracle reconstructs every probed cell exactly — the
+    approximate sketch has an EXACT oracle."""
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        cms_token_estimates)
+
+    return cms_token_estimates(_docs(sf_dir), _CMS_PROBES)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact distinct users per event_type — batch-local pair dedup
     before the shuffle, composite-key sort, per-block partial counts,
@@ -1112,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_rollup": _q_tpch_rollup,
         "top_tokens": _q_top_tokens,
         "heavy_hitters": _q_heavy_hitters,
+        "token_cms": _q_token_cms,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
         "events_distinct_users": _q_events_distinct_users,
@@ -2215,6 +2232,38 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                   FROM u GROUP BY tok)
             SELECT token, n FROM c
             ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        "token_cms": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS t
+                FROM documents
+            ),
+            cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+                    FROM tok GROUP BY t),
+            r AS (SELECT i FROM range(4) AS _(i)),
+            cell AS (
+                SELECT r.i AS i,
+                       md5_number_upper(cnt.t || '#'
+                           || CAST(r.i AS VARCHAR)) % 1024 AS b,
+                       CAST(sum(cnt.n) AS BIGINT) AS c
+                FROM cnt CROSS JOIN r GROUP BY 1, 2
+            ),
+            probe AS (
+                SELECT unnest(['the', 'a', 'batch', 'join', 'vector',
+                               'zzzunseen']) AS token
+            ),
+            pb AS (
+                SELECT probe.token, r.i,
+                       md5_number_upper(probe.token || '#'
+                           || CAST(r.i AS VARCHAR)) % 1024 AS b
+                FROM probe CROSS JOIN r
+            )
+            SELECT pb.token,
+                   CAST(min(COALESCE(cell.c, 0)) AS BIGINT) AS est
+            FROM pb LEFT JOIN cell
+              ON cell.i = pb.i AND cell.b = pb.b
+            GROUP BY pb.token
         """,
         "heavy_hitters": """
             WITH u AS (

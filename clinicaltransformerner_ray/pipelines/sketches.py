@@ -1,4 +1,4 @@
-"""Sketch / cardinality operators over the `events` table.
+"""Sketch / cardinality operators (`events` + `documents` tables).
 
   distinct_users        EXACT distinct-user count per event_type —
                         composite-key sort dedup, per-block partials,
@@ -8,6 +8,11 @@
                         by elementwise max (a mergeable counter: the
                         shuffle moves one 2^p-byte row per
                         (event_type, batch), NEVER the user ids)
+  cms_token_estimates   count-min sketch point-frequency estimates
+                        over the corpus token stream — d×w counter
+                        matrices merged by plain sum; md5-derived
+                        hashing makes the sketch itself exactly
+                        SQL-reconstructible (oracle-checked)
 
 HLL per Flajolet et al. 2007 (the standard bias-corrected estimator
 with linear counting for small cardinalities).  The registers are
@@ -163,3 +168,82 @@ def hll_distinct_users(events: rd.Dataset) -> pd.DataFrame:
     out = sorted((et, _hll_estimate(regs))
                  for et, regs in merged.items())
     return pd.DataFrame(out, columns=["event_type", "n_users_approx"])
+
+
+def cms_token_estimates(
+    docs: rd.Dataset,
+    probe_tokens: list[str],
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> pa.Table:
+    """Count-min sketch (Cormode & Muthukrishnan 2005 — public
+    algorithm) over the corpus token stream, probed at fixed tokens.
+
+    Completes the mergeable-sketch family (HLL = distinct, Misra-Gries
+    = heavy hitters, CMS = point frequency): per-batch local d×w
+    counter matrices merge by PLAIN SUM, so the all-to-all moves at
+    most depth*width nonzero cells per batch — never tokens — and the
+    driver holds exactly one d×w int64 matrix (32 KiB at 4×1024).
+
+    est(t) = min over rows r of cell[r][md5_64(t||'#'||r) % width];
+    the guarantee is one-sided (est >= true count, over-estimate
+    < e/width * n with prob 1-e^-depth per row-seed independence).
+
+    The hashes are md5-derived (dedup._hash64 parity — CLAUDE.md:
+    DuckDB md5_number_upper == first-8-bytes-little-endian), so the
+    SKETCH ITSELF is deterministic and SQL-expressible: the oracle
+    reconstructs every probed cell exactly — an approximate operator
+    with an exact oracle.
+
+    Output: pa.Table (token, est) in probe order."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+    from clinicaltransformerner_ray.pipelines.textstats import TOKEN_RE
+
+    def bucket(tokens: list[str], row: int) -> np.ndarray:
+        return (_hash64([f"{t}#{row}" for t in tokens])
+                % np.uint64(width)).astype(np.int64)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        if "cell" in batch.column_names:  # completion pass after sort
+            df = batch.to_pandas()
+            g = df.groupby("cell", sort=False)["c"].sum().reset_index()
+            return pa.table({
+                "cell": pa.array(np.asarray(g["cell"], np.int64),
+                                 pa.int64()),
+                "c": pa.array(np.asarray(g["c"], np.int64), pa.int64()),
+            })
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in TOKEN_RE.findall(t or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts.keys())
+        n = np.fromiter(counts.values(), np.int64, len(counts))
+        mat = np.zeros((depth, width), np.int64)
+        for r in range(depth):
+            np.add.at(mat[r], bucket(toks, r), n)
+        r_idx, b_idx = np.nonzero(mat)
+        return pa.table({
+            "cell": pa.array(r_idx * width + b_idx, pa.int64()),
+            "c": pa.array(mat[r_idx, b_idx], pa.int64()),
+        })
+
+    merged = (
+        docs.map_batches(cells, batch_format="pyarrow",
+                         batch_size=1 << 17)
+        .sort("cell")
+        .map_batches(cells, batch_format="pyarrow", batch_size=None)
+    )
+    # driver collect is O(depth*width) cells — the sketch, not the corpus
+    mat = np.zeros(depth * width, np.int64)
+    for r in merged.take_all():
+        mat[r["cell"]] = r["c"]
+    ests = []
+    for tok in probe_tokens:
+        ests.append(int(min(
+            mat[r * width + int(bucket([tok], r)[0])]
+            for r in range(depth))))
+    return pa.table({
+        "token": pa.array(list(probe_tokens), pa.string()),
+        "est": pa.array(np.asarray(ests, np.int64), pa.int64()),
+    })

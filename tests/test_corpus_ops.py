@@ -33,7 +33,7 @@ SQL_CHECKED = [
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
-    "heavy_hitters",
+    "heavy_hitters", "token_cms",
 ]
 
 
@@ -801,3 +801,50 @@ def test_heavy_hitters_sketch_compression_exact(ray_session):
     exp = sorted((t, n) for t, n in c.items() if n * 40 > tot)
     assert exp, "planted heavies must exceed the phi threshold"
     assert list(zip(got["token"], got["n"])) == exp
+
+
+def test_cms_overestimates_and_matches_replica(ray_session):
+    """With vocab >> width every cell collides: the distributed CMS
+    must (a) never underestimate any true count, and (b) equal a
+    sequential numpy replica of the same sketch cell-for-cell — the
+    mergeable-sum claim, independent of how blocks split the docs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        cms_token_estimates)
+    from clinicaltransformerner_ray.pipelines.textstats import TOKEN_RE
+
+    rng = np.random.default_rng(3)
+    vocab = ["".join(chr(97 + c) for c in rng.integers(0, 26, 6))
+             for _ in range(800)]
+    texts = [" ".join(vocab[int(x)]
+                      for x in rng.integers(0, len(vocab), 30))
+             for _ in range(400)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(8)
+
+    probes = vocab[:40] + ["notintexts"]
+    depth, width = 4, 64  # heavy collisions on purpose
+    got = cms_token_estimates(ds, probes, depth=depth,
+                              width=width).to_pandas()
+
+    from collections import Counter
+    true = Counter()
+    for t in texts:
+        true.update(TOKEN_RE.findall(t))
+    # sequential replica of the sketch.  NB: the modulus must stay
+    # uint64 (CLAUDE.md: uint64 % python-int promotes to float64 and
+    # garbles the buckets)
+    w = np.uint64(width)
+    mat = np.zeros((depth, width), np.int64)
+    for tok, n in true.items():
+        for r in range(depth):
+            b = int(_hash64([f"{tok}#{r}"])[0] % w)
+            mat[r][b] += n
+    for tok, est in zip(got["token"], got["est"]):
+        expect = min(int(mat[r][int(_hash64([f"{tok}#{r}"])[0] % w)])
+                     for r in range(depth))
+        assert est == expect, tok
+        assert est >= true.get(tok, 0), tok
