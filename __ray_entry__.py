@@ -219,6 +219,18 @@ def _q_kg_common_neighbors(sf_dir: str):
     return common_neighbors(pairs, min_common=2)
 
 
+def _q_kg_jaccard_links(sf_dir: str):
+    """Neighborhood-Jaccard link scoring over the co-occurrence graph:
+    common_neighbors survivors with exact integer intersection/union
+    sizes (jaccard = n_common/union_size left rational — the integer-
+    derivation invariant)."""
+    from clinicaltransformerner_ray.pipelines.graph import jaccard_links
+
+    pairs = _kg(sf_dir)["triples"].map_batches(
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    return jaccard_links(pairs, min_common=2)
+
+
 def _q_kg_conv_entities(sf_dir: str):
     """Per-conversation entity statistics: distinct entities and
     entity-bearing turns per conv — the KG coverage report a corpus
@@ -1078,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assoc": _q_kg_assoc,
         "kg_components": _q_kg_components,
         "kg_common_neighbors": _q_kg_common_neighbors,
+        "kg_jaccard_links": _q_kg_jaccard_links,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
@@ -1635,6 +1648,39 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT subj, obj, n_common FROM cn
+            WHERE n_common >= 2
+              AND NOT EXISTS (SELECT 1 FROM prs p
+                              WHERE p.subj = cn.subj
+                                AND p.obj = cn.obj)
+        """,
+        "kg_jaccard_links": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , cop AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), prs AS (SELECT DISTINCT subj, obj FROM cop),
+            edges AS (
+                SELECT subj AS u, obj AS v FROM prs
+                UNION ALL SELECT obj, subj FROM prs
+            ),
+            deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+                    FROM edges GROUP BY u),
+            cn AS (
+                SELECT a.v AS subj, b.v AS obj,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM edges a JOIN edges b
+                  ON a.u = b.u AND a.v < b.v
+                GROUP BY 1, 2
+            )
+            SELECT cn.subj, cn.obj, n_common,
+                   da.d AS deg_a, db.d AS deg_b,
+                   da.d + db.d - n_common AS union_size
+            FROM cn
+            JOIN deg da ON da.u = cn.subj
+            JOIN deg db ON db.u = cn.obj
             WHERE n_common >= 2
               AND NOT EXISTS (SELECT 1 FROM prs p
                               WHERE p.subj = cn.subj

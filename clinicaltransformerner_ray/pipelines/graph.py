@@ -9,6 +9,9 @@
   common_neighbors link prediction: non-adjacent pairs sharing >= m
                    neighbors, exact counts (per-center wedge counting
                    + a NOT-EXISTS drop in one sorted pass)
+  jaccard_links    neighborhood-Jaccard refinement of common_neighbors:
+                   exact integer (intersection, union) per surviving
+                   pair via inclusion-exclusion over broadcast degrees
 
 Why INTEGER fixed-point: float PageRank sums neighbor contributions in
 engine-dependent order, so a SQL oracle could never hash-match.  With
@@ -585,3 +588,83 @@ def common_neighbors(
             .sort(["x", "y"])
             .map_batches(finish, batch_format="pyarrow",
                          batch_size=None))
+
+
+def jaccard_links(
+    edges: rd.Dataset,
+    *,
+    a_col: str = "subj",
+    b_col: str = "obj",
+    min_common: int = 2,
+    node_type: pa.DataType = pa.string(),
+    broadcast_edges_max: int = 1 << 22,
+) -> rd.Dataset:
+    """Neighborhood-Jaccard link scoring: :func:`common_neighbors`
+    survivors annotated with both endpoint degrees and the exact
+    INTEGER (intersection, union) of their neighbor sets — the
+    similarity-join refinement of plain common-neighbor counting
+    (jaccard = n_common / union_size, left to the consumer: ratios of
+    exact int64 is the repo's oracle-exactness invariant).
+
+    Input: DISTINCT undirected edges (a < b), like common_neighbors.
+    union_size = deg_a + deg_b - n_common by inclusion-exclusion over
+    distinct neighbor sets.
+
+    Degrees fold on the driver and broadcast into one stateless
+    annotation map — justified ONLY because node state is
+    lexicon-bounded (the pagerank/kg_degrees precedent; O(entities)
+    driver state, never edges).  For an unbounded node space, swap
+    the fold for the two-sort annotate-each-endpoint pipeline (sort
+    pairs on a, fill deg_a per block, sort on b, fill deg_b).
+
+    Output: (a_col, b_col, n_common, deg_a, deg_b, union_size)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            a_col: batch.column(a_col).cast(node_type),
+            b_col: batch.column(b_col).cast(node_type),
+        })
+
+    # feeds BOTH the wedge pipeline and the degree fold: materialize
+    # once (Ray does no CSE — the triangle_counts rule)
+    ed = edges.map_batches(norm, batch_format="pyarrow",
+                           batch_size=1 << 19).materialize()
+    cn = common_neighbors(ed, a_col=a_col, b_col=b_col,
+                          min_common=min_common, node_type=node_type,
+                          broadcast_edges_max=broadcast_edges_max)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (pd.DataFrame({
+                "e": np.concatenate([df[a_col].to_numpy(),
+                                     df[b_col].to_numpy()]),
+                "d": np.int64(1)})
+             .groupby("e", sort=False)["d"].sum().reset_index())
+        return pa.table({
+            "e": pa.array(g["e"].tolist(), node_type),
+            "d": pa.array(np.asarray(g["d"], np.int64), pa.int64()),
+        })
+
+    deg: dict = {}
+    for r in ed.map_batches(deg_partial, batch_format="pyarrow",
+                            batch_size=1 << 19).take_all():
+        deg[r["e"]] = deg.get(r["e"], 0) + r["d"]
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        da = df[a_col].map(deg).to_numpy(dtype=np.int64) \
+            if len(df) else np.array([], np.int64)
+        db = df[b_col].map(deg).to_numpy(dtype=np.int64) \
+            if len(df) else np.array([], np.int64)
+        nc = np.asarray(df["n_common"], np.int64)
+        return pa.table({
+            a_col: pa.array(df[a_col].tolist(), node_type),
+            b_col: pa.array(df[b_col].tolist(), node_type),
+            "n_common": pa.array(nc, pa.int64()),
+            "deg_a": pa.array(da, pa.int64()),
+            "deg_b": pa.array(db, pa.int64()),
+            "union_size": pa.array(da + db - nc, pa.int64()),
+        })
+
+    return cn.map_batches(annotate, batch_format="pyarrow",
+                          batch_size=1 << 19)

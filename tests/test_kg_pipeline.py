@@ -215,7 +215,8 @@ def test_sql_oracle_parity_small(ray_session):
     for name in ["kg_mentions", "kg_mentions_crf", "kg_triples",
                  "kg_entities", "kg_turn_entities", "kg_degrees",
                  "kg_pagerank", "kg_assoc", "kg_components",
-                 "kg_common_neighbors", "kg_conv_entities"]:
+                 "kg_common_neighbors", "kg_jaccard_links",
+                 "kg_conv_entities"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
