@@ -775,6 +775,19 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_docs(sf_dir), phi_denom=2000)
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Deterministic training-mix resampling: per-lang integer
+    basis-point rates (en 2.5x ... fr 0.25x), replica set id-exact
+    vs the md5_number_upper oracle — the LLM data-mixing step."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        mixture_sample)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    # column-pruned read: the mix needs only (doc_id, lang)
+    return mixture_sample(read_documents(sf_dir,
+                                         columns=["doc_id", "lang"]))
+
+
 #: CMS probe tokens: high/mid/low corpus frequency + one absent token
 #: (its estimate is pure collision mass — still oracle-exact)
 _CMS_PROBES = ["the", "a", "batch", "join", "vector", "zzzunseen"]
@@ -1142,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "heavy_hitters": _q_heavy_hitters,
         "token_cms": _q_token_cms,
+        "corpus_mix": _q_corpus_mix,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
         "events_distinct_users": _q_events_distinct_users,
@@ -2278,6 +2292,30 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                   FROM u GROUP BY tok)
             SELECT token, n FROM c
             ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        "corpus_mix": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 25000
+                                 WHEN 'de' THEN 10000
+                                 WHEN 'es' THEN 5000
+                                 WHEN 'fr' THEN 2500
+                                 WHEN 'zh' THEN 15000
+                                 ELSE 10000 END AS bp
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, lang,
+                       bp // 10000
+                       + CASE WHEN md5_number_upper(
+                                  CAST(doc_id AS VARCHAR)) % 10000
+                               < bp % 10000
+                              THEN 1 ELSE 0 END AS copies
+                FROM d
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(range(copies)) AS BIGINT) AS rep
+            FROM n
         """,
         "token_cms": """
             WITH tok AS (

@@ -763,3 +763,62 @@ def heavy_hitters(
         .sort("token")
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+#: default training-mix rates in basis points of 1.0x (10000 = keep
+#: exactly once): en upsampled 2.5x, zh 1.5x, es halved, fr quartered
+MIX_RATES_BP = {"en": 25_000, "de": 10_000, "es": 5_000,
+                "fr": 2_500, "zh": 15_000}
+
+
+def mixture_sample(
+    docs: rd.Dataset,
+    rates_bp: dict[str, int] | None = None,
+    *,
+    key_col: str = "lang",
+    default_bp: int = 10_000,
+) -> rd.Dataset:
+    """Deterministic training-mix resampling: each document is
+    replicated ``copies`` times where copies = bp // 10000 plus one
+    extra iff md5_64(str(doc_id)) % 10000 < bp % 10000 — so a 2.5x
+    stratum emits 2 copies for every doc and a 3rd for a fixed
+    pseudo-random half, and a 0.25x stratum keeps a fixed quarter.
+    The `rep` index (0..copies-1) distinguishes replicas downstream
+    (per-epoch shuffling salt, curriculum weighting).
+
+    This is the data-mixing step of an LLM training pipeline
+    (up/down-weighting sources to target proportions).  All-integer
+    basis-point rates + the md5 convention shared with
+    `hash_stratified_sample` make the emitted (doc_id, rep) SET — not
+    just its size — reproducible across runs, engines and partitioning
+    (id-exact SQL oracle, no RNG state anywhere).
+
+    Pure batch-local projection: no shuffle; output rows = sum of
+    copies.  Output: (doc_id, ``key_col``, rep)."""
+    rates = dict(MIX_RATES_BP if rates_bp is None else rates_bp)
+    if min(rates.values(), default=0) < 0 or default_bp < 0:
+        raise ValueError("rates_bp must be non-negative")
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", key_col]).to_pandas()
+        ids = df["doc_id"].to_numpy()
+        bp = (df[key_col].map(rates).fillna(default_bp)
+              .to_numpy(dtype=np.int64))
+        frac = (_hash64([str(int(i)) for i in ids])
+                % np.uint64(10_000)).astype(np.int64)
+        copies = bp // 10_000 + (frac < bp % 10_000)
+        idx = np.repeat(np.arange(len(df)), copies)
+        # rep = position within each doc's run of copies
+        starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        rep = np.arange(int(copies.sum()), dtype=np.int64) \
+            - np.repeat(starts, copies)
+        return pa.table({
+            "doc_id": pa.array(ids[idx].astype(np.int64), pa.int64()),
+            key_col: pa.array(df[key_col].to_numpy()[idx].tolist(),
+                              pa.string()),
+            "rep": pa.array(rep, pa.int64()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow",
+                            batch_size=1 << 17)

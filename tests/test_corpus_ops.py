@@ -33,7 +33,7 @@ SQL_CHECKED = [
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
-    "heavy_hitters", "token_cms",
+    "heavy_hitters", "token_cms", "corpus_mix",
 ]
 
 
@@ -848,3 +848,42 @@ def test_cms_overestimates_and_matches_replica(ray_session):
                      for r in range(depth))
         assert est == expect, tok
         assert est >= true.get(tok, 0), tok
+
+
+def test_mixture_sample_semantics(ray_session):
+    """Replication rules: a 2.5x stratum gives every doc 2 or 3 copies
+    (reps contiguous from 0), a 0x stratum vanishes, an unknown key
+    falls back to default 1x, and the emitted (doc_id, rep) SET is
+    invariant to block splits."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        mixture_sample)
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "lang": pa.array((["up"] * 60) + (["zero"] * 20)
+                         + (["mystery"] * 20), pa.string()),
+    })
+    rates = {"up": 25_000, "zero": 0}
+    outs = []
+    for parts in (1, 7):
+        out = (mixture_sample(rd.from_arrow(tbl).repartition(parts),
+                              rates)
+               .to_pandas().sort_values(["doc_id", "rep"])
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert not (out["lang"] == "zero").any()
+    up = out[out["lang"] == "up"].groupby("doc_id")["rep"].agg(
+        ["count", "max"])
+    assert set(up["count"]) <= {2, 3}
+    # ~half the 2.5x docs get the 3rd copy (deterministic md5 split)
+    assert 10 < (up["count"] == 3).sum() < 50
+    assert (up["max"] == up["count"] - 1).all()  # reps contiguous
+    myst = out[out["lang"] == "mystery"].groupby("doc_id")["rep"].count()
+    assert (myst == 1).all() and len(myst) == 20
