@@ -649,6 +649,17 @@ def _q_ann_ivf(sf_dir: str):
     return knn_ivf(_vecs(sf_dir), n_queries=8, k=10)
 
 
+def _q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (hamming-ball multiprobe over md5-derived
+    sign-bit codes).  Fully oracle-checked — the integer-quantized
+    projections (floor(x*1024), exact float64 both engines) make even
+    the BUCKETS SQL-reconstructible, not just the ranks."""
+    from clinicaltransformerner_ray.pipelines.similarity import knn_lsh
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    return knn_lsh(read_embeddings(sf_dir), n_queries=8, k=10)
+
+
 def _q_kmeans(sf_dir: str):
     """Spherical k-means assignments (deterministic Lloyd's, 5 iters);
     ==numpy-replica in pytest AND oracle-checked: the fixed iteration
@@ -1132,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "corpus_chunks": _q_corpus_chunks,
         "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "kmeans": _q_kmeans,
         "text_stats": _q_text_stats,
@@ -1950,6 +1962,61 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    array_to_string(l[(i*8+1):(i*8+16)], ' ') AS text,
                    CAST(len(l[(i*8+1):(i*8+16)]) AS BIGINT) AS n_tokens
             FROM c
+        """,
+        "ann_lsh": """
+            WITH unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            planes AS (
+                SELECT p.p, d.i,
+                       CASE WHEN md5_number_upper('lsh:'
+                                || CAST(p.p AS VARCHAR) || ':'
+                                || CAST(d.i - 1 AS VARCHAR)) % 2 = 1
+                            THEN 1 ELSE -1 END AS s
+                FROM range(8) p(p) CROSS JOIN range(1, 65) d(i)
+            ),
+            proj AS (
+                SELECT u.vec_id, pl.p,
+                       sum(CAST(floor(u.v * 1024) AS BIGINT) * pl.s)
+                           AS t
+                FROM unn u JOIN planes pl ON pl.i = u.i
+                GROUP BY 1, 2
+            ),
+            codes AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN t >= 0 THEN 1 ELSE 0 END
+                                * (1 << p)) AS BIGINT) AS code
+                FROM proj GROUP BY vec_id
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
+                      FROM unn GROUP BY vec_id),
+            q AS (SELECT * FROM unn WHERE vec_id < 8),
+            dots AS (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       sum(q.v*d.v) AS dot
+                FROM q JOIN unn d ON q.i = d.i AND q.vec_id <> d.vec_id
+                JOIN codes cq ON cq.vec_id = q.vec_id
+                JOIN codes cd ON cd.vec_id = d.vec_id
+                WHERE bit_count(xor(cq.code, cd.code)) <= 3
+                GROUP BY 1, 2
+            ),
+            sims AS (
+                SELECT query_id, neighbor_id,
+                       dot / (nq.nn * nd.nn) AS sim
+                FROM dots
+                JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nd ON nd.vec_id = neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
         """,
         "ann_topk": """
             WITH unn AS (

@@ -311,3 +311,106 @@ def knn_ivf(
 
     partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
     return _merge_topk(partials, k)
+
+
+def _lsh_planes(n_planes: int, dim: int) -> np.ndarray:
+    """±1 hyperplane matrix derived from md5 (process-independent;
+    sign = md5_64('lsh:p:d') % 2 — the same hashing convention as
+    dedup/_hash64, so DuckDB md5_number_upper reproduces it)."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    bits = (_hash64([f"lsh:{p}:{d}"
+                     for p in range(n_planes) for d in range(dim)])
+            % np.uint64(2)).astype(np.int64)
+    return bits.reshape(n_planes, dim) * 2 - 1
+
+
+def _lsh_codes(X_raw: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket codes over INTEGER-quantized projections:
+    floor(x*1024) is exact float64 arithmetic on both engines (1024 is
+    a power of two; floor is floor in numpy AND DuckDB — no //
+    truncation hazard), so the code is bit-reproducible in SQL — the
+    reason this LSH variant is oracle-checked while classic gaussian
+    planes could flip a sign on accumulation order."""
+    xq = np.floor(X_raw * 1024.0).astype(np.int64)
+    proj = xq @ planes.T  # exact int64: |proj| <= dim * 2^10 * |x|max
+    return ((proj >= 0).astype(np.int64)
+            << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+
+
+def knn_lsh(
+    vecs: rd.Dataset,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 3,
+) -> rd.Dataset:
+    """LSH-bucketed approximate top-k (random-hyperplane signs,
+    Charikar 2002 — public algorithm): a vector is scored against a
+    query only when their sign-bit codes differ in <= ``max_hamming``
+    planes (multiprobe by hamming ball instead of bucket equality, so
+    no candidate re-shuffle is needed — the probe test is a bitwise
+    xor inside the scoring map).
+
+    The scale path alongside IVF: codes cost one integer matmul per
+    batch, no centroid training pass, and the candidate mass per query
+    is ~C(n_planes,<=h)/2^n_planes of the corpus.  Same output schema
+    as knn_bruteforce; recall gated in tests; and because the codes
+    are integer-exact (see :func:`_lsh_codes`) the ENTIRE query —
+    buckets, probes, ranks — is SQL-oracle-checked, unlike typical LSH.
+
+    Output: (query_id, neighbor_id, rank), rank 1-based by
+    (sim desc, neighbor_id asc)."""
+    qids, Q = load_queries(vecs, n_queries)
+
+    def raw_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        X = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        return ids, X
+
+    dim = Q.shape[1]
+    planes = _lsh_planes(n_planes, dim)
+    # query codes from RAW (unnormalized) vectors — recompute via the
+    # distributed filter load (load_queries normalizes)
+    import pyarrow.compute as pc
+    qraw_rows = vecs.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+        batch_format="pyarrow").take_all()  # O(n_queries)
+    qraw_rows.sort(key=lambda r: r["vec_id"])
+    Qraw = np.asarray([r["embedding"] for r in qraw_rows],
+                      dtype=np.float64)
+    qcodes = _lsh_codes(Qraw, planes)
+    pop = np.array([bin(i).count("1") for i in range(1 << n_planes)],
+                   dtype=np.int64)
+    qref = ray.put((qids, Q, qcodes, planes, pop))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_, qcodes_, planes_, pop_ = ray.get(qref)
+        ids, Xr = raw_matrix(batch)
+        codes = _lsh_codes(Xr, planes_)
+        X = Xr / np.linalg.norm(Xr, axis=1, keepdims=True)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids_)):
+            m = (pop_[np.bitwise_xor(codes, qcodes_[j])]
+                 <= max_hamming) & (ids != qids_[j])
+            if not m.any():
+                continue
+            s = X[m] @ Q_[j]
+            cand_ids = ids[m]
+            if len(cand_ids) > k:
+                order = np.lexsort((cand_ids, -s))[:k]  # tie-exact cut
+                cand_ids, s = cand_ids[order], s[order]
+            out_q.extend([qids_[j]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(s.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
+    return _merge_topk(partials, k)

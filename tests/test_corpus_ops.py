@@ -33,7 +33,7 @@ SQL_CHECKED = [
     "doc_quantiles", "corpus_sample", "bm25_topk", "top_tokens",
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
-    "heavy_hitters", "token_cms", "corpus_mix",
+    "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
 ]
 
 
@@ -887,3 +887,21 @@ def test_mixture_sample_semantics(ray_session):
     assert (up["max"] == up["count"] - 1).all()  # reps contiguous
     myst = out[out["lang"] == "mystery"].groupby("doc_id")["rep"].count()
     assert (myst == 1).all() and len(myst) == 20
+
+
+def test_lsh_recall_vs_bruteforce(ray_session):
+    """Hamming-ball multiprobe at 8 planes / h<=3 probes ~14% of code
+    space yet must recover >= half the exact top-10 set (clustered
+    synth embeddings put true neighbors in nearby buckets)."""
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        knn_bruteforce, knn_lsh)
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    vecs = read_embeddings(SF)
+    exact = knn_bruteforce(vecs, n_queries=8, k=10).to_pandas()
+    approx = knn_lsh(vecs, n_queries=8, k=10).to_pandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5, len(e & a) / len(e)
+    # probing must actually prune: fewer candidate rows than exact
+    assert len(a) <= len(e)
