@@ -599,6 +599,33 @@ def _q_dedup_ensemble(sf_dir: str):
     return ensemble_dup_pairs(_docs(sf_dir), _vecs(sf_dir))
 
 
+def _q_dedup_decontaminate(sf_dir: str):
+    """Benchmark decontamination: train docs (doc_id % 20 != 0)
+    sharing any word 5-gram shingle with the synthetic eval split
+    (doc_id % 20 == 0) — broadcast semi-join, zero shuffle, hit
+    counts id-exact vs the md5_number_upper oracle."""
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.pipelines.dedup import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def half(par: bool):
+        def f(batch):
+            ids = batch.column("doc_id")
+            # no pc.modulo in this pyarrow: ids - (ids // 20) * 20
+            # (integer divide truncates; doc_ids are non-negative)
+            rem = pc.subtract(ids, pc.multiply(
+                pc.divide(ids, 20), 20))
+            m = pc.equal(rem, 0)
+            return batch.filter(m if par else pc.invert(m))
+        return f
+
+    return decontaminate(
+        docs.map_batches(half(False), batch_format="pyarrow"),
+        docs.map_batches(half(True), batch_format="pyarrow"))
+
+
 def _q_corpus_chunks(sf_dir: str):
     """Sliding-window chunking (16-token windows, stride 8) — the
     embedding-prep flat-map; integer window arithmetic, SQL-exact."""
@@ -1168,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "token_cms": _q_token_cms,
         "corpus_mix": _q_corpus_mix,
+        "dedup_decontaminate": _q_dedup_decontaminate,
         "corpus_splits": _q_corpus_splits,
         "corpus_pack": _q_corpus_pack,
         "events_distinct_users": _q_events_distinct_users,
@@ -2359,6 +2387,27 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                   FROM u GROUP BY tok)
             SELECT token, n FROM c
             ORDER BY n DESC, token ASC LIMIT 100
+        """,
+        "dedup_decontaminate": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(CASE
+                    WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                    ELSE list_transform(range(1, len(l) - 3),
+                        i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]
+                             ||' '||l[i+4])
+                    END) AS s
+                FROM d
+            ),
+            ev AS (SELECT DISTINCT md5_number_upper(s) AS h
+                   FROM sh WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, md5_number_upper(s) AS h
+                   FROM sh WHERE doc_id % 20 <> 0)
+            SELECT tr.doc_id,
+                   CAST(count(DISTINCT tr.h) AS BIGINT) AS n_hits
+            FROM tr JOIN ev ON ev.h = tr.h
+            GROUP BY tr.doc_id
         """,
         "corpus_mix": """
             WITH d AS (

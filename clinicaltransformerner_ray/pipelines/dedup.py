@@ -869,3 +869,70 @@ def curate_neardup(
             .sort("key")
             .map_batches(survivors, batch_format="pyarrow",
                          batch_size=None))
+
+
+def _fingerprint_shingles(text: str, n: int) -> list[str]:
+    """doc_fingerprints' shingle convention (textstats.py): every doc
+    yields >= 1 shingle — a short doc contributes its whole text,
+    INCLUDING the empty string for empty text (matches the SQL CASE
+    the doc_fingerprint oracle uses)."""
+    toks = (text or "").split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def decontaminate(
+    train: rd.Dataset,
+    eval_docs: rd.Dataset,
+    *,
+    n: int = 5,
+) -> rd.Dataset:
+    """Benchmark decontamination: flag TRAIN documents sharing any word
+    ``n``-gram shingle with the EVAL corpus — the overlap check every
+    LLM data pipeline runs before training (eval-set leakage).
+
+    Shape: the eval side (small by definition — a benchmark) reduces
+    to per-batch DISTINCT md5-64 shingle hashes, folds to one driver
+    set (O(eval shingles), never train data) and broadcasts via
+    ``ray.put``; the train side then streams once, counting per doc
+    the DISTINCT shingles present in the set — a broadcast semi-join,
+    no shuffle at all.  For an eval set too big to broadcast, fall
+    back to the posting-list join (`ngram_jaccard_pairs` shape).
+
+    Hashes are md5-derived (== DuckDB ``md5_number_upper``), so the
+    flagged set and hit counts are id-exact in SQL.
+
+    Output: (doc_id, n_hits) for train docs with n_hits >= 1."""
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        hs: set = set()
+        for t in batch.column("text").to_pylist():
+            hs.update(_hash64(_fingerprint_shingles(t, n)).tolist())
+        return pa.table({"h": pa.array(
+            np.fromiter(hs, np.uint64, len(hs)), pa.uint64())})
+
+    fp: set = set()
+    # driver fold is O(distinct eval shingles) — see docstring
+    for r in eval_docs.map_batches(eval_partial, batch_format="pyarrow",
+                                   batch_size=1 << 17).take_all():
+        fp.add(r["h"])
+    ref = ray.put(fp)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        fp_ = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_n = [], []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            hits = len({int(h) for h in
+                        _hash64(_fingerprint_shingles(t, n))} & fp_)
+            if hits:
+                out_id.append(i)
+                out_n.append(hits)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_hits": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+        })
+
+    return train.map_batches(flag, batch_format="pyarrow",
+                             batch_size=1 << 17)

@@ -34,6 +34,7 @@ SQL_CHECKED = [
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
+    "dedup_decontaminate",
 ]
 
 
@@ -905,3 +906,34 @@ def test_lsh_recall_vs_bruteforce(ray_session):
     assert len(e & a) / len(e) >= 0.5, len(e & a) / len(e)
     # probing must actually prune: fewer candidate rows than exact
     assert len(a) <= len(e)
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """A train doc quoting a 5-gram from the eval set is flagged with
+    the exact distinct-shingle hit count; clean docs and sub-5-gram
+    overlaps are not flagged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import decontaminate
+
+    bench = "alpha bravo charlie delta echo foxtrot golf"
+    eval_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([bench], pa.string()),
+    }))
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # quotes tokens 1..6 of the benchmark -> shingles
+            # (1..5) and (2..6): 2 distinct hits
+            "intro bravo charlie delta echo foxtrot golf outro",
+            # only a 4-gram overlap -> no 5-gram shingle hit
+            "bravo charlie delta echo nothing else here at all",
+            "completely unrelated text with no benchmark overlap x",
+        ], pa.string()),
+    })).repartition(3)
+    out = (decontaminate(train, eval_docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_hits"].tolist() == [2]
