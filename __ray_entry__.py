@@ -463,6 +463,19 @@ def _q_events_latest(sf_dir: str):
                                  "event_type"]))
 
 
+def _q_events_running_total(sf_dir: str):
+    """Window-function shape: per-user running integer-cents total
+    ordered (ts, event_id) — no combine (a running sum needs every
+    row), the single user_id sort IS the shuffle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import running_totals
+
+    return running_totals(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts", "value"]))
+
+
 def _q_corpus_ranks(sf_dir: str):
     """Exact percentile-rank normalization of per-doc token counts:
     integer (n_smaller, n_docs) numerators via a driver-folded value
@@ -1155,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_salted": _q_events_range_join_salted,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_latest": _q_events_latest,
+        "events_running_total": _q_events_running_total,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_attribution": _q_events_attribution,
@@ -2557,6 +2571,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) AS rk
                 FROM events) WHERE rk = 1
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_cents
+            FROM events
         """,
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the

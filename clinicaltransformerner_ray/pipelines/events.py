@@ -1101,3 +1101,38 @@ def attributed_revenue(events: rd.Dataset) -> rd.Dataset:
             .sort("user_id")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
+
+
+def running_totals(events: rd.Dataset) -> rd.Dataset:
+    """Per-user RUNNING total (the window-function shape: SUM() OVER
+    (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING)): every
+    event annotated with the cumulative integer-cents spend of its
+    user up to and including it, ordered (ts, event_id).
+
+    Unlike the aggregate family there is no combine step — a running
+    sum needs every row — so the ONE sort on user_id IS the shuffle
+    (equal keys land whole per block; the repo's range-partitioner
+    rule), and the per-block completion is a vectorized grouped
+    cumsum.  Output size == input size; consumers stream it on.
+
+    Output: (event_id, user_id, running_cents)."""
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["user_id", "ts", "event_id"]))
+        cents = _round_half_away(df["value"].to_numpy() * 100)
+        run = (pd.Series(cents)
+               .groupby(df["user_id"].to_numpy()).cumsum()
+               .to_numpy())
+        return pa.table({
+            "event_id": pa.array(np.asarray(df["event_id"], np.int64),
+                                 pa.int64()),
+            "user_id": pa.array(np.asarray(df["user_id"], np.int64),
+                                pa.int64()),
+            "running_cents": pa.array(np.asarray(run, np.int64),
+                                      pa.int64()),
+        })
+
+    return (events.sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))

@@ -322,7 +322,7 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_range_join_salted", "events_distinct_users",
                  "events_value_quantiles", "events_latest",
                  "events_funnel", "events_retention",
-                 "events_attribution"]:
+                 "events_attribution", "events_running_total"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
