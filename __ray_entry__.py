@@ -1038,6 +1038,42 @@ def _q_tpch_rollup(sf_dir: str):
         _nation_region_map(sf_dir))
 
 
+def _q_tpch_large_orders(sf_dir: str):
+    """Q18-shaped HAVING-filtered aggregate-then-join: orders whose
+    summed line quantity exceeds 150, joined back to the customer —
+    the fact side pre-aggregates per orderkey before either shuffle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        large_volume_orders)
+
+    return large_volume_orders(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"]))
+
+
+def _q_tpch_idle_rich(sf_dir: str):
+    """Q22-shaped scalar-subquery report: above-average positive
+    balances with no recent order, per segment — the global mean is an
+    integer cross-multiplication (cents * n > total), never a float."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        idle_rich_customers)
+
+    return idle_rich_customers(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_acctbal",
+                                 "c_mktsegment"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"]))
+
+
 def _q_brat_format(sf_dir: str):
     """K2 brat writer over the mention table (per-doc T-id numbering;
     the M12 newline repair is pytest-covered — synth surfaces are
@@ -1205,6 +1241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_supplier_revenue": _q_tpch_supplier_revenue,
         "tpch_order_priority": _q_tpch_order_priority,
         "tpch_rollup": _q_tpch_rollup,
+        "tpch_large_orders": _q_tpch_large_orders,
+        "tpch_idle_rich": _q_tpch_idle_rich,
         "top_tokens": _q_top_tokens,
         "heavy_hitters": _q_heavy_hitters,
         "token_cms": _q_token_cms,
@@ -2290,6 +2328,42 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        """,
+        "tpch_large_orders": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS total_cents,
+                   q.sum_qty
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "tpch_idle_rich": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot
+                FROM customer WHERE c_acctbal > 0.0
+            ), probe AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+            )
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents
+            FROM customer c, s
+            WHERE c.c_acctbal > 0.0
+              AND CAST(round(c_acctbal * 100) AS BIGINT) * s.n > s.tot
+              AND NOT EXISTS (SELECT 1 FROM probe
+                              WHERE probe.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
         """,
         # rank()-1 == count of strictly-smaller docs; the token count
         # (spaces+1) matches the engine's count_substring kernel

@@ -949,3 +949,234 @@ def revenue_rollup(
         .sort(["r_name", "n_name"])
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def large_volume_orders(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    *,
+    qty_threshold: int = 150,
+) -> rd.Dataset:
+    """TPC-H Q18-shaped large-volume-customer report: orders whose
+    total line quantity exceeds ``qty_threshold``, joined back to the
+    ordering customer.  The reference analog is the HAVING-filtered
+    aggregate-then-join shape its eval scripts lack entirely.
+
+    Scale shape: lineitem pre-aggregates quantity per orderkey in each
+    batch (the shuffle moves one partial per (orderkey, batch), never
+    raw lines); the orderkey sort-merge block completes the sum and
+    applies the HAVING filter, so only qualifying orders — a tiny
+    fraction — enter the second (custkey) exchange together with the
+    customer side.  Quantities are integral doubles recovered exactly
+    via half-away rounding, so sums are int64 and hash-exact.
+
+    Output: (c_custkey, c_name, o_orderkey, total_cents, sum_qty)."""
+
+    def _sup1(key, kind, qty, custkey, cents) -> pa.Table:
+        m = len(key)
+        return pa.table({
+            "key": pa.array(np.asarray(key, np.int64), pa.int64()),
+            "kind": pa.array([kind] * m, pa.string()),
+            "qty": pa.array(np.asarray(qty, np.int64), pa.int64()),
+            "custkey": pa.array(np.asarray(custkey, np.int64),
+                                pa.int64()),
+            "cents": pa.array(np.asarray(cents, np.int64), pa.int64()),
+        })
+
+    def l_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        part = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(),
+            "qty": _round_half_away(df["l_quantity"].to_numpy()),
+        })
+        g = part.groupby("key", sort=False).sum().reset_index()
+        z = np.zeros(len(g), np.int64)
+        return _sup1(g["key"], "l", g["qty"], z, z)
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return _sup1(df["o_orderkey"], "o", z, df["o_custkey"],
+                     _round_half_away(df["o_totalprice"].to_numpy() * 100))
+
+    def having_join(batch: pa.Table) -> pa.Table:
+        """Per-block orderkey completion + HAVING + order join: equal
+        orderkeys arrive whole, so the summed quantity is final here."""
+        df = batch.to_pandas()
+        ln = df[df["kind"] == "l"]
+        o = df[df["kind"] == "o"]
+        g = ln.groupby("key", sort=False)["qty"].sum().reset_index()
+        g = g[g["qty"] > qty_threshold]
+        j = pd.merge(g, o[["key", "custkey", "cents"]], on="key")
+        # re-key on custkey for the customer join; orderkey -> payload
+        return pa.table({
+            "key": pa.array(np.asarray(j["custkey"], np.int64),
+                            pa.int64()),
+            "kind": pa.array(["x"] * len(j), pa.string()),
+            "qty": pa.array(np.asarray(j["qty"], np.int64), pa.int64()),
+            "orderkey": pa.array(np.asarray(j["key"], np.int64),
+                                 pa.int64()),
+            "cents": pa.array(np.asarray(j["cents"], np.int64),
+                              pa.int64()),
+            "name": pa.array([""] * len(j), pa.string()),
+        })
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return pa.table({
+            "key": pa.array(np.asarray(df["c_custkey"], np.int64),
+                            pa.int64()),
+            "kind": pa.array(["c"] * len(df), pa.string()),
+            "qty": pa.array(z, pa.int64()),
+            "orderkey": pa.array(z, pa.int64()),
+            "cents": pa.array(z, pa.int64()),
+            "name": pa.array(df["c_name"].tolist(), pa.string()),
+        })
+
+    def cust_join(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df[df["kind"] == "x"]
+        c = df[df["kind"] == "c"]
+        j = pd.merge(
+            x[["key", "orderkey", "qty", "cents"]],
+            c[["key", "name"]],
+            on="key")
+        return pa.table({
+            "c_custkey": pa.array(np.asarray(j["key"], np.int64),
+                                  pa.int64()),
+            "c_name": pa.array(j["name"].tolist(), pa.string()),
+            "o_orderkey": pa.array(np.asarray(j["orderkey"], np.int64),
+                                   pa.int64()),
+            "total_cents": pa.array(np.asarray(j["cents"], np.int64),
+                                    pa.int64()),
+            "sum_qty": pa.array(np.asarray(j["qty"], np.int64),
+                                pa.int64()),
+        })
+
+    qualified = (
+        lineitem.map_batches(l_side, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .union(orders.map_batches(o_side, batch_format="pyarrow",
+                                  batch_size=1 << 19))
+        .sort("key")
+        .map_batches(having_join, batch_format="pyarrow",
+                     batch_size=None)
+    )
+    return (
+        qualified
+        .union(customer.map_batches(c_side, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        .sort("key")
+        .map_batches(cust_join, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def idle_rich_customers(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    *,
+    idle_since: str = "2001-01-01",
+) -> rd.Dataset:
+    """TPC-H Q22-shaped report: positive-balance customers whose
+    balance exceeds the positive-balance AVERAGE and who placed no
+    order since ``idle_since``, counted per market segment.
+
+    The global average is the engine's scalar-subquery pattern: one
+    streaming pass emits a (count, sum) partial PER BLOCK, the driver
+    folds the O(blocks) partials (tiny, justified collect), and the
+    resulting two integers are captured in the filter closure — no
+    second scan, no shuffle.  The mean comparison is exact integer
+    cross-multiplication (cents * n > total_cents), so no float
+    average ever exists to diverge from the SQL oracle.
+
+    The anti-join reuses the distinct-probe shape: orders reduce to
+    distinct recent custkeys per batch, union with the pre-filtered
+    customer side, one custkey sort, per-block NOT-EXISTS merge, then
+    a five-group segment rollup.
+
+    Output: (c_mktsegment, n_custs, sum_acctbal_cents)."""
+    lo = _ts_us(idle_since)
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = _round_half_away(df["c_acctbal"].to_numpy() * 100)
+        pos = cents[cents > 0]
+        return pa.table({
+            "n": pa.array([len(pos)], pa.int64()),
+            "tot": pa.array([int(pos.sum())], pa.int64()),
+        })
+
+    # driver collect is O(blocks): one 2-int row per input block
+    parts = customer.map_batches(
+        bal_partial, batch_format="pyarrow", batch_size=1 << 19
+    ).to_pandas()
+    n_pos = int(parts["n"].sum())
+    tot_cents = int(parts["tot"].sum())
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = df["c_acctbal"].to_numpy()
+        cents = _round_half_away(cents * 100)
+        keep = (cents > 0) & (cents * n_pos > tot_cents)
+        df = df[keep]
+        return pa.table({
+            "key": pa.array(np.asarray(df["c_custkey"], np.int64),
+                            pa.int64()),
+            "kind": pa.array(["c"] * len(df), pa.string()),
+            "cents": pa.array(cents[keep], pa.int64()),
+            "segment": pa.array(df["c_mktsegment"].tolist(),
+                                pa.string()),
+        })
+
+    def probe(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["o_orderdate"].astype("int64").to_numpy()
+        keys = np.unique(df["o_custkey"].to_numpy()[ts >= lo])
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "kind": pa.array(["o"] * len(keys), pa.string()),
+            "cents": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+            "segment": pa.array([""] * len(keys), pa.string()),
+        })
+
+    def anti_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        recent = set(df.loc[df["kind"] == "o", "key"])
+        c = df[df["kind"] == "c"]
+        c = c[~c["key"].isin(recent)]
+        g = (c.groupby("segment", sort=False)
+             .agg(n_custs=("key", "size"), cents=("cents", "sum"))
+             .reset_index())
+        return pa.table({
+            "segment": pa.array(g["segment"].tolist(), pa.string()),
+            "n_custs": pa.array(np.asarray(g["n_custs"], np.int64),
+                                pa.int64()),
+            "cents": pa.array(np.asarray(g["cents"], np.int64),
+                              pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("segment", sort=True)[["n_custs", "cents"]]
+             .sum().reset_index())
+        return pa.table({
+            "c_mktsegment": pa.array(g["segment"].tolist(), pa.string()),
+            "n_custs": pa.array(np.asarray(g["n_custs"], np.int64),
+                                pa.int64()),
+            "sum_acctbal_cents": pa.array(
+                np.asarray(g["cents"], np.int64), pa.int64()),
+        })
+
+    return (
+        customer.map_batches(c_side, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .union(orders.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=1 << 19))
+        .sort("key")
+        .map_batches(anti_combine, batch_format="pyarrow",
+                     batch_size=None)
+        .sort("segment")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

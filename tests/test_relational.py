@@ -32,7 +32,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_promo", "tpch_top_unshipped",
                                   "tpch_supplier_revenue",
                                   "tpch_order_priority",
-                                  "tpch_rollup"])
+                                  "tpch_rollup", "tpch_large_orders",
+                                  "tpch_idle_rich"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -294,3 +295,76 @@ def test_revenue_rollup_levels_consistent(ray_session):
         per_region = nat.groupby("r_name")[col].sum()
         for r, v in per_region.items():
             assert reg.loc[reg["r_name"] == r, col].iloc[0] == v
+
+
+def test_large_volume_orders_semantics(ray_session):
+    """HAVING boundary is strict (> threshold), multi-batch partials
+    complete, and the customer join attaches the right name."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        large_volume_orders)
+
+    # order 1: 100+60=160 qty (qualifies); order 2: 150 exactly (no);
+    # order 3: 10 (no)
+    lineitem = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_quantity": pa.array([100.0, 60.0, 150.0, 10.0]),
+    }))
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([7, 7, 8], pa.int64()),
+        "o_totalprice": pa.array([1000.50, 20.0, 5.0]),
+    }))
+    customer = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([7, 8], pa.int64()),
+        "c_name": pa.array(["alice", "bob"], pa.string()),
+    }))
+    out = large_volume_orders(
+        lineitem, orders, customer, qty_threshold=150).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.c_custkey, r.c_name, r.o_orderkey,
+            r.total_cents, r.sum_qty) == (7, "alice", 1, 100050, 160)
+
+
+def test_idle_rich_customers_semantics(ray_session):
+    """Mean is over POSITIVE balances only, comparison is strict and
+    integer-exact, and any order past the cutoff disqualifies."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        idle_rich_customers)
+
+    # positive balances: 100, 200, 300 -> mean 200; negative ignored
+    customer = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_acctbal": pa.array([1.00, 2.00, 3.00, -50.0]),
+        "c_mktsegment": pa.array(["A", "A", "B", "B"], pa.string()),
+    }))
+    # cust 3 (above mean) ordered recently -> excluded;
+    # cust 2 == mean -> strict > excludes
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([3], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("2001-05-01")],
+                                pa.timestamp("us")),
+    }))
+    out = idle_rich_customers(
+        customer, orders, idle_since="2001-01-01").to_pandas()
+    assert len(out) == 0
+
+    # move cust 3's order BEFORE the cutoff -> cust 3 qualifies
+    orders_old = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([3], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("2000-05-01")],
+                                pa.timestamp("us")),
+    }))
+    out = idle_rich_customers(
+        customer, orders_old, idle_since="2001-01-01").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.c_mktsegment, r.n_custs, r.sum_acctbal_cents) == ("B", 1, 300)
