@@ -476,6 +476,31 @@ def _q_events_running_total(sf_dir: str):
                         columns=["event_id", "user_id", "ts", "value"]))
 
 
+def _q_events_intervals(sf_dir: str):
+    """Overlapping-interval union per user (islands over VARIABLE
+    durations — the case gap sessionization can't express); value > 0
+    keeps the % duration rule engine-agnostic."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import merge_intervals
+
+    return merge_intervals(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts", "value"]))
+
+
+def _q_events_outliers(sf_dir: str):
+    """Per-type median/MAD robust outlier counts — all-integer rule
+    (CDF-position medians, |v-med| > k*MAD), no float stats anywhere."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import robust_outliers
+
+    return robust_outliers(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]))
+
+
 def _q_corpus_ranks(sf_dir: str):
     """Exact percentile-rank normalization of per-doc token counts:
     integer (n_smaller, n_docs) numerators via a driver-folded value
@@ -1205,6 +1230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_latest": _q_events_latest,
         "events_running_total": _q_events_running_total,
+        "events_intervals": _q_events_intervals,
+        "events_outliers": _q_events_outliers,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_attribution": _q_events_attribution,
@@ -2654,6 +2681,82 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
                        AS running_cents
             FROM events
+        """,
+        # interval duration (cents % 7 + 1) * 600s: value > 0 keeps %
+        # identical between numpy (floor) and DuckDB (truncate); the
+        # running-max window + event_id tiebreak is a total order
+        "events_intervals": """
+            WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) AS BIGINT)
+                       + ((CAST(round(value * 100) AS BIGINT) % 7) + 1)
+                         * 600000000 AS e
+                FROM events
+            ), w AS (
+                SELECT user_id, event_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id
+                           ORDER BY s, e, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+                FROM e
+            ), f AS (
+                SELECT user_id, event_id, s, e,
+                       CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END AS ni
+                FROM w
+            ), g AS (
+                SELECT user_id, s, e,
+                       SUM(ni) OVER (PARTITION BY user_id
+                           ORDER BY s, e, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS island_idx
+                FROM f
+            )
+            SELECT user_id, CAST(island_idx AS BIGINT) AS island_idx,
+                   make_timestamp(MIN(s)) AS start_ts,
+                   make_timestamp(MAX(e)) AS end_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, island_idx
+        """,
+        # medians via the engine's 1-based CDF-position rule
+        # (50*N + 99) // 100 — non-negative domain, so DuckDB's
+        # truncating // equals numpy's floor
+        "events_outliers": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            ), n AS (
+                SELECT event_type, COUNT(*) AS cnt FROM v GROUP BY 1
+            ), med AS (
+                SELECT event_type, c AS med FROM (
+                    SELECT v.event_type, v.c,
+                           row_number() OVER (PARTITION BY v.event_type
+                               ORDER BY v.c) AS rn,
+                           n.cnt
+                    FROM v JOIN n USING (event_type))
+                WHERE rn = (50 * cnt + 99) // 100
+            ), dev AS (
+                SELECT v.event_type, abs(v.c - med.med) AS d
+                FROM v JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, d AS mad FROM (
+                    SELECT dev.event_type, dev.d,
+                           row_number() OVER (PARTITION BY dev.event_type
+                               ORDER BY dev.d) AS rn,
+                           n.cnt
+                    FROM dev JOIN n USING (event_type))
+                WHERE rn = (50 * cnt + 99) // 100
+            )
+            SELECT v.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MIN(med.med) AS BIGINT) AS med_cents,
+                   CAST(MIN(mad.mad) AS BIGINT) AS mad_cents,
+                   CAST(SUM(CASE WHEN abs(v.c - med.med) > 8 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+            GROUP BY v.event_type
         """,
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the

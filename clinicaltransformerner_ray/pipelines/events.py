@@ -1136,3 +1136,181 @@ def running_totals(events: rd.Dataset) -> rd.Dataset:
     return (events.sort("user_id")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
+
+
+def merge_intervals(
+    events: rd.Dataset,
+    *,
+    base_us: int = 600 * 1_000_000,
+) -> rd.Dataset:
+    """Overlapping-interval union per user (the classic islands-and-
+    gaps shape the gap-based :func:`sessionize` cannot express): each
+    event opens an interval [ts, ts + dur] with a VARIABLE duration
+    ``dur = (value_cents % 7 + 1) * base_us`` (deterministic from the
+    data; value > 0 so ``%`` agrees between numpy and SQL), and
+    intervals that overlap merge transitively — an early long interval
+    can swallow several later short ones, which is exactly the case
+    plain gap sessionization gets wrong.
+
+    Shape mirrors :func:`sessionize`: one sort on user_id (equal keys
+    land whole per block per the range partitioner), then a vectorized
+    per-block pass — running per-user cummax of interval ends, island
+    break where the next start exceeds every previous end.  For skewed
+    mega-users the salted two-phase variant of ``sessionize_salted``
+    applies unchanged (bucket ghosting carries the running max).
+
+    Output: (user_id, island_idx, start_ts, end_ts, n_events)."""
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "island_idx": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            })
+        s = df["ts"].astype("int64").to_numpy()
+        cents = _round_half_away(df["value"].to_numpy() * 100)
+        e = s + (cents % 7 + 1) * base_us
+        df = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "s": s, "e": e,
+        }).sort_values(["user_id", "s", "e", "event_id"])
+        cm = df.groupby("user_id", sort=False)["e"].cummax()
+        prev = cm.groupby(df["user_id"], sort=False).shift()
+        new_island = prev.isna() | (df["s"] > prev)
+        df["island_idx"] = (
+            new_island.groupby(df["user_id"], sort=False).cumsum()
+            .astype("int64") - 1)
+        g = (df.groupby(["user_id", "island_idx"], sort=False)
+             .agg(start_us=("s", "min"), end_us=("e", "max"),
+                  n_events=("event_id", "size"))
+             .reset_index())
+        return pa.table({
+            "user_id": pa.array(np.asarray(g["user_id"], np.int64),
+                                pa.int64()),
+            "island_idx": pa.array(
+                np.asarray(g["island_idx"], np.int64), pa.int64()),
+            "start_ts": pa.array(
+                np.asarray(g["start_us"], np.int64),
+                pa.timestamp("us")),
+            "end_ts": pa.array(
+                np.asarray(g["end_us"], np.int64), pa.timestamp("us")),
+            "n_events": pa.array(np.asarray(g["n_events"], np.int64),
+                                 pa.int64()),
+        })
+
+    return events.sort("user_id").map_batches(
+        per_block, batch_format="pyarrow", batch_size=None)
+
+
+def robust_outliers(
+    events: rd.Dataset,
+    *,
+    k: int = 8,
+) -> pa.Table:
+    """Per-type robust outlier statistics: median / MAD (median
+    absolute deviation) of value_cents, and the count of events whose
+    deviation exceeds ``k * MAD`` — the z-score-free data-curation
+    gate (a MAD rule needs no float mean/stddev, so it stays
+    bit-exact vs the SQL oracle).
+
+    Three streaming passes, all integer arithmetic:
+      1. per-type value histogram -> median (the engine's 1-based
+         CDF-position rule ``(50*N + 99) // 100``, non-negative
+         domain so // == truncation on both engines);
+      2. per-type |v - med| histogram (median broadcast in the
+         closure) -> MAD by the same rule;
+      3. per-batch outlier counts (both scalars broadcast) -> fold.
+    Driver collects are O(distinct cents) / O(types) — never O(rows).
+
+    Output: small pa.Table (event_type, n_events, med_cents,
+    mad_cents, n_outliers)."""
+
+    def hist(project):
+        def combine(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if "n" not in df.columns:
+                df = project(df)
+                df["n"] = np.ones(len(df), np.int64)
+            g = (df.groupby(["event_type", "c"], sort=False)["n"]
+                 .sum().reset_index())
+            return pa.table({
+                "event_type": pa.array(g["event_type"].tolist(),
+                                       pa.string()),
+                "c": pa.array(np.asarray(g["c"], np.int64), pa.int64()),
+                "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            })
+
+        rows = (events.map_batches(combine, batch_format="pyarrow",
+                                   batch_size=1 << 19)
+                .sort(["event_type", "c"])
+                .map_batches(combine, batch_format="pyarrow",
+                             batch_size=None)
+                ).take_all()  # O(distinct (type, cents)) by design
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"event_type": [], "c": [], "n": []})
+
+    def median_of(h: pd.DataFrame) -> dict[str, int]:
+        out = {}
+        for et, grp in h.sort_values(["event_type", "c"]).groupby(
+                "event_type", sort=False):
+            cum = np.cumsum(grp["n"].to_numpy())
+            pos = (50 * int(cum[-1]) + 99) // 100
+            out[et] = int(grp["c"].to_numpy()[
+                np.searchsorted(cum, pos, side="left")])
+        return out
+
+    def p_value(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "c": _round_half_away(df["value"].to_numpy() * 100),
+        })
+
+    med = median_of(hist(p_value))
+
+    def p_dev(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(df["value"].to_numpy() * 100)
+        m = df["event_type"].map(med).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "c": np.abs(cents - m),
+        })
+
+    mad = median_of(hist(p_dev))
+
+    def count_out(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = _round_half_away(df["value"].to_numpy() * 100)
+        m = df["event_type"].map(med).to_numpy(dtype=np.int64)
+        d = df["event_type"].map(mad).to_numpy(dtype=np.int64)
+        out = np.abs(cents - m) > k * d
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "n": np.ones(len(df), np.int64),
+                           "n_out": out.astype(np.int64)})
+             .groupby("event_type", sort=False).sum().reset_index())
+        return pa.table({
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   pa.string()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            "n_out": pa.array(np.asarray(g["n_out"], np.int64),
+                              pa.int64()),
+        })
+
+    parts = events.map_batches(
+        count_out, batch_format="pyarrow", batch_size=1 << 19
+    ).to_pandas()  # O(types x blocks) rows
+    g = (parts.groupby("event_type", sort=True)[["n", "n_out"]]
+         .sum().reset_index())
+    types = g["event_type"].tolist()
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_events": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        "med_cents": pa.array([med[t] for t in types], pa.int64()),
+        "mad_cents": pa.array([mad[t] for t in types], pa.int64()),
+        "n_outliers": pa.array(np.asarray(g["n_out"], np.int64),
+                               pa.int64()),
+    })

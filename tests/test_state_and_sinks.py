@@ -322,7 +322,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_range_join_salted", "events_distinct_users",
                  "events_value_quantiles", "events_latest",
                  "events_funnel", "events_retention",
-                 "events_attribution", "events_running_total"]:
+                 "events_attribution", "events_running_total",
+                 "events_intervals", "events_outliers"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -871,3 +872,76 @@ def test_attributed_revenue_semantics(ray_session):
            .to_pandas().sort_values("click_event_id")
            .reset_index(drop=True))
     assert out.values.tolist() == [[2, 1, 125], [4, 2, 250], [8, 1, 300]]
+
+
+def test_merge_intervals_swallow_case(ray_session):
+    """An early LONG interval must swallow later short ones that start
+    before its end — the containment case gap sessionization cannot
+    express — and block splits must not change the result."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import merge_intervals
+
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    MIN = 60 * 1_000_000
+    # durations = (cents % 7 + 1) * 600s: value 0.06 -> 6%7+1=7 -> 70min
+    # value 0.07 -> 0+1 -> 10min
+    rows = [
+        # user 1: long opener at t0 (70min), short at +20min (10min,
+        # swallowed), short at +70min (10min, still overlaps the END
+        # boundary? start == end of opener -> s > prev_max is False ->
+        # merges), then one far later -> new island
+        (1, 1, t0,            0.06),
+        (1, 2, t0 + 20 * MIN, 0.07),
+        (1, 3, t0 + 70 * MIN, 0.07),
+        (1, 4, t0 + 300 * MIN, 0.07),
+        # user 2: single event
+        (2, 5, t0, 0.07),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    for parts in (1, 3):
+        out = (merge_intervals(rd.from_arrow(tbl).repartition(parts))
+               .to_pandas()
+               .sort_values(["user_id", "island_idx"])
+               .reset_index(drop=True))
+        assert out["user_id"].tolist() == [1, 1, 2]
+        assert out["island_idx"].tolist() == [0, 1, 0]
+        assert out["n_events"].tolist() == [3, 1, 1]
+        # island 0 end = max end = t0+80min (event 3's end), not the
+        # opener's 70min
+        assert out["end_ts"].iloc[0].value // 1000 == t0 + 80 * MIN
+
+
+def test_robust_outliers_mad_rule(ray_session):
+    """Median/MAD on a hand-built column: one far point beyond k*MAD
+    is counted, near points are not; exact CDF-position medians."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import robust_outliers
+
+    # values (cents): 100 x9 and one 10000 -> med=100 (pos (50*10+99)//100
+    # = 5 -> 5th of sorted), deviations: 0 x9, 9900 -> mad=0... make mad
+    # nonzero: use 90,100,110 pattern
+    vals = [0.90, 1.00, 1.10, 0.90, 1.00, 1.10, 0.90, 1.00, 1.10, 100.00]
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * 10, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = robust_outliers(rd.from_arrow(tbl), k=8).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # sorted cents: 90,90,90,100,100,100,110,110,110,10000 -> pos 5 -> 100
+    assert r.med_cents == 100
+    # deviations: 10,0,10,... sorted: 0,0,0,10,10,10,10,10,10,9900
+    # pos 5 -> 10
+    assert r.mad_cents == 10
+    # outlier rule: |v-100| > 80 -> only the 10000 row
+    assert r.n_outliers == 1 and r.n_events == 10
