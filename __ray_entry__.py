@@ -219,6 +219,17 @@ def _q_kg_common_neighbors(sf_dir: str):
     return common_neighbors(pairs, min_common=2)
 
 
+def _q_kg_khop(sf_dir: str):
+    """Bounded 3-hop BFS from the suffix-'0' seed entities over the
+    co-occurrence graph — the k-hop neighborhood traversal; node state
+    driver-folded (lexicon-bounded), edges streamed per round."""
+    from clinicaltransformerner_ray.pipelines.graph import khop_reachability
+
+    pairs = _kg(sf_dir)["triples"].map_batches(
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    return khop_reachability(pairs, max_hops=3, seed_suffix="0")
+
+
 def _q_kg_jaccard_links(sf_dir: str):
     """Neighborhood-Jaccard link scoring over the co-occurrence graph:
     common_neighbors survivors with exact integer intersection/union
@@ -1216,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_jaccard_links": _q_kg_jaccard_links,
+        "kg_khop": _q_kg_khop,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
@@ -1760,6 +1772,39 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         # per-center wedge counting (both directions) minus direct
         # pairs; string '<' is binary-codepoint on both engines
+        # 3 unrolled BFS rounds (the pagerank/kmeans fixed-unroll
+        # trick); seeds = edge endpoints ending in '0'; UNION dedups
+        "kg_khop": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), pr AS (SELECT DISTINCT subj, obj FROM co)
+            , ed AS (SELECT subj AS a, obj AS b FROM pr
+                     UNION SELECT obj, subj FROM pr)
+            , h0 AS (SELECT DISTINCT a AS v FROM ed WHERE a LIKE '%0')
+            , r1 AS (SELECT DISTINCT ed.b AS v
+                     FROM ed JOIN h0 ON ed.a = h0.v)
+            , h1 AS (SELECT v FROM r1
+                     WHERE v NOT IN (SELECT v FROM h0))
+            , k1 AS (SELECT v FROM h0 UNION SELECT v FROM h1)
+            , r2 AS (SELECT DISTINCT ed.b AS v
+                     FROM ed JOIN h1 ON ed.a = h1.v)
+            , h2 AS (SELECT v FROM r2
+                     WHERE v NOT IN (SELECT v FROM k1))
+            , k2 AS (SELECT v FROM k1 UNION SELECT v FROM h2)
+            , r3 AS (SELECT DISTINCT ed.b AS v
+                     FROM ed JOIN h2 ON ed.a = h2.v)
+            , h3 AS (SELECT v FROM r3
+                     WHERE v NOT IN (SELECT v FROM k2))
+            SELECT v AS entity_id, CAST(0 AS BIGINT) AS hops FROM h0
+            UNION ALL SELECT v, CAST(1 AS BIGINT) FROM h1
+            UNION ALL SELECT v, CAST(2 AS BIGINT) FROM h2
+            UNION ALL SELECT v, CAST(3 AS BIGINT) FROM h3
+        """,
         "kg_common_neighbors": cte + """
             , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
                      FROM mm)

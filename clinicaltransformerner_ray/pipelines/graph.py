@@ -668,3 +668,78 @@ def jaccard_links(
 
     return cn.map_batches(annotate, batch_format="pyarrow",
                           batch_size=1 << 19)
+
+
+def khop_reachability(
+    pairs: rd.Dataset,
+    *,
+    max_hops: int = 3,
+    seed_suffix: str = "0",
+) -> pa.Table:
+    """Bounded multi-hop BFS over the undirected co-occurrence graph:
+    the hop distance (0..``max_hops``) from the SEED set — entities
+    whose id ends with ``seed_suffix`` — to every entity it reaches.
+    This is the k-hop neighborhood query a KG serves ("everything
+    within 3 hops of these nodes"), the traversal shape the
+    components/pagerank family doesn't cover.
+
+    Scale shape (the pagerank precedent): node STATE is
+    lexicon-bounded — visited/frontier sets broadcast into each map
+    task — while the EDGE table streams once per round; each block
+    emits its DISTINCT frontier-adjacent targets (O(entities) per
+    block, never O(edges)), and the driver folds set unions.  Edges
+    are materialized once because the lazy lineage is consumed
+    ``max_hops + 1`` times (the engine's no-CSE rule).
+
+    Output: small pa.Table (entity_id, hops BIGINT), unreached
+    entities omitted."""
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "a": pa.array(df["subj"].tolist() + df["obj"].tolist(),
+                          pa.string()),
+            "b": pa.array(df["obj"].tolist() + df["subj"].tolist(),
+                          pa.string()),
+        })
+
+    ed = pairs.map_batches(bidir, batch_format="pyarrow",
+                           batch_size=1 << 19).materialize()
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nodes = pd.unique(df["a"])
+        keep = [n for n in nodes if n.endswith(seed_suffix)]
+        return pa.table({"v": pa.array(keep, pa.string())})
+
+    seeds = set()
+    for row in ed.map_batches(seed_partial, batch_format="pyarrow",
+                              batch_size=1 << 19).take_all():
+        seeds.add(row["v"])  # O(entities) driver fold
+
+    hops: dict[str, int] = {v: 0 for v in sorted(seeds)}
+    frontier = set(seeds)
+    for d in range(1, max_hops + 1):
+        if not frontier:
+            break
+        fr = frontier  # captured (lexicon-bounded) broadcast
+
+        def expand(batch: pa.Table, _fr=fr) -> pa.Table:
+            df = batch.to_pandas()
+            hit = df[df["a"].isin(_fr)]
+            return pa.table({
+                "v": pa.array(pd.unique(hit["b"]), pa.string())})
+
+        reached = set()
+        for row in ed.map_batches(expand, batch_format="pyarrow",
+                                  batch_size=1 << 19).take_all():
+            reached.add(row["v"])
+        frontier = reached - hops.keys()
+        for v in sorted(frontier):
+            hops[v] = d
+
+    items = sorted(hops.items())
+    return pa.table({
+        "entity_id": pa.array([k for k, _ in items], pa.string()),
+        "hops": pa.array([v for _, v in items], pa.int64()),
+    })

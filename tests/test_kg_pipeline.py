@@ -400,3 +400,48 @@ def test_common_neighbors_semantics(ray_session):
            .reset_index(drop=True))
     # (1,2) shares {0,9} but is adjacent -> dropped; (0,9) shares {1,2}
     assert out.values.tolist() == [["0", "9", 2]]
+
+
+def test_khop_path_graph(ray_session):
+    """Hand-built path A0-B1-C2-D3-E4 plus a seedless component: hop
+    distances 0..3 exact, nodes beyond max_hops and seedless
+    components omitted, block splits irrelevant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import khop_reachability
+
+    pairs = pa.table({
+        "subj": pa.array(["A0", "B1", "C2", "D3", "X1"], pa.string()),
+        "obj": pa.array(["B1", "C2", "D3", "E4", "Y2"], pa.string()),
+    })
+    for parts in (1, 3):
+        out = (khop_reachability(
+                   rd.from_arrow(pairs).repartition(parts),
+                   max_hops=3, seed_suffix="0")
+               .to_pandas())
+        got = dict(zip(out["entity_id"], out["hops"]))
+        # E4 is 4 hops away -> omitted; X1/Y2 have no seed -> omitted
+        assert got == {"A0": 0, "B1": 1, "C2": 2, "D3": 3}
+
+
+def test_khop_oracle_parity_small(ray_session):
+    """kg_khop vs the unrolled-CTE BFS oracle at sf0.001 (the driver
+    runs the same check at sf0.01), and the depth distribution is
+    reported so a degenerate all-hop-1 graph would be visible."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    SF = "/root/testdata/sf0.001"
+    rdf = E.queries()["kg_khop"](SF).to_pandas()
+    odf = duckdb.connect().execute(E.oracle_sql_for(SF)["kg_khop"]).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(rdf), canon(odf),
+                                  check_dtype=False)
+    assert (rdf["hops"] == 0).any() and (rdf["hops"] >= 1).any()
