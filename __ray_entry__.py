@@ -736,6 +736,16 @@ def _q_ann_lsh(sf_dir: str):
     return knn_lsh(read_embeddings(sf_dir), n_queries=8, k=10)
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact kNN GRAPH (every vector a query) via the chunk-pair
+    co-location join over integer-quantized vectors — edge weights
+    (dot_q) are integer-exact, so the oracle checks weights AND ranks."""
+    from clinicaltransformerner_ray.pipelines.similarity import knn_graph
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    return knn_graph(read_embeddings(sf_dir), k=5)
+
+
 def _q_kmeans(sf_dir: str):
     """Spherical k-means assignments (deterministic Lloyd's, 5 iters);
     ==numpy-replica in pytest AND oracle-checked: the fixed iteration
@@ -1261,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "knn_graph": _q_knn_graph,
         "kmeans": _q_kmeans,
         "text_stats": _q_text_stats,
         "corpus_curate": _q_corpus_curate,
@@ -2169,6 +2180,36 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        # integer-quantized dots: floor(x*1024) is bit-identical in
+        # numpy and SQL, and BIGINT sums equal the engine's float64
+        # matmul on integer values (< 2^53) — weights check exactly
+        "knn_graph": """
+            WITH unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            qv AS (
+                SELECT vec_id, i,
+                       CAST(floor(v * 1024) AS BIGINT) AS q
+                FROM unn
+            ),
+            dots AS (
+                SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                       CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+                FROM qv a JOIN qv b
+                  ON a.i = b.i AND a.vec_id <> b.vec_id
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT src_id, dst_id, dot_q,
+                       row_number() OVER (PARTITION BY src_id
+                           ORDER BY dot_q DESC, dst_id ASC) AS rk
+                FROM dots
+            )
+            SELECT src_id, dst_id, CAST(rk AS BIGINT) AS rk, dot_q
+            FROM ranked WHERE rk <= 5
         """,
         "ann_topk": """
             WITH unn AS (

@@ -414,3 +414,149 @@ def knn_lsh(
 
     partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
     return _merge_topk(partials, k)
+
+
+def knn_graph(
+    vecs: rd.Dataset,
+    *,
+    k: int = 5,
+    n_chunks: int | None = None,
+) -> rd.Dataset:
+    """EXACT k-nearest-neighbor GRAPH over the whole embedding table
+    (every vector is a query — the all-nodes generalization of
+    :func:`knn_bruteforce`'s fixed query set), the similarity-graph
+    construction that feeds clustering / near-dup components.
+
+    Similarity is the INTEGER dot product of floor(x * 1024)-quantized
+    vectors (the ann_lsh quantization: float32 -> float64 is exact and
+    floor agrees between numpy and SQL, and quantized dots are < 2^53
+    so the float64 matmul is integer-exact) — which makes the emitted
+    edge WEIGHTS hash-checkable against the SQL oracle, not just the
+    ranks.
+
+    Shape: `embedding_dup_pairs`' chunk-pair co-location join (every
+    unordered chunk pair meets in exactly one bucket; shuffle volume =
+    n_chunks x input) with a per-bucket matmul emitting each source's
+    LOCAL top-k over the partner chunk; since every (src, dst) pair
+    appears in exactly one bucket, the global top-k per src is
+    contained in the union of its <= n_chunks bucket-local top-ks.
+    One src_id sort then finalizes ranks per block.  Ties break
+    (dot_q desc, dst_id asc) at BOTH cuts, so boundary ties are exact.
+
+    Output: (src_id, dst_id, rk, dot_q) — rk 1-based."""
+    from clinicaltransformerner_ray.pipelines.dedup import _auto_n_chunks
+
+    if n_chunks is None:
+        n_chunks = _auto_n_chunks(vecs.count())
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        X = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        Q = np.floor(X * 1024.0)  # integer-valued float64, SQL-exact
+        chunk = ids % n_chunks
+        out_bucket, out_id, out_chunk, out_vec = [], [], [], []
+        for p in range(n_chunks):
+            lo = np.minimum(chunk, p)
+            hi = np.maximum(chunk, p)
+            out_bucket.append(lo * n_chunks + hi)
+            out_id.append(ids)
+            out_chunk.append(chunk)
+            out_vec.append(Q)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "chunk": pa.array(np.concatenate(out_chunk), pa.int64()),
+            "qvec": pa.array(list(np.concatenate(out_vec)),
+                             pa.list_(pa.float64())),
+        })
+
+    def _local_topk(src_ids, dst_ids, dots):
+        """Per-src (dot desc, dst asc) top-k over a dense (S, D) dot
+        matrix; excludes nothing (caller masks self-pairs)."""
+        out_s, out_d, out_q = [], [], []
+        for si in range(len(src_ids)):
+            row = dots[si]
+            cand = dst_ids
+            mask = cand != src_ids[si]
+            row, cand = row[mask], cand[mask]
+            if len(cand) > k:
+                order = np.lexsort((cand, -row))[:k]
+                row, cand = row[order], cand[order]
+            out_s.extend([src_ids[si]] * len(cand))
+            out_d.extend(cand.tolist())
+            out_q.extend(row.astype(np.int64).tolist())
+        return out_s, out_d, out_q
+
+    def bucket_dots(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_s, out_d, out_q = [], [], []
+        for bk in pd.unique(df["bucket"]):
+            g = df[df["bucket"] == bk]
+            lo, hi = divmod(int(bk), n_chunks)
+            gi = g[g["chunk"] == lo]
+            gj = g[g["chunk"] == hi]
+            # emptiness FIRST (sparse vec_id residues leave one side
+            # empty in off-diagonal buckets — np.stack would raise)
+            if not len(gi) or not len(gj):
+                continue
+            Xi = np.stack(gi["qvec"].to_numpy())
+            ids_i = gi["vec_id"].to_numpy()
+            if lo == hi:
+                dots = Xi @ Xi.T
+                s, d, q = _local_topk(ids_i, ids_i, dots)
+                out_s += s; out_d += d; out_q += q
+            else:
+                Xj = np.stack(gj["qvec"].to_numpy())
+                ids_j = gj["vec_id"].to_numpy()
+                dots = Xi @ Xj.T
+                s, d, q = _local_topk(ids_i, ids_j, dots)
+                out_s += s; out_d += d; out_q += q
+                s, d, q = _local_topk(ids_j, ids_i, dots.T)
+                out_s += s; out_d += d; out_q += q
+        return pa.table({
+            "src_id": pa.array(out_s, pa.int64()),
+            "dst_id": pa.array(out_d, pa.int64()),
+            "dot_q": pa.array(out_q, pa.int64()),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "src_id": pa.array([], pa.int64()),
+                "dst_id": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64()),
+                "dot_q": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((df["dst_id"].to_numpy(),
+                            -df["dot_q"].to_numpy(),
+                            df["src_id"].to_numpy()))
+        df = df.iloc[order]
+        s = df["src_id"].to_numpy()
+        new_s = np.empty(len(s), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = s[1:] != s[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(new_s, np.arange(len(s)), 0))
+        rank = np.arange(len(s)) - grp_start
+        keep = rank < k
+        out = df[keep]
+        return pa.table({
+            "src_id": pa.array(out["src_id"].to_numpy(), pa.int64()),
+            "dst_id": pa.array(out["dst_id"].to_numpy(), pa.int64()),
+            "rk": pa.array((rank[keep] + 1).astype(np.int64),
+                           pa.int64()),
+            "dot_q": pa.array(out["dot_q"].to_numpy(), pa.int64()),
+        })
+
+    return (
+        vecs.map_batches(replicate, batch_format="pyarrow",
+                         batch_size=1 << 16)
+        .sort("bucket")
+        .map_batches(bucket_dots, batch_format="pyarrow",
+                     batch_size=None)
+        .sort("src_id")
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )

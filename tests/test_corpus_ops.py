@@ -937,3 +937,51 @@ def test_decontaminate_planted_overlap(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     assert out["doc_id"].tolist() == [1]
     assert out["n_hits"].tolist() == [2]
+
+
+def test_knn_graph_chunk_invariance_and_parity(ray_session):
+    """The kNN graph must be identical for any n_chunks (the
+    union-of-bucket-local-top-ks containment argument) and must match
+    the brute-force numpy replica exactly — integer dot weights
+    included."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import knn_graph
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    SF = "/root/testdata/sf0.001"
+    base = None
+    for nc in (2, 5):
+        out = (knn_graph(read_embeddings(SF), k=5, n_chunks=nc)
+               .to_pandas()
+               .sort_values(["src_id", "rk"]).reset_index(drop=True))
+        if base is None:
+            base = out
+        else:
+            pd.testing.assert_frame_equal(base, out)
+
+    # brute-force replica on quantized ints
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    Q = np.floor(X * 1024.0)
+    dots = (Q @ Q.T).astype(np.int64)
+    rows = []
+    for si in np.argsort(ids):
+        order = np.lexsort((ids, -dots[si]))
+        cnt = 0
+        for j in order:
+            if ids[j] == ids[si]:
+                continue
+            cnt += 1
+            rows.append((ids[si], ids[j], cnt, int(dots[si, j])))
+            if cnt == 5:
+                break
+    ref = (pd.DataFrame(rows, columns=["src_id", "dst_id", "rk", "dot_q"])
+           .sort_values(["src_id", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, ref)
