@@ -802,6 +802,16 @@ def _q_token_vocab(sf_dir: str):
 _BM25_TERMS = ["batch", "join", "the", "vector"]
 
 
+def _q_token_collocations(sf_dir: str):
+    """Collocations by exact integer lift: adjacent pairs with
+    n_ab >= 5 and lift > 5/4 via cross-multiplication — PMI-style
+    filtering with no float log; two token-key sort-merge joins."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        token_collocations)
+
+    return token_collocations(_docs(sf_dir))
+
+
 def _q_doc_quantiles(sf_dir: str):
     """Exact distributed percentiles of per-doc token counts — the
     value-histogram combine keeps the shuffle proportional to DISTINCT
@@ -1278,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "token_vocab": _q_token_vocab,
         "token_bigrams": _q_token_bigrams,
+        "token_collocations": _q_token_collocations,
         "doc_quantiles": _q_doc_quantiles,
         "corpus_ranks": _q_corpus_ranks,
         "corpus_sample": _q_corpus_sample,
@@ -2325,6 +2336,39 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT bigram, CAST(count(*) AS BIGINT) AS n
             FROM b GROUP BY bigram
+        """,
+        # rational lift threshold by integer cross-multiplication;
+        # tokens contain no spaces, so the bigram split is lossless
+        "token_collocations": """
+            WITH d AS (
+                SELECT regexp_extract_all(
+                    coalesce(text, ''),
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]') AS l
+                FROM documents
+            ),
+            u AS (SELECT unnest(l) AS tok FROM d),
+            uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                    FROM u GROUP BY tok),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM u),
+            b AS (
+                SELECT unnest(list_transform(
+                    range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))
+                    AS bg
+                FROM d
+            ),
+            big AS (
+                SELECT string_split(bg, ' ')[1] AS lft,
+                       string_split(bg, ' ')[2] AS rgt,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM b GROUP BY 1, 2
+            )
+            SELECT big.lft AS "left", big.rgt AS "right", big.n_ab,
+                   ua.n AS n_left, ub.n AS n_right, tot.nt AS n_tokens
+            FROM big, tot
+            JOIN uni ua ON ua.tok = big.lft
+            JOIN uni ub ON ub.tok = big.rgt
+            WHERE big.n_ab >= 5
+              AND 4 * big.n_ab * tot.nt > 5 * ua.n * ub.n
         """,
         # quantile_disc semantics: value at 1-based sorted position
         # ceil(q*N/100), in pure integer arithmetic on both sides

@@ -822,3 +822,132 @@ def mixture_sample(
 
     return docs.map_batches(explode, batch_format="pyarrow",
                             batch_size=1 << 17)
+
+
+def token_collocations(
+    docs: rd.Dataset,
+    *,
+    min_count: int = 5,
+    lift_num: int = 5,
+    lift_den: int = 4,
+) -> rd.Dataset:
+    """Collocation extraction: adjacent token pairs whose observed
+    frequency exceeds independence by the rational lift threshold
+    ``lift_num/lift_den`` — i.e. keep (a,b) iff ``n_ab >= min_count``
+    and ``lift_den * n_ab * n_total > lift_num * n_a * n_b`` (exact
+    integer cross-multiplication; the PMI numerators an LM-data
+    pipeline filters on, with no float log anywhere).
+
+    Shape: one pass emits BOTH bigram and unigram count partials onto
+    a shared superset schema keyed by the LEFT/self token; the first
+    token-key sort completes unigram sums and bigram sums in the same
+    block (equal keys land whole) and attaches ``n_left``; surviving
+    bigram rows re-key on the RIGHT token, union with the completed
+    unigram rows passed through, and a second sort attaches
+    ``n_right`` + applies the threshold.  Shuffle rows are bounded by
+    distinct tokens/bigrams per batch, never corpus positions.
+
+    ``n_total`` folds from one-row-per-block partials on the driver
+    (the scalar-subquery pattern of `relational.idle_rich_customers`).
+
+    Output: (left, right, n_ab, n_left, n_right, n_tokens)."""
+
+    def _sup(key, kind, right, n) -> pa.Table:
+        return pa.table({
+            "key": pa.array(list(key), pa.string()),
+            "kind": pa.array([kind] * len(n), pa.string()),
+            "right": pa.array(list(right), pa.string()),
+            "n": pa.array(np.asarray(n, np.int64), pa.int64()),
+            "n_left": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+        })
+
+    def emit_partials(batch: pa.Table) -> pa.Table:
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        total = 0
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            total += len(toks)
+            for tok in toks:
+                uni[tok] = uni.get(tok, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        u = _sup(list(uni.keys()), "u", [""] * len(uni),
+                 list(uni.values()))
+        b = _sup([k[0] for k in bi], "b", [k[1] for k in bi],
+                 list(bi.values()))
+        return pa.concat_tables([u, b])
+
+    # scalar n_total: one int per block, driver fold (O(blocks))
+    def tok_count(batch: pa.Table) -> pa.Table:
+        n = sum(len(TOKEN_RE.findall(t or ""))
+                for t in batch.column("text").to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_total = int(docs.map_batches(
+        tok_count, batch_format="pyarrow", batch_size=1 << 17
+    ).to_pandas()["n"].sum())
+
+    def join_left(batch: pa.Table) -> pa.Table:
+        """Complete unigram + bigram sums (equal keys whole per block),
+        attach n_left, re-key bigrams on the right token; completed
+        unigram rows pass through for the second join."""
+        df = batch.to_pandas()
+        u = (df[df["kind"] == "u"].groupby("key", sort=False)["n"]
+             .sum().reset_index())
+        b = (df[df["kind"] == "b"]
+             .groupby(["key", "right"], sort=False)["n"]
+             .sum().reset_index())
+        b = b[b["n"] >= min_count]
+        j = pd.merge(b, u.rename(columns={"key": "k2", "n": "nl"}),
+                     left_on="key", right_on="k2")
+        out_b = pa.table({
+            "key": pa.array(j["right"].tolist(), pa.string()),
+            "kind": pa.array(["x"] * len(j), pa.string()),
+            "right": pa.array(j["key"].tolist(), pa.string()),  # left
+            "n": pa.array(np.asarray(j["n"], np.int64), pa.int64()),
+            "n_left": pa.array(np.asarray(j["nl"], np.int64),
+                               pa.int64()),
+        })
+        out_u = pa.table({
+            "key": pa.array(u["key"].tolist(), pa.string()),
+            "kind": pa.array(["u"] * len(u), pa.string()),
+            "right": pa.array([""] * len(u), pa.string()),
+            "n": pa.array(np.asarray(u["n"], np.int64), pa.int64()),
+            "n_left": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+        })
+        return pa.concat_tables([out_b, out_u])
+
+    def join_right(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        u = df[df["kind"] == "u"][["key", "n"]].rename(
+            columns={"n": "nr"})
+        x = df[df["kind"] == "x"]
+        j = pd.merge(x, u, on="key")
+        keep = (lift_den * j["n"].to_numpy() * n_total
+                > lift_num * j["n_left"].to_numpy()
+                * j["nr"].to_numpy())
+        j = j[keep]
+        return pa.table({
+            "left": pa.array(j["right"].tolist(), pa.string()),
+            "right": pa.array(j["key"].tolist(), pa.string()),
+            "n_ab": pa.array(np.asarray(j["n"], np.int64), pa.int64()),
+            "n_left": pa.array(np.asarray(j["n_left"], np.int64),
+                               pa.int64()),
+            "n_right": pa.array(np.asarray(j["nr"], np.int64),
+                                pa.int64()),
+            "n_tokens": pa.array(
+                np.full(len(j), n_total, np.int64), pa.int64()),
+        })
+
+    return (
+        docs.map_batches(
+            lambda b: emit_partials(b.select(["text"])),
+            batch_format="pyarrow", batch_size=1 << 17)
+        .sort("key")
+        .map_batches(join_left, batch_format="pyarrow",
+                     batch_size=None)
+        .sort("key")
+        .map_batches(join_right, batch_format="pyarrow",
+                     batch_size=None)
+    )

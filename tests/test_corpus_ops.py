@@ -985,3 +985,53 @@ def test_knn_graph_chunk_invariance_and_parity(ray_session):
     ref = (pd.DataFrame(rows, columns=["src_id", "dst_id", "rk", "dot_q"])
            .sort_values(["src_id", "rk"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(base, ref)
+
+
+def test_token_collocations_lift_rule(ray_session):
+    """Hand-built corpus: a pair that always co-occurs passes the
+    lift gate; a pair at independence fails; min_count floors rare
+    pairs; counts are exact integers."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        token_collocations)
+
+    # 'x y' appears 6x (always together); fillers a..f each once per
+    # doc arranged so no other adjacent pair repeats >= 5 times
+    docs = ["x y a b", "x y b c", "x y c d", "x y d e", "x y e f",
+            "x y f a"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    out = (token_collocations(ds, min_count=5, lift_num=5, lift_den=4)
+           .to_pandas().sort_values(["left", "right"])
+           .reset_index(drop=True))
+    # n_total=24, x:6 y:6, n_xy=6 -> lift = 6*24/(6*6) = 4 > 5/4
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["left"], r["right"]) == ("x", "y")
+    assert (r.n_ab, r.n_left, r.n_right, r.n_tokens) == (6, 6, 6, 24)
+
+
+def test_token_collocations_oracle_parity_small(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    rdf = E.queries()["token_collocations"](SF).to_pandas()
+    odf = con.execute(E.oracle_sql_for(SF)["token_collocations"]).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert len(rdf) > 0
+    pd.testing.assert_frame_equal(canon(rdf), canon(odf),
+                                  check_dtype=False)
