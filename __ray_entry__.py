@@ -219,6 +219,17 @@ def _q_kg_common_neighbors(sf_dir: str):
     return common_neighbors(pairs, min_common=2)
 
 
+def _q_kg_kcore(sf_dir: str):
+    """2-core peel over the co-occurrence graph (12 fixed rounds,
+    early-exit at the fixed point): the dense-subgraph gate; node
+    state driver-folded per round, edges streamed."""
+    from clinicaltransformerner_ray.pipelines.graph import kcore
+
+    pairs = _kg(sf_dir)["triples"].map_batches(
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    return kcore(pairs, k=2, rounds=12)
+
+
 def _q_kg_khop(sf_dir: str):
     """Bounded 3-hop BFS from the suffix-'0' seed entities over the
     co-occurrence graph — the k-hop neighborhood traversal; node state
@@ -1248,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_jaccard_links": _q_kg_jaccard_links,
         "kg_khop": _q_kg_khop,
+        "kg_kcore": _q_kg_kcore,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
@@ -1680,6 +1692,46 @@ _EMBEDDING_SQL = """
 """
 
 
+def _kcore_sql(cte: str, k: int = 2, rounds: int = 12) -> str:
+    """Unrolled k-core peel (the pagerank/kmeans fixed-unroll trick):
+    ``rounds`` chained (degree, filter) CTE pairs over the undirected
+    co-occurrence edges, then the survivors' subgraph degrees.  The
+    engine runs the identical fixed round count (early-exit only at a
+    fixed point), so outputs match even without convergence."""
+    parts = [cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), pr AS (SELECT DISTINCT subj, obj FROM co)
+            , ed AS MATERIALIZED (SELECT subj AS a, obj AS b FROM pr
+                     UNION ALL SELECT obj, subj FROM pr)
+            , n0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM ed)
+    """]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            , d{i} AS MATERIALIZED (
+                SELECT e.a AS v, CAST(count(*) AS BIGINT) AS c
+                FROM ed e
+                JOIN n{i - 1} x ON e.a = x.v
+                JOIN n{i - 1} y ON e.b = y.v
+                GROUP BY e.a)
+            , n{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE c >= {k})
+        """)
+    parts.append(f"""
+            SELECT e.a AS entity_id,
+                   CAST(count(*) AS BIGINT) AS core_degree
+            FROM ed e
+            JOIN n{rounds} x ON e.a = x.v
+            JOIN n{rounds} y ON e.b = y.v
+            GROUP BY e.a
+    """)
+    return "".join(parts)
+
+
 def _pagerank_sql(cte: str, iters: int = 5,
                   damping_pct: int = 85) -> str:
     """Unrolled-CTE replica of `graph.pagerank` (integer fixed-point:
@@ -1782,6 +1834,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return {
         "kg_degrees": degrees_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
+        "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
         "kg_conv_entities": cte + """
             , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
                      FROM mm)

@@ -743,3 +743,75 @@ def khop_reachability(
         "entity_id": pa.array([k for k, _ in items], pa.string()),
         "hops": pa.array([v for _, v in items], pa.int64()),
     })
+
+
+def kcore(
+    pairs: rd.Dataset,
+    *,
+    k: int = 2,
+    rounds: int = 12,
+) -> pa.Table:
+    """k-core peeling over the undirected co-occurrence graph: run
+    exactly ``rounds`` synchronous peel rounds (drop every node whose
+    degree within the surviving subgraph is < ``k``), then report each
+    survivor's core-subgraph degree.  The dense-subgraph filter a KG
+    uses to separate structurally-supported entities from stragglers.
+
+    Determinism contract with the SQL oracle: BOTH engines run the
+    same fixed round count (the kmeans/pagerank fixed-unroll trick),
+    so outputs are equal even on a pathological graph that hasn't
+    converged — and once a round removes nothing the state is a fixed
+    point, so the engine may break early without diverging (the
+    remaining SQL rounds are no-ops).
+
+    Scale shape (the pagerank/khop precedent): node state — the alive
+    set — is lexicon-bounded and broadcast per round; the edge table
+    streams once per round emitting per-block partial degree counts
+    (O(entities) rows per block), folded on the driver.  Edges
+    materialize once (consumed up to rounds+1 times; no-CSE rule).
+
+    Output: small pa.Table (entity_id, core_degree BIGINT)."""
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "a": pa.array(df["subj"].tolist() + df["obj"].tolist(),
+                          pa.string()),
+            "b": pa.array(df["obj"].tolist() + df["subj"].tolist(),
+                          pa.string()),
+        })
+
+    ed = pairs.map_batches(bidir, batch_format="pyarrow",
+                           batch_size=1 << 19).materialize()
+
+    def fold_degrees(alive: set | None) -> dict[str, int]:
+        def partial(batch: pa.Table, _al=alive) -> pa.Table:
+            df = batch.to_pandas()
+            if _al is not None:
+                df = df[df["a"].isin(_al) & df["b"].isin(_al)]
+            g = df.groupby("a", sort=False).size().reset_index(name="c")
+            return pa.table({
+                "v": pa.array(g["a"].tolist(), pa.string()),
+                "c": pa.array(np.asarray(g["c"], np.int64), pa.int64()),
+            })
+
+        deg: dict[str, int] = {}
+        for row in ed.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=1 << 19).take_all():
+            deg[row["v"]] = deg.get(row["v"], 0) + row["c"]
+        return deg
+
+    alive: set | None = None
+    for _ in range(rounds):
+        deg = fold_degrees(alive)
+        new_alive = {v for v, c in deg.items() if c >= k}
+        if alive is not None and new_alive == alive:
+            break  # fixed point — remaining rounds are no-ops
+        alive = new_alive
+
+    final_deg = fold_degrees(alive)
+    items = sorted(final_deg.items())
+    return pa.table({
+        "entity_id": pa.array([v for v, _ in items], pa.string()),
+        "core_degree": pa.array([c for _, c in items], pa.int64()),
+    })

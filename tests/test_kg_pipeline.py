@@ -445,3 +445,49 @@ def test_khop_oracle_parity_small(ray_session):
     pd.testing.assert_frame_equal(canon(rdf), canon(odf),
                                   check_dtype=False)
     assert (rdf["hops"] == 0).any() and (rdf["hops"] >= 1).any()
+
+
+def test_kcore_peeling_cascade(ray_session):
+    """Triangle + tail: the tail peels away over several rounds (each
+    removal exposes the next degree-1 node) and only the triangle
+    survives with core degree 2; a pure path peels to empty."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import kcore
+
+    # triangle A-B-C plus tail C-D-E-F (D,E,F peel one per round)
+    tri_tail = pa.table({
+        "subj": pa.array(["A", "B", "A", "C", "D", "E"], pa.string()),
+        "obj": pa.array(["B", "C", "C", "D", "E", "F"], pa.string()),
+    })
+    out = kcore(rd.from_arrow(tri_tail), k=2, rounds=12).to_pandas()
+    got = dict(zip(out["entity_id"], out["core_degree"]))
+    assert got == {"A": 2, "B": 2, "C": 2}
+
+    # a 6-path has no 2-core at all
+    path = pa.table({
+        "subj": pa.array(["P1", "P2", "P3", "P4", "P5"], pa.string()),
+        "obj": pa.array(["P2", "P3", "P4", "P5", "P6"], pa.string()),
+    })
+    out = kcore(rd.from_arrow(path), k=2, rounds=12).to_pandas()
+    assert len(out) == 0
+
+
+def test_kcore_oracle_parity_small(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    SF = "/root/testdata/sf0.001"
+    rdf = E.queries()["kg_kcore"](SF).to_pandas()
+    odf = duckdb.connect().execute(E.oracle_sql_for(SF)["kg_kcore"]).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert len(rdf) > 0
+    pd.testing.assert_frame_equal(canon(rdf), canon(odf),
+                                  check_dtype=False)
