@@ -353,6 +353,19 @@ def _q_kg_mention_spans(sf_dir: str):
         widen, batch_format="pyarrow")
 
 
+def _q_kg_mention_timeline(sf_dir: str):
+    """Per-entity temporal profile (first/last mention epoch-us, span,
+    distinct turns/convs, total mentions): the tagger drops ts, so a
+    sort-merge join on (conv_id, turn_idx) stitches it back before the
+    entity-keyed completion.  Exact integers end to end."""
+    from clinicaltransformerner_ray.pipelines.kg import mention_timeline
+    from clinicaltransformerner_ray.sources.turns import read_turns
+
+    linked = _kg(sf_dir)["linked"]
+    turns_ts = read_turns(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+    return mention_timeline(linked, turns_ts)
+
+
 # ---------------------------------------------------------------------------
 # training-data corpus ops (documents / embeddings tables)
 
@@ -1262,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
+        "kg_mention_timeline": _q_kg_mention_timeline,
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
@@ -2024,6 +2038,26 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_resume": triples_sql,
         "kg_turn_entities": cte + """
             SELECT DISTINCT conv_id, turn_idx, entity_id FROM mm
+        """,
+        # mm carries per-(turn, alias) counts n; SUM(n) over an entity's
+        # alias rows == the Ray side's one-row-per-occurrence count.
+        # epoch_us(timestamp[us]) is the same int64 the Arrow cast gives.
+        "kg_mention_timeline": cte + f"""
+            , tt AS (SELECT conv_id, turn_idx, epoch_us(ts) AS us
+                     FROM read_parquet('{p["turns_sql"]}'))
+            , me AS (SELECT mm.entity_id, mm.conv_id, mm.turn_idx,
+                            mm.n, tt.us
+                     FROM mm JOIN tt USING (conv_id, turn_idx))
+            SELECT entity_id,
+                   CAST(SUM(n) AS BIGINT) AS n_mentions,
+                   CAST(COUNT(DISTINCT conv_id || '#' ||
+                              CAST(turn_idx AS VARCHAR)) AS BIGINT)
+                       AS n_turns,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   MIN(us) AS first_us,
+                   MAX(us) AS last_us,
+                   MAX(us) - MIN(us) AS span_us
+            FROM me GROUP BY entity_id
         """,
         "kg_mention_spans": span_cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

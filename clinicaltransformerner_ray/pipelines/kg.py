@@ -717,3 +717,115 @@ def association_stats(
 
     return triples.map_batches(annotate, batch_format="pyarrow",
                                batch_size=COMBINE_BATCH)
+
+
+def mention_timeline(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
+    """Per-entity temporal profile: total mentions, distinct mention
+    turns / conversations, and first / last mention timestamps (epoch
+    microseconds) plus the active span.
+
+    The tagger drops non-key turn columns, so the timestamp comes back
+    via a sort-merge join: mention rows pre-aggregate batch-locally to
+    (conv_id, turn_idx, entity_id, cnt) partials (shrinking what the
+    shuffle moves), turn rows project to (conv_id, turn_idx, us); ONE
+    sort on the high-cardinality composite (conv_id, turn_idx)
+    co-locates each partial with its unique turn row (Ray's range
+    partitioner never splits equal keys across blocks), a per-block
+    pandas merge attaches us, then ONE sort on entity_id + block-local
+    completion computes the distinct counts and min/max exactly.
+
+    All outputs are exact integers (epoch micros, counts), so the
+    DuckDB oracle matches bitwise.  Reference analog: the mention
+    table join back to note metadata for temporal reporting
+    (ClinicalTransformerNER emits per-document TSV/BRAT mention rows
+    keyed by source file; time profiling is downstream of that join).
+    """
+
+    def ment_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
+        g = (df.groupby(["conv_id", "turn_idx", "entity_id"], sort=False)
+             .size().reset_index(name="cnt"))
+        n = len(g)
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(
+                g["turn_idx"].to_numpy(dtype=np.int64), pa.int64()),
+            "entity_id": pa.array(g["entity_id"].tolist(), pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64), pa.int64()),
+            "us": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def turn_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
+            "entity_id": pa.array([""] * n, pa.string()),
+            "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "us": batch.column("ts").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def attach_ts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df[df["side"] == 1]
+        t = df[df["side"] == 0]
+        j = m.merge(
+            t[["conv_id", "turn_idx", "us"]].rename(columns={"us": "tus"}),
+            on=["conv_id", "turn_idx"], how="inner")
+        return pa.table({
+            "entity_id": pa.array(j["entity_id"].tolist(), pa.string()),
+            "conv_id": pa.array(j["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(
+                j["turn_idx"].to_numpy(dtype=np.int64), pa.int64()),
+            "cnt": pa.array(j["cnt"].to_numpy(dtype=np.int64), pa.int64()),
+            "us": pa.array(j["tus"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "entity_id": pa.array([], pa.string()),
+                "n_mentions": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_convs": pa.array([], pa.int64()),
+                "first_us": pa.array([], pa.int64()),
+                "last_us": pa.array([], pa.int64()),
+                "span_us": pa.array([], pa.int64()),
+            })
+        # composite turn key only drives nunique — any injective encoding
+        df["tk"] = df["conv_id"] + "#" + df["turn_idx"].astype(str)
+        g = (df.groupby("entity_id", sort=False)
+             .agg(n_mentions=("cnt", "sum"),
+                  n_turns=("tk", "nunique"),
+                  n_convs=("conv_id", "nunique"),
+                  first_us=("us", "min"),
+                  last_us=("us", "max"))
+             .reset_index())
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].tolist(), pa.string()),
+            "n_mentions": pa.array(
+                g["n_mentions"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_turns": pa.array(
+                g["n_turns"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_convs": pa.array(
+                g["n_convs"].to_numpy(dtype=np.int64), pa.int64()),
+            "first_us": pa.array(
+                g["first_us"].to_numpy(dtype=np.int64), pa.int64()),
+            "last_us": pa.array(
+                g["last_us"].to_numpy(dtype=np.int64), pa.int64()),
+            "span_us": pa.array(
+                (g["last_us"] - g["first_us"]).to_numpy(dtype=np.int64),
+                pa.int64()),
+        })
+
+    partials = linked.map_batches(
+        ment_partial, batch_format="pyarrow", batch_size=COMBINE_BATCH)
+    tt = turns_ts.map_batches(turn_rows, batch_format="pyarrow")
+    return (partials.union(tt)
+            .sort(["conv_id", "turn_idx"])
+            .map_batches(attach_ts, batch_format="pyarrow", batch_size=None)
+            .sort("entity_id")
+            .map_batches(complete, batch_format="pyarrow", batch_size=None))

@@ -216,7 +216,7 @@ def test_sql_oracle_parity_small(ray_session):
                  "kg_entities", "kg_turn_entities", "kg_degrees",
                  "kg_pagerank", "kg_assoc", "kg_components",
                  "kg_common_neighbors", "kg_jaccard_links",
-                 "kg_conv_entities"]:
+                 "kg_conv_entities", "kg_mention_timeline"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
@@ -491,3 +491,44 @@ def test_kcore_oracle_parity_small(ray_session):
     assert len(rdf) > 0
     pd.testing.assert_frame_equal(canon(rdf), canon(odf),
                                   check_dtype=False)
+
+
+def test_mention_timeline_join_semantics(ray_session):
+    """Unit check of the mentions-ts sort-merge: partials for the same
+    (conv, turn, entity) from different batches SUM (not dedup), turns
+    without mentions drop out, and min/max pick the right timestamps."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.kg import mention_timeline
+
+    def ment(conv, ti, eid, k):
+        return [{"conv_id": conv, "turn_idx": ti, "entity_id": eid}] * k
+
+    # two single-row-group datasets forced into separate blocks: E1 in
+    # c1/t0 appears in BOTH -> its counts must add up to 3
+    m1 = rd.from_arrow(pa.Table.from_pylist(
+        ment("c1", 0, "E1", 2) + ment("c1", 1, "E2", 1)))
+    m2 = rd.from_arrow(pa.Table.from_pylist(
+        ment("c1", 0, "E1", 1) + ment("c2", 5, "E1", 4)))
+    linked = m1.union(m2)
+
+    turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2", "c9"], pa.string()),
+        "turn_idx": pa.array([0, 1, 5, 7], pa.int32()),
+        "ts": pa.array([100, 200, 300, 999],
+                       pa.timestamp("us")),
+    }))
+
+    out = mention_timeline(linked, turns).to_pandas()
+    row = out.set_index("entity_id")
+    assert row.loc["E1", "n_mentions"] == 7
+    assert row.loc["E1", "n_turns"] == 2
+    assert row.loc["E1", "n_convs"] == 2
+    assert row.loc["E1", "first_us"] == 100
+    assert row.loc["E1", "last_us"] == 300
+    assert row.loc["E1", "span_us"] == 200
+    assert row.loc["E2", "n_mentions"] == 1
+    assert row.loc["E2", "first_us"] == 200
+    # the mention-free turn (c9, 7) contributes nothing
+    assert set(out["entity_id"]) == {"E1", "E2"}
