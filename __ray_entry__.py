@@ -612,6 +612,20 @@ def _q_dedup_triangles(sf_dir: str):
         out_col="doc_id")
 
 
+def _q_dedup_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node of the near-dup pair
+    graph (how clique-like each doc's dup neighborhood is — the signal
+    separating template families from chance pairs).  Exact integers:
+    (n_triangles, degree, coeff_bp = 2*10^4*T // (d*(d-1)))."""
+    from clinicaltransformerner_ray.pipelines.dedup import ngram_jaccard_pairs
+    from clinicaltransformerner_ray.pipelines.graph import (
+        clustering_coefficients)
+
+    return clustering_coefficients(
+        ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8),
+        out_col="doc_id")
+
+
 def _q_dedup_curate(sf_dir: str):
     """End-to-end near-dup curation: jaccard pairs -> connected
     components -> keep-one-per-cluster, one composed pipeline
@@ -1296,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_triangles": _q_dedup_triangles,
+        "dedup_clustering_coeff": _q_dedup_clustering_coeff,
         "dedup_curate": _q_dedup_curate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -2151,6 +2166,36 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_triangles
             FROM roles GROUP BY doc_id
+        """,
+        # coeff_bp operands are non-negative, so DuckDB's truncating //
+        # equals numpy's floor division (CLAUDE.md round-3 rule 3)
+        "dedup_clustering_coeff": "WITH " + _JACCARD_PAIRS_CTE + """
+            , tri AS (
+                SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+                FROM pairs e1
+                JOIN pairs e2 ON e2.doc_a = e1.doc_a
+                             AND e2.doc_b > e1.doc_b
+                JOIN pairs e3 ON e3.doc_a = e1.doc_b
+                             AND e3.doc_b = e2.doc_b
+            ), roles AS (
+                SELECT x AS doc_id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ), tcnt AS (
+                SELECT doc_id, count(*) AS n_tri FROM roles GROUP BY doc_id
+            ), ends AS (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs
+            ), deg AS (
+                SELECT doc_id, count(*) AS d FROM ends GROUP BY doc_id
+            )
+            SELECT CAST(deg.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(tcnt.n_tri, 0) AS BIGINT) AS n_triangles,
+                   CAST(deg.d AS BIGINT) AS degree,
+                   CAST((20000 * COALESCE(tcnt.n_tri, 0))
+                        // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_bp
+            FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id
+            WHERE deg.d >= 2
         """,
         "dedup_minhash": _MINHASH_SQL.format(perm_vals=_minhash_perm_values()),
         "dedup_simhash": _SIMHASH_SQL,

@@ -815,3 +815,105 @@ def kcore(
         "entity_id": pa.array([v for v, _ in items], pa.string()),
         "core_degree": pa.array([c for _, c in items], pa.int64()),
     })
+
+
+def clustering_coefficients(
+    edges: rd.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    out_col: str = "node_id",
+    scale_bp: int = 10_000,
+    broadcast_edges_max: int = 1 << 22,
+) -> rd.Dataset:
+    """Local clustering coefficient per node of degree >= 2 over the
+    DISTINCT undirected edge table: ``coeff = 2*T(v) / (d(v)*(d(v)-1))``.
+
+    Exactness contract: the output is (n_triangles, degree) as exact
+    integers plus ``coeff_bp = (2*scale_bp*T) // (d*(d-1))`` — operands
+    are non-negative, so numpy floor division == DuckDB ``//``
+    truncation (CLAUDE.md round-3 rule) and the SQL oracle matches
+    bitwise.  No float ever enters the pipeline.
+
+    Shape: the normalized edge table is materialized ONCE (it feeds
+    both the triangle enumeration and the degree count — Ray does no
+    common-subexpression elimination, so an unmaterialized lineage
+    would run the upstream pair join twice); triangles come from
+    :func:`triangle_counts` (degree-oriented wedges), degrees from a
+    combine/sort/combine, and the two small per-node tables meet in a
+    final sort-merge on the single node key where the per-block pandas
+    left-merge fills triangle-free nodes with 0."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch.column(a_col).cast(pa.int64()),
+            "b": batch.column(b_col).cast(pa.int64()),
+        })
+
+    ed = edges.map_batches(norm, batch_format="pyarrow",
+                           batch_size=1 << 19).materialize()
+
+    tri = triangle_counts(ed, a_col="a", b_col="b", out_col="node",
+                          broadcast_edges_max=broadcast_edges_max)
+
+    def deg_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "deg" not in df.columns:
+            df = pd.DataFrame({
+                "node": np.concatenate([df["a"].to_numpy(),
+                                        df["b"].to_numpy()]),
+                "deg": np.int64(1),
+            })
+        g = df.groupby("node", sort=False)["deg"].sum().reset_index()
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(), pa.int64()),
+            "deg": pa.array(np.asarray(g["deg"], np.int64), pa.int64()),
+        })
+
+    deg = (ed.map_batches(deg_combine, batch_format="pyarrow",
+                          batch_size=1 << 19)
+           .sort("node")
+           .map_batches(deg_combine, batch_format="pyarrow",
+                        batch_size=None))
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch.column("node"),
+            "val": batch.column("deg"),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def tag_tri(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch.column("node").cast(pa.int64()),
+            "val": batch.column("n_triangles").cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df[df["side"] == 0][["node", "val"]].rename(
+            columns={"val": "degree"})
+        t = df[df["side"] == 1][["node", "val"]].rename(
+            columns={"val": "n_triangles"})
+        j = d.merge(t, on="node", how="left")
+        j["n_triangles"] = (j["n_triangles"].fillna(0)
+                            .to_numpy(dtype=np.int64))
+        j = j[j["degree"] >= 2]
+        dg = j["degree"].to_numpy(dtype=np.int64)
+        nt = j["n_triangles"].to_numpy(dtype=np.int64)
+        bp = (2 * scale_bp * nt) // (dg * (dg - 1))
+        return pa.table({
+            out_col: pa.array(j["node"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "n_triangles": pa.array(nt, pa.int64()),
+            "degree": pa.array(dg, pa.int64()),
+            "coeff_bp": pa.array(bp, pa.int64()),
+        })
+
+    return (deg.map_batches(tag_deg, batch_format="pyarrow")
+            .union(tri.map_batches(tag_tri, batch_format="pyarrow"))
+            .sort("node")
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))

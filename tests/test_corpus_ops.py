@@ -34,7 +34,7 @@ SQL_CHECKED = [
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
-    "dedup_decontaminate",
+    "dedup_decontaminate", "dedup_clustering_coeff",
 ]
 
 
@@ -1035,3 +1035,30 @@ def test_token_collocations_oracle_parity_small(ray_session):
     assert len(rdf) > 0
     pd.testing.assert_frame_equal(canon(rdf), canon(odf),
                                   check_dtype=False)
+
+
+def test_clustering_coefficients_brute_force(ray_session):
+    """Square + diagonal + tail: coefficients 2/3, 1, 1/3 and an exact
+    0 for a triangle-free degree-2 node; degree-1 nodes excluded; the
+    broadcast and distributed triangle paths agree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import (
+        clustering_coefficients)
+
+    edges = pa.table({
+        "doc_a": pa.array([1, 2, 3, 1, 1, 4, 5], pa.int64()),
+        "doc_b": pa.array([2, 3, 4, 4, 3, 5, 6], pa.int64()),
+    })
+    want = {  # node -> (n_tri, degree, coeff_bp)
+        1: (2, 3, 6666), 2: (1, 2, 10000), 3: (2, 3, 6666),
+        4: (1, 3, 3333), 5: (0, 2, 0),
+    }
+    for bmax in (1 << 22, 0):  # broadcast path, then distributed path
+        out = clustering_coefficients(
+            rd.from_arrow(edges), broadcast_edges_max=bmax).to_pandas()
+        got = {int(r.node_id): (int(r.n_triangles), int(r.degree),
+                                int(r.coeff_bp))
+               for r in out.itertuples()}
+        assert got == want, f"broadcast_edges_max={bmax}"
