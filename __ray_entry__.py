@@ -992,6 +992,27 @@ def _q_tpch_top_orders(sf_dir: str):
         k=3)
 
 
+def _q_tpch_min_cost_supplier(sf_dir: str):
+    """Q2-shaped groupwise-argmin join: cheapest observed supplier per
+    part (lexicographic (cents, suppkey) tie rule), two co-partition
+    sort-merge joins against the SF-scaled part/supplier dims."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, min_cost_supplier)
+
+    nn = {k: v[0] for k, v in _nation_region_map(sf_dir).items()}
+    return min_cost_supplier(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey",
+                                 "l_extendedprice"]),
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"]),
+        nn)
+
+
 def _q_tpch_promo(sf_dir: str):
     """Q14-shaped promo revenue per ship month: one co-partition join
     with the SF-scaled part table (no broadcast), integer e4 sums."""
@@ -1335,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "bm25_topk": _q_bm25_topk,
         "tpch_pricing": _q_tpch_pricing,
+        "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -3023,6 +3045,28 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        "tpch_min_cost_supplier": """
+            WITH c AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem
+            ), m AS (
+                SELECT l_partkey, cents, l_suppkey FROM (
+                    SELECT l_partkey, cents, l_suppkey,
+                           row_number() OVER (
+                               PARTITION BY l_partkey
+                               ORDER BY cents, l_suppkey) AS rn
+                    FROM c) WHERE rn = 1
+            )
+            SELECT m.l_partkey AS p_partkey, p.p_brand,
+                   m.cents AS min_price_cents,
+                   m.l_suppkey AS s_suppkey, s.s_name, n.n_name
+            FROM m
+            JOIN part p ON p.p_partkey = m.l_partkey
+            JOIN supplier s ON s.s_suppkey = m.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        """,
         "tpch_pricing": """
             WITH l AS (
                 SELECT l_returnflag, l_linestatus,

@@ -1180,3 +1180,124 @@ def idle_rich_customers(
         .sort("segment")
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def min_cost_supplier(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    supplier: rd.Dataset,
+    nation_names: dict[int, str],
+) -> rd.Dataset:
+    """TPC-H Q2-shaped groupwise-argmin join: for every part, the
+    cheapest observed (extended price, supplier) over the fact table,
+    annotated with the part brand and the supplying nation.
+
+    Tie rule on BOTH engines: lexicographic min of (price_cents,
+    l_suppkey) — cents are exact int64 (the Q1 rounding kernel), so
+    the argmin is deterministic and the SQL oracle (row_number over
+    the same ORDER BY) matches bitwise.
+
+    Scale shape: the argmin is ALGEBRAIC (min composes), so each batch
+    emits at most one row per partkey before the shuffle; one
+    co-partition sort-merge join attaches the SF-scaled part dim (the
+    Q14 precedent — part must NOT broadcast), a second sort-merge on
+    suppkey attaches the SF-scaled supplier dim, and only the fixed
+    25-row nation map rides the task closure.
+
+    Output: (p_partkey, p_brand, min_price_cents, s_suppkey, s_name,
+    n_name)."""
+
+    def li_argmin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t = pd.DataFrame({
+            "key": df["l_partkey"].to_numpy(dtype=np.int64),
+            "cents": _round_half_away(
+                df["l_extendedprice"].to_numpy() * 100),
+            "supp": df["l_suppkey"].to_numpy(dtype=np.int64),
+        })
+        t = t.sort_values(["key", "cents", "supp"]).drop_duplicates("key")
+        return pa.table({
+            "key": pa.array(t["key"].to_numpy(), pa.int64()),
+            "cents": pa.array(t["cents"].to_numpy(), pa.int64()),
+            "supp": pa.array(t["supp"].to_numpy(), pa.int64()),
+            "brand": pa.array([""] * len(t), pa.string()),
+            "kind": pa.array(np.ones(len(t), np.int64), pa.int64()),
+        })
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array([0] * n, pa.int64())
+        return pa.table({
+            "key": batch.column("p_partkey").cast(pa.int64()),
+            "cents": z,
+            "supp": z,
+            "brand": batch.column("p_brand").cast(pa.string()),
+            "kind": z,
+        })
+
+    def join_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dim = (df[df["kind"] == 0][["key", "brand"]]
+               .rename(columns={"brand": "p_brand"}))
+        li = (df[df["kind"] == 1]
+              .sort_values(["key", "cents", "supp"])
+              .drop_duplicates("key"))
+        j = li.merge(dim, on="key", how="inner")
+        return pa.table({
+            "key2": pa.array(j["supp"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "partkey": pa.array(j["key"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "cents": pa.array(j["cents"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "p_brand": pa.array(j["p_brand"].tolist(), pa.string()),
+            "sname": pa.array([""] * len(j), pa.string()),
+            "nat": pa.array(np.zeros(len(j), np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(j), np.int64), pa.int64()),
+        })
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array([0] * n, pa.int64())
+        return pa.table({
+            "key2": batch.column("s_suppkey").cast(pa.int64()),
+            "partkey": z,
+            "cents": z,
+            "p_brand": pa.array([""] * n, pa.string()),
+            "sname": batch.column("s_name").cast(pa.string()),
+            "nat": batch.column("s_nationkey").cast(pa.int64()),
+            "kind": z,
+        })
+
+    def join_supp(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dim = df[df["kind"] == 0][["key2", "sname", "nat"]]
+        res = df[df["kind"] == 1][["key2", "partkey", "cents", "p_brand"]]
+        j = res.merge(dim, on="key2", how="inner")
+        return pa.table({
+            "p_partkey": pa.array(j["partkey"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "p_brand": pa.array(j["p_brand"].tolist(), pa.string()),
+            "min_price_cents": pa.array(
+                j["cents"].to_numpy(dtype=np.int64), pa.int64()),
+            "s_suppkey": pa.array(j["key2"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "s_name": pa.array(j["sname"].tolist(), pa.string()),
+            "n_name": pa.array(
+                j["nat"].map(nation_names).tolist(), pa.string()),
+        })
+
+    li = lineitem.map_batches(li_argmin, batch_format="pyarrow",
+                              batch_size=1 << 19)
+    stage1 = (part.map_batches(part_rows, batch_format="pyarrow",
+                               batch_size=1 << 19)
+              .union(li)
+              .sort("key")
+              .map_batches(join_part, batch_format="pyarrow",
+                           batch_size=None))
+    return (supplier.map_batches(supp_rows, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+            .union(stage1)
+            .sort("key2")
+            .map_batches(join_supp, batch_format="pyarrow",
+                         batch_size=None))

@@ -33,7 +33,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_supplier_revenue",
                                   "tpch_order_priority",
                                   "tpch_rollup", "tpch_large_orders",
-                                  "tpch_idle_rich"])
+                                  "tpch_idle_rich",
+                                  "tpch_min_cost_supplier"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -186,7 +187,8 @@ def test_top_orders_per_customer_semantics(ray_session):
 
 @pytest.mark.parametrize("name", ["tpch_promo", "tpch_top_unshipped",
                                   "tpch_supplier_revenue",
-                                  "tpch_order_priority"])
+                                  "tpch_order_priority",
+                                  "tpch_min_cost_supplier"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -222,6 +224,17 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("orders", ["o_orderkey", "o_orderdate",
                           "o_orderpriority"], 4),
             ds("lineitem", ["l_orderkey", "l_returnflag"]))
+    elif name == "tpch_min_cost_supplier":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            _nation_region_map, min_cost_supplier)
+
+        nn = {k: v[0] for k, v in _nation_region_map(SF).items()}
+        res = min_cost_supplier(
+            ds("lineitem", ["l_partkey", "l_suppkey",
+                            "l_extendedprice"]),
+            ds("part", ["p_partkey", "p_brand"], 3),
+            ds("supplier", ["s_suppkey", "s_name", "s_nationkey"], 2),
+            nn)
     else:
         res = revenue_by_supplier_nation(
             ds("lineitem", ["l_suppkey", "l_extendedprice",
