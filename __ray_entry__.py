@@ -1281,6 +1281,19 @@ def _q_events_sessions(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_gaps(sf_dir: str):
+    """Per-user inter-event gap stats (LAG window shape): min/max/sum
+    and lower-median gap in exact epoch-us integers, (us, event_id)
+    ordering tiebreak deterministic on both engines."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import user_gap_stats
+
+    return user_gap_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]))
+
+
 def _q_kg_mentions_biaffine(sf_dir: str):
     """Same mention-count table as kg_mentions but through the biaffine
     span-grid model family — grid decode must agree with BIO decode."""
@@ -1314,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions_biaffine": _q_kg_mentions_biaffine,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "events_gaps": _q_events_gaps,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
@@ -2131,6 +2145,29 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
         "events_sessions": _SESSIONS_SQL,
+        # lower median via 1-based list indexing (n+1)//2 == the Ray
+        # side's 0-based (n-1)//2; ORDER BY inside list() pins the sort
+        "events_gaps": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+            ), g AS (
+                SELECT user_id,
+                       us - lag(us) OVER (
+                           PARTITION BY user_id
+                           ORDER BY us, event_id) AS gap
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(list_sort(list(gap) FILTER (gap IS NOT NULL))
+                        [(count(gap) + 1) // 2] AS BIGINT) AS med_gap_us
+            FROM g GROUP BY user_id
+            HAVING count(gap) >= 1
+        """,
         "events_sessions_salted": _SESSIONS_SQL,
         "events_asof_salted": _ASOF_SQL,
         "events_range_join_salted": _RANGE_JOIN_SQL,

@@ -1314,3 +1314,89 @@ def robust_outliers(
         "n_outliers": pa.array(np.asarray(g["n_out"], np.int64),
                                pa.int64()),
     })
+
+
+def user_gap_stats(events: rd.Dataset) -> rd.Dataset:
+    """Per-user inter-event gap statistics (the LAG window shape): for
+    every user with >= 2 events, the count, min/max/sum of successive
+    timestamp gaps and the LOWER-median gap, all in exact epoch-us
+    integers.
+
+    Ordering rule on BOTH engines: events sort by (us, event_id) —
+    the synth can produce equal timestamps, so the id tiebreak keeps
+    the lag sequence deterministic.  Lower median = sorted_gaps[(n-1)//2]
+    (0-based) == DuckDB ``(list_sort(list(gap)))[(n+1)//2]`` (1-based);
+    no averaging, so even-count users stay integer-exact.
+
+    One sort on user_id (the sessionize precedent: equal keys land
+    whole per block), then a fully vectorized per-block completion —
+    diff + first-row mask for gaps, sorted-run indexing for the
+    median, no per-group Python."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "us": batch.column("ts").cast(pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "us", "event_id"])
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "min_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+            "med_gap_us": pa.array([], pa.int64()),
+        })
+        if df.empty:
+            return empty
+        uid = df["user_id"].to_numpy()
+        us = df["us"].to_numpy()
+        first = np.empty(len(df), bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(df), np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        gdf = pd.DataFrame({"user_id": uid[~first], "gap": gap[~first]})
+        if gdf.empty:
+            return empty
+        agg = (gdf.groupby("user_id", sort=False)["gap"]
+               .agg(n_gaps="count", min_gap_us="min", max_gap_us="max",
+                    sum_gap_us="sum")
+               .reset_index())
+        # lower median: sort gap runs, index start + (n-1)//2 per user
+        s = gdf.sort_values(["user_id", "gap"]).reset_index(drop=True)
+        su = s["user_id"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], su[1:] != su[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(su)])))
+        med = s["gap"].to_numpy()[starts + (counts - 1) // 2]
+        med_map = dict(zip(su[starts].tolist(), med.tolist()))
+        agg["med_gap_us"] = agg["user_id"].map(med_map)
+        agg["n_events"] = agg["n_gaps"] + 1
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "n_events": pa.array(
+                agg["n_events"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_gaps": pa.array(
+                agg["n_gaps"].to_numpy(dtype=np.int64), pa.int64()),
+            "min_gap_us": pa.array(
+                agg["min_gap_us"].to_numpy(dtype=np.int64), pa.int64()),
+            "max_gap_us": pa.array(
+                agg["max_gap_us"].to_numpy(dtype=np.int64), pa.int64()),
+            "sum_gap_us": pa.array(
+                agg["sum_gap_us"].to_numpy(dtype=np.int64), pa.int64()),
+            "med_gap_us": pa.array(
+                agg["med_gap_us"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    return (events.map_batches(proj, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(complete, batch_format="pyarrow",
+                         batch_size=None))

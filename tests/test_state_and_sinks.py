@@ -323,7 +323,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_value_quantiles", "events_latest",
                  "events_funnel", "events_retention",
                  "events_attribution", "events_running_total",
-                 "events_intervals", "events_outliers"]:
+                 "events_intervals", "events_outliers",
+                 "events_gaps"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -945,3 +946,34 @@ def test_robust_outliers_mad_rule(ray_session):
     assert r.mad_cents == 10
     # outlier rule: |v-100| > 80 -> only the 10000 row
     assert r.n_outliers == 1 and r.n_events == 10
+
+
+def test_user_gap_stats_median_and_block_split(ray_session):
+    """Lower-median rule on an even gap count, single-event users
+    excluded, and block-split invariance (events repartitioned so one
+    user's rows start in different blocks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import user_gap_stats
+
+    # user 1: ts 0,10,30,70,150 -> gaps 10,20,40,80 (even count: lower
+    # median 20); user 2: single event -> excluded; user 3: equal
+    # timestamps -> event_id tiebreak gives gaps 0,5
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 3, 3, 3], pa.int64()),
+        "ts": pa.array([0, 10, 30, 70, 150, 500, 900, 900, 905],
+                       pa.timestamp("us")),
+    })
+    out = (user_gap_stats(rd.from_arrow(tbl).repartition(4))
+           .to_pandas().set_index("user_id"))
+    assert set(out.index) == {1, 3}
+    assert out.loc[1, "n_events"] == 5
+    assert out.loc[1, "min_gap_us"] == 10
+    assert out.loc[1, "max_gap_us"] == 80
+    assert out.loc[1, "sum_gap_us"] == 150
+    assert out.loc[1, "med_gap_us"] == 20   # lower median of 10,20,40,80
+    assert out.loc[3, "n_gaps"] == 2
+    assert out.loc[3, "min_gap_us"] == 0
+    assert out.loc[3, "med_gap_us"] == 0
