@@ -1013,6 +1013,23 @@ def _q_tpch_min_cost_supplier(sf_dir: str):
         nn)
 
 
+def _q_tpch_disjunctive(sf_dir: str):
+    """Q19-shaped disjunctive-predicate join: three (brand, size, qty)
+    OR-bands evaluated as bitmasks on both join sides, pre-aggregated
+    before the single co-partition shuffle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        disjunctive_revenue)
+
+    return disjunctive_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand", "p_size"]))
+
+
 def _q_tpch_promo(sf_dir: str):
     """Q14-shaped promo revenue per ship month: one co-partition join
     with the SF-scaled part table (no broadcast), integer e4 sums."""
@@ -1371,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
+        "tpch_disjunctive": _q_tpch_disjunctive,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -3082,6 +3100,26 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        "tpch_disjunctive": """
+            SELECT band,
+                   CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM (
+                SELECT CASE
+                    WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                         AND l_quantity BETWEEN 1 AND 11 THEN 1
+                    WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                         AND l_quantity BETWEEN 10 AND 20 THEN 2
+                    WHEN p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                         AND l_quantity BETWEEN 20 AND 30 THEN 3
+                    ELSE 0 END AS band,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        AS rev_e4
+                FROM lineitem JOIN part ON p_partkey = l_partkey)
+            WHERE band > 0
+            GROUP BY band
+        """,
         "tpch_min_cost_supplier": """
             WITH c AS (
                 SELECT l_partkey, l_suppkey,

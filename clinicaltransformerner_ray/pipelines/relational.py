@@ -1301,3 +1301,120 @@ def min_cost_supplier(
             .sort("key2")
             .map_batches(join_supp, batch_format="pyarrow",
                          batch_size=None))
+
+
+def disjunctive_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+) -> pa.Table:
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue from
+    lineitems matching any of three (brand, size-range, qty-range)
+    bands.  The brand arms are mutually exclusive, so each joined row
+    lands in at most one band.
+
+    Scale shape: the fact side evaluates the QTY half of every band
+    vectorized and pre-aggregates to per-(partkey, qty-bitmask)
+    partials BEFORE the shuffle (rows matching no qty window drop at
+    the read-side map); the part side reduces each part to a band
+    bitmask and ships only parts eligible for >= 1 band.  One
+    co-partition sort-merge join ANDs the masks per block, and the
+    driver folds the tiny per-band partials (3 rows).
+
+    Output: (band, revenue_e4, n_items), bands 1..3."""
+
+    BANDS = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#1", 1, 5, 1, 11),
+        ("Brand#2", 1, 10, 10, 20),
+        ("Brand#3", 1, 15, 20, 30),
+    )
+
+    def li_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        qty = _round_half_away(df["l_quantity"].to_numpy())
+        bits = np.zeros(len(df), np.int64)
+        for i, (_, _, _, qlo, qhi) in enumerate(BANDS):
+            bits |= ((qty >= qlo) & (qty <= qhi)).astype(np.int64) << i
+        keep = bits > 0
+        g = (pd.DataFrame({
+                "key": df["l_partkey"].to_numpy(dtype=np.int64)[keep],
+                "bits": bits[keep],
+                "rev_e4": _rev_e4(df)[keep],
+                "n": np.int64(1),
+             })
+             .groupby(["key", "bits"], sort=False)
+             .agg(rev_e4=("rev_e4", "sum"), n=("n", "sum"))
+             .reset_index())
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(), pa.int64()),
+            "bits": pa.array(g["bits"].to_numpy(), pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(g), np.int64), pa.int64()),
+        })
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        size = df["p_size"].to_numpy(dtype=np.int64)
+        brand = df["p_brand"].to_numpy()
+        pbits = np.zeros(len(df), np.int64)
+        for i, (b, slo, shi, _, _) in enumerate(BANDS):
+            pbits |= ((brand == b) & (size >= slo)
+                      & (size <= shi)).astype(np.int64) << i
+        keep = pbits > 0
+        n = int(keep.sum())
+        return pa.table({
+            "key": pa.array(
+                df["p_partkey"].to_numpy(dtype=np.int64)[keep],
+                pa.int64()),
+            "bits": pa.array(pbits[keep], pa.int64()),
+            "rev_e4": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def band_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pmap = dict(zip(df.loc[df["kind"] == 0, "key"],
+                        df.loc[df["kind"] == 0, "bits"]))
+        li = df[df["kind"] == 1]
+        pb = li["key"].map(pmap)
+        li, pb = li[pb.notna()], pb.dropna()
+        hit = li["bits"].to_numpy(dtype=np.int64) \
+            & pb.to_numpy(dtype=np.int64)
+        # brand arms are disjoint -> at most one bit survives the AND
+        keep = hit > 0
+        band = np.zeros(len(li), np.int64)
+        for i in range(len(BANDS)):
+            band[((hit >> i) & 1) == 1] = i + 1
+        g = (pd.DataFrame({
+                "band": band[keep],
+                "rev_e4": li["rev_e4"].to_numpy()[keep],
+                "n": li["n"].to_numpy()[keep],
+             })
+             .groupby("band", sort=False).sum().reset_index())
+        return pa.table({
+            "band": pa.array(g["band"].to_numpy(), pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+        })
+
+    partials = (part.map_batches(part_rows, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+                .union(lineitem.map_batches(li_combine,
+                                            batch_format="pyarrow",
+                                            batch_size=1 << 19))
+                .sort("key")
+                .map_batches(band_partials, batch_format="pyarrow",
+                             batch_size=None))
+    acc: dict[int, tuple[int, int]] = {}
+    for r in partials.take_all():  # O(bands x blocks) — tiny
+        rv, n = acc.get(r["band"], (0, 0))
+        acc[r["band"]] = (rv + r["rev_e4"], n + r["n"])
+    bands = sorted(acc)
+    return pa.table({
+        "band": pa.array(bands, pa.int64()),
+        "revenue_e4": pa.array([acc[b][0] for b in bands], pa.int64()),
+        "n_items": pa.array([acc[b][1] for b in bands], pa.int64()),
+    })

@@ -34,7 +34,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_order_priority",
                                   "tpch_rollup", "tpch_large_orders",
                                   "tpch_idle_rich",
-                                  "tpch_min_cost_supplier"])
+                                  "tpch_min_cost_supplier",
+                                  "tpch_disjunctive"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -188,7 +189,8 @@ def test_top_orders_per_customer_semantics(ray_session):
 @pytest.mark.parametrize("name", ["tpch_promo", "tpch_top_unshipped",
                                   "tpch_supplier_revenue",
                                   "tpch_order_priority",
-                                  "tpch_min_cost_supplier"])
+                                  "tpch_min_cost_supplier",
+                                  "tpch_disjunctive"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -224,6 +226,14 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("orders", ["o_orderkey", "o_orderdate",
                           "o_orderpriority"], 4),
             ds("lineitem", ["l_orderkey", "l_returnflag"]))
+    elif name == "tpch_disjunctive":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            disjunctive_revenue)
+
+        res = disjunctive_revenue(
+            ds("lineitem", ["l_partkey", "l_quantity",
+                            "l_extendedprice", "l_discount"]),
+            ds("part", ["p_partkey", "p_brand", "p_size"], 3))
     elif name == "tpch_min_cost_supplier":
         from clinicaltransformerner_ray.pipelines.relational import (
             _nation_region_map, min_cost_supplier)
