@@ -908,6 +908,18 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=100)
 
 
+def _q_docs_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF terms under the integer-lift idf
+    (score = tf * ((N*10^4) // df)); N from parquet metadata, no
+    counting pass; tie rule (score DESC, token ASC)."""
+    import pyarrow.parquet as pq
+
+    from clinicaltransformerner_ray.pipelines.textstats import tfidf_topk
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tfidf_topk(_docs(sf_dir), n_docs, k=5)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """EXACT phi-frequent tokens via two-pass Misra-Gries: pass 1
     merges width-bounded batch sketches (plain-sum merge keeps the
@@ -1401,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_idle_rich": _q_tpch_idle_rich,
         "top_tokens": _q_top_tokens,
         "heavy_hitters": _q_heavy_hitters,
+        "docs_tfidf_topk": _q_docs_tfidf_topk,
         "token_cms": _q_token_cms,
         "corpus_mix": _q_corpus_mix,
         "dedup_decontaminate": _q_dedup_decontaminate,
@@ -2520,6 +2533,37 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT doc_id, min(md5(s)) AS fingerprint
             FROM sh GROUP BY doc_id
+        """,
+        # integer-lift idf: (N*10^4)//df on non-negative operands, so
+        # DuckDB // == numpy floor; ROW_NUMBER tie (score DESC, token)
+        "docs_tfidf_topk": """
+            WITH d AS (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM d GROUP BY doc_id, token
+            ), dfq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), n AS (
+                SELECT count(*) AS nd FROM documents
+            ), s AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                       tf.tf * ((n.nd * 10000) // dfq.df) AS score
+                FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, token) AS rk
+                FROM s
+            )
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 5
         """,
         "token_vocab": """
             SELECT u.tok AS token, CAST(count(*) AS BIGINT) AS n

@@ -951,3 +951,105 @@ def token_collocations(
         .map_batches(join_right, batch_format="pyarrow",
                      batch_size=None)
     )
+
+
+def tfidf_topk(docs: rd.Dataset, n_docs: int, *, k: int = 5) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms under an INTEGER-LIFT idf:
+    ``score = tf * ((n_docs * 10000) // df)`` — floor division on
+    non-negative operands, so the ranking is bit-identical across
+    engines (no float log ever enters; the repo's integer-derivation
+    invariant applied to feature extraction).
+
+    Tokens are whitespace splits (the Jaccard-shingle convention, not
+    the BPE-ish vocab regex).  Tie rule on BOTH engines: (score DESC,
+    token ASC).
+
+    Shape: one row per doc means tf is COMPLETE per batch (a doc never
+    splits), so the explode emits final (doc_id, token, tf) rows; ONE
+    sort on token makes each block see every row of its tokens — df is
+    a block-local run count and the idf annotate is free; a block-local
+    partial top-k per doc shrinks the second shuffle (global top-k is
+    contained in the union of per-block top-ks), and ONE sort on
+    doc_id + per-block ranking completes.  ``n_docs`` comes from
+    parquet metadata — no counting pass."""
+    import pyarrow.compute as pc
+
+    lift = 10_000
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ")
+        parent = pc.list_parent_indices(toks)
+        g = (pd.DataFrame({
+                "doc_id": batch.column("doc_id").take(parent)
+                .to_numpy(zero_copy_only=False),
+                "token": pc.list_flatten(toks).to_pandas(),
+             })
+             .groupby(["doc_id", "token"], sort=False)
+             .size().reset_index(name="tf"))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "token": pa.array(g["token"].tolist(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        })
+
+    def annotate_df_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            })
+        cnt = df.groupby("token", sort=False)["token"].transform("size")
+        df["df"] = cnt.to_numpy(dtype=np.int64)
+        df["score"] = (df["tf"].to_numpy(dtype=np.int64)
+                       * ((n_docs * lift)
+                          // df["df"].to_numpy(dtype=np.int64)))
+        # partial top-k per doc inside this block (shrinks the shuffle)
+        df = (df.sort_values(["doc_id", "score", "token"],
+                             ascending=[True, False, True])
+              .groupby("doc_id", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def rank_complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64()),
+            })
+        df = df.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True])
+        df["rk"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        df = df[df["rk"] <= k]
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "token": pa.array(df["token"].tolist(), pa.string()),
+            "tf": pa.array(df["tf"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+            "df": pa.array(df["df"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+            "score": pa.array(df["score"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "rk": pa.array(df["rk"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        })
+
+    return (docs.map_batches(explode_tf, batch_format="pyarrow",
+                             batch_size=1 << 14)
+            .sort("token")
+            .map_batches(annotate_df_topk, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("doc_id")
+            .map_batches(rank_complete, batch_format="pyarrow",
+                         batch_size=None))

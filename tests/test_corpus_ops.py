@@ -34,7 +34,7 @@ SQL_CHECKED = [
     "corpus_splits", "corpus_pack", "corpus_chunks", "dedup_ensemble", "dedup_incremental",
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
-    "dedup_decontaminate", "dedup_clustering_coeff",
+    "dedup_decontaminate", "dedup_clustering_coeff", "docs_tfidf_topk",
 ]
 
 
