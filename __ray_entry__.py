@@ -241,6 +241,17 @@ def _q_kg_khop(sf_dir: str):
     return khop_reachability(pairs, max_hops=3, seed_suffix="0")
 
 
+def _q_kg_lpa(sf_dir: str):
+    """Synchronous label-propagation communities (4 fixed rounds,
+    (count DESC, label ASC) tie-break) over the co-occurrence graph;
+    node state driver-folded (lexicon-bounded), edges streamed."""
+    from clinicaltransformerner_ray.pipelines.graph import label_propagation
+
+    pairs = _kg(sf_dir)["triples"].map_batches(
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    return label_propagation(pairs, rounds=4)
+
+
 def _q_kg_jaccard_links(sf_dir: str):
     """Neighborhood-Jaccard link scoring over the co-occurrence graph:
     common_neighbors survivors with exact integer intersection/union
@@ -1350,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_jaccard_links": _q_kg_jaccard_links,
         "kg_khop": _q_kg_khop,
         "kg_kcore": _q_kg_kcore,
+        "kg_lpa": _q_kg_lpa,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mention_timeline": _q_kg_mention_timeline,
@@ -1788,6 +1800,44 @@ _EMBEDDING_SQL = """
 """
 
 
+def _lpa_sql(cte: str, rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation (the kcore/pagerank
+    fixed-unroll trick): each round is a MATERIALIZED (count, argmax)
+    CTE pair; (count DESC, label ASC) row_number replicates the Ray
+    side's deterministic tie-break.  The Ray side early-exits only at
+    a fixed point, where extra SQL rounds are no-ops."""
+    parts = [cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), pr AS (SELECT DISTINCT subj, obj FROM co)
+            , ed AS MATERIALIZED (SELECT subj AS a, obj AS b FROM pr
+                     UNION SELECT obj, subj FROM pr)
+            , l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lab
+                                  FROM ed)
+    """]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            , c{i} AS MATERIALIZED (
+                SELECT e.a AS v, l.lab, count(*) AS c
+                FROM ed e JOIN l{i - 1} l ON l.v = e.b
+                GROUP BY e.a, l.lab)
+            , l{i} AS MATERIALIZED (
+                SELECT v, lab FROM (
+                    SELECT v, lab, row_number() OVER (
+                        PARTITION BY v ORDER BY c DESC, lab) AS rn
+                    FROM c{i}) WHERE rn = 1)
+        """)
+    parts.append(f"""
+            SELECT v AS entity_id, lab AS community FROM l{rounds}
+    """)
+    return "".join(parts)
+
+
 def _kcore_sql(cte: str, k: int = 2, rounds: int = 12) -> str:
     """Unrolled k-core peel (the pagerank/kmeans fixed-unroll trick):
     ``rounds`` chained (degree, filter) CTE pairs over the undirected
@@ -1931,6 +1981,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_degrees": degrees_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
+        "kg_lpa": _lpa_sql(cte, rounds=4),
         "kg_conv_entities": cte + """
             , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
                      FROM mm)

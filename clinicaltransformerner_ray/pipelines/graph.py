@@ -917,3 +917,91 @@ def clustering_coefficients(
             .union(tri.map_batches(tag_tri, batch_format="pyarrow"))
             .sort("node")
             .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+def label_propagation(
+    pairs: rd.Dataset,
+    *,
+    rounds: int = 4,
+) -> pa.Table:
+    """Synchronous label-propagation community detection over the
+    undirected co-occurrence graph, ``rounds`` fixed iterations.
+
+    Update rule (deterministic on BOTH engines): every node starts
+    labeled with its own id; each round, node v adopts the label most
+    frequent among its neighbors' CURRENT labels, ties broken by
+    lexicographically smallest label (binary codepoint order — ASCII
+    ids are engine-safe per CLAUDE.md).  Fixed round count + the
+    all-synchronous update make the result exactly replicable by
+    ``rounds`` unrolled MATERIALIZED CTEs (the kcore/pagerank
+    fixed-unroll trick); isolated fixed points mean extra SQL rounds
+    are harmless.
+
+    Scale shape (the pagerank precedent): node state is
+    lexicon-bounded — the label map broadcasts into each map task —
+    while the EDGE table streams once per round; each block emits
+    per-(node, neighbor-label) COUNT partials (O(entities x labels
+    seen) per block, never O(edges)) and the driver folds integer
+    counts then takes the per-node (count DESC, label ASC) argmax.
+
+    Output: small pa.Table (entity_id, community)."""
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "a": pa.array(df["subj"].tolist() + df["obj"].tolist(),
+                          pa.string()),
+            "b": pa.array(df["obj"].tolist() + df["subj"].tolist(),
+                          pa.string()),
+        })
+
+    # consumed once per round + once for the node set: materialize
+    ed = pairs.map_batches(bidir, batch_format="pyarrow",
+                           batch_size=1 << 19).materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pa.array(pd.unique(batch.to_pandas()["a"]),
+                          pa.string())})
+
+    labels: dict[str, str] = {}
+    for row in ed.map_batches(node_partial, batch_format="pyarrow",
+                              batch_size=1 << 19).take_all():
+        labels[row["v"]] = row["v"]  # O(entities) driver fold
+
+    for _ in range(rounds):
+        lab = labels  # captured (lexicon-bounded) broadcast
+
+        def count_partial(batch: pa.Table, _lab=lab) -> pa.Table:
+            df = batch.to_pandas()
+            g = (pd.DataFrame({
+                    "v": df["a"].to_numpy(),
+                    "nl": df["b"].map(_lab).to_numpy(),
+                 })
+                 .groupby(["v", "nl"], sort=False)
+                 .size().reset_index(name="c"))
+            return pa.table({
+                "v": pa.array(g["v"].tolist(), pa.string()),
+                "nl": pa.array(g["nl"].tolist(), pa.string()),
+                "c": pa.array(g["c"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            })
+
+        acc: dict[str, dict[str, int]] = {}
+        for row in ed.map_batches(count_partial, batch_format="pyarrow",
+                                  batch_size=1 << 19).take_all():
+            d = acc.setdefault(row["v"], {})
+            d[row["nl"]] = d.get(row["nl"], 0) + row["c"]
+        new = {}
+        for v, d in acc.items():
+            # (count DESC, label ASC) argmax
+            new[v] = min(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if new == labels:
+            break  # fixed point: extra SQL rounds are no-ops
+        labels = new
+
+    items = sorted(labels.items())
+    return pa.table({
+        "entity_id": pa.array([k for k, _ in items], pa.string()),
+        "community": pa.array([v for _, v in items], pa.string()),
+    })

@@ -216,7 +216,7 @@ def test_sql_oracle_parity_small(ray_session):
                  "kg_entities", "kg_turn_entities", "kg_degrees",
                  "kg_pagerank", "kg_assoc", "kg_components",
                  "kg_common_neighbors", "kg_jaccard_links",
-                 "kg_conv_entities", "kg_mention_timeline"]:
+                 "kg_conv_entities", "kg_mention_timeline", "kg_lpa"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
@@ -532,3 +532,50 @@ def test_mention_timeline_join_semantics(ray_session):
     assert row.loc["E2", "first_us"] == 200
     # the mention-free turn (c9, 7) contributes nothing
     assert set(out["entity_id"]) == {"E1", "E2"}
+
+
+def test_label_propagation_matches_sequential_replica(ray_session):
+    """label_propagation == a driver-side sequential replica of the
+    synchronous (count DESC, label ASC) update on a deterministic
+    random graph — the distributed partial-count fold changes nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = set()
+    for _ in range(80):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((f"N{min(a, b):02d}", f"N{max(a, b):02d}"))
+    edges = sorted(edges)
+
+    # sequential replica
+    adj: dict[str, list[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt: dict[str, int] = {}
+            for u in nbrs:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if new == lab:
+            break
+        lab = new
+
+    tbl = pa.table({
+        "subj": pa.array([a for a, _ in edges], pa.string()),
+        "obj": pa.array([b for _, b in edges], pa.string()),
+    })
+    out = label_propagation(
+        rd.from_arrow(tbl).repartition(5), rounds=4).to_pandas()
+    got = dict(zip(out["entity_id"], out["community"]))
+    assert got == lab
+    assert len(set(lab.values())) > 1  # non-degenerate fixture
