@@ -986,6 +986,20 @@ def _q_events_distinct_users(sf_dir: str):
                         columns=["event_type", "user_id"]))
 
 
+def _q_events_kmv_users(sf_dir: str):
+    """KMV bottom-k distinct sketch over user_id: the sketch state (k
+    smallest md5 hashes) is an order statistic both engines compute
+    identically, so unlike HLL this sketch IS oracle-checked."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        kmv_distinct_users)
+
+    return kmv_distinct_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        k=64)
+
+
 def _q_events_hll_users_rowsonly(sf_dir: str):
     """HyperLogLog approximate distinct per event_type — deterministic
     (md5 registers, order-free max merge) but approximate, so its gate
@@ -1433,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pack": _q_corpus_pack,
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
+        "events_kmv_users": _q_events_kmv_users,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2227,6 +2242,28 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
         "events_sessions": _SESSIONS_SQL,
+        # KMV sketch cells are order statistics of md5 hashes — exact
+        # on both engines; HUGEINT keeps (k-1)<<64 // h_k lossless
+        "events_kmv_users": """
+            WITH h AS (
+                SELECT DISTINCT md5_number_upper(
+                    CAST(user_id AS VARCHAR)) AS hv
+                FROM events
+            ), kk AS (
+                SELECT hv FROM h ORDER BY hv LIMIT 64
+            ), agg AS (
+                SELECT count(*) AS n_kept, max(hv) AS hk FROM kk
+            )
+            SELECT CAST(n_kept AS BIGINT) AS n_kept,
+                   CAST(hk >> 32 AS BIGINT) AS hk_hi,
+                   CAST(hk & 4294967295 AS BIGINT) AS hk_lo,
+                   CAST(CASE
+                        WHEN n_kept < 64 THEN n_kept
+                        ELSE 63 * CAST(18446744073709551616 AS HUGEINT)
+                             // CAST(hk AS HUGEINT)
+                        END AS BIGINT) AS est_users
+            FROM agg
+        """,
         # lower median via 1-based list indexing (n+1)//2 == the Ray
         # side's 0-based (n-1)//2; ORDER BY inside list() pins the sort
         "events_gaps": """

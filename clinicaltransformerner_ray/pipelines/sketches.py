@@ -247,3 +247,54 @@ def cms_token_estimates(
         "token": pa.array(list(probe_tokens), pa.string()),
         "est": pa.array(np.asarray(ests, np.int64), pa.int64()),
     })
+
+
+def kmv_distinct_users(events: rd.Dataset, *, k: int = 64) -> pa.Table:
+    """KMV (k minimum values) distinct-count sketch over user_id — the
+    mergeable bottom-k sketch, with an EXACT SQL oracle: the sketch
+    state is the k smallest md5 hashes of the distinct ids, a pure
+    order statistic both engines compute identically
+    (``dedup._hash64`` == DuckDB ``md5_number_upper``, CLAUDE.md).
+
+    Estimator: ``est = ((k-1) << 64) // h_k`` (floor, non-negative) when
+    >= k distinct hashes exist, else the exact count (the sketch holds
+    everything).  Python bigints / HUGEINT keep the 128-bit product
+    exact.
+
+    Scale shape (the heavy_hitters two-pass precedent): each block
+    emits its <= k smallest distinct hashes (partials are bottom-k
+    MERGEABLE: global bottom-k is contained in the union), the driver
+    folds O(k x blocks) rows.  Output: one row (n_kept, hk_hi, hk_lo,
+    est_users) — the 64-bit k-th hash rides as two int32-range halves
+    so no engine touches unsigned overflow."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        uids = np.unique(batch.column("user_id").to_numpy(
+            zero_copy_only=False))
+        h = np.unique(_hash64([str(int(u)) for u in uids]))
+        return pa.table({"hv": pa.array(h[:k], pa.uint64())})
+
+    merged = np.unique(np.concatenate(
+        [np.asarray([r["hv"] for r in
+                     events.map_batches(bottom_k, batch_format="pyarrow",
+                                        batch_size=1 << 19).take_all()],
+                    dtype=np.uint64),
+         np.array([], dtype=np.uint64)]))
+    kept = merged[:k]
+    n_kept = int(len(kept))
+    if n_kept == 0:
+        est = 0
+        hk = 0
+    elif n_kept < k:
+        est = n_kept
+        hk = int(kept[-1])
+    else:
+        hk = int(kept[-1])
+        est = ((k - 1) << 64) // hk
+    return pa.table({
+        "n_kept": pa.array([n_kept], pa.int64()),
+        "hk_hi": pa.array([hk >> 32], pa.int64()),
+        "hk_lo": pa.array([hk & 0xFFFFFFFF], pa.int64()),
+        "est_users": pa.array([est], pa.int64()),
+    })

@@ -324,7 +324,7 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_funnel", "events_retention",
                  "events_attribution", "events_running_total",
                  "events_intervals", "events_outliers",
-                 "events_gaps"]:
+                 "events_gaps", "events_kmv_users"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -977,3 +977,25 @@ def test_user_gap_stats_median_and_block_split(ray_session):
     assert out.loc[3, "n_gaps"] == 2
     assert out.loc[3, "min_gap_us"] == 0
     assert out.loc[3, "med_gap_us"] == 0
+
+
+def test_kmv_estimator_quality(ray_session):
+    """With n >> k the KMV estimate lands within 3 standard errors
+    (sigma ~ n/sqrt(k-1)); with n < k it is exact; block splits leave
+    the sketch unchanged (bottom-k partials are mergeable)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        kmv_distinct_users)
+
+    n = 5000
+    tbl = pa.table({"user_id": pa.array(list(range(n)) * 2, pa.int64())})
+    one = kmv_distinct_users(rd.from_arrow(tbl), k=64).to_pylist()[0]
+    split = kmv_distinct_users(
+        rd.from_arrow(tbl).repartition(7), k=64).to_pylist()[0]
+    assert one == split
+    assert abs(one["est_users"] - n) < 3 * n / (63 ** 0.5)
+    small = kmv_distinct_users(
+        rd.from_arrow(tbl.slice(0, 40)), k=64).to_pylist()[0]
+    assert small["est_users"] == 40 and small["n_kept"] == 40
