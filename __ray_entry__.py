@@ -986,6 +986,19 @@ def _q_events_distinct_users(sf_dir: str):
                         columns=["event_type", "user_id"]))
 
 
+def _q_events_type_pivot(sf_dir: str):
+    """Per-user pivot (wide aggregate): count + integer-cents sum per
+    event type, pivoted inside the batch-local combiner so the shuffle
+    moves one wide row per (user, batch)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import user_type_pivot
+
+    return user_type_pivot(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "value"]))
+
+
 def _q_events_kmv_users(sf_dir: str):
     """KMV bottom-k distinct sketch over user_id: the sketch state (k
     smallest md5 hashes) is an order statistic both engines compute
@@ -1448,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
         "events_kmv_users": _q_events_kmv_users,
+        "events_type_pivot": _q_events_type_pivot,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2244,6 +2258,27 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_sessions": _SESSIONS_SQL,
         # KMV sketch cells are order statistics of md5 hashes — exact
         # on both engines; HUGEINT keeps (k-1)<<64 // h_k lossless
+        "events_type_pivot": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(COALESCE(SUM(c) FILTER (event_type = 'click'), 0) AS BIGINT) AS cents_click,
+                   CAST(COALESCE(SUM(c) FILTER (event_type = 'error'), 0) AS BIGINT) AS cents_error,
+                   CAST(COALESCE(SUM(c) FILTER (event_type = 'purchase'), 0) AS BIGINT) AS cents_purchase,
+                   CAST(COALESCE(SUM(c) FILTER (event_type = 'signup'), 0) AS BIGINT) AS cents_signup,
+                   CAST(COALESCE(SUM(c) FILTER (event_type = 'view'), 0) AS BIGINT) AS cents_view,
+                   CAST(count(*) FILTER (event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')) AS BIGINT) AS n_other,
+                   CAST(COALESCE(SUM(c) FILTER (event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')), 0) AS BIGINT) AS cents_other
+            FROM e GROUP BY user_id
+        """,
         "events_kmv_users": """
             WITH h AS (
                 SELECT DISTINCT md5_number_upper(

@@ -1400,3 +1400,63 @@ def user_gap_stats(events: rd.Dataset) -> rd.Dataset:
             .sort("user_id")
             .map_batches(complete, batch_format="pyarrow",
                          batch_size=None))
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_pivot(events: rd.Dataset) -> rd.Dataset:
+    """Per-user PIVOT: one count column and one integer-cents sum
+    column per event type (the wide/pivot aggregate shape — long
+    (user, type) partials into fixed columns).
+
+    Scale shape: the pivot happens INSIDE the batch-local combiner, so
+    the shuffle moves one already-wide row per (user, batch) — 2x5
+    int64 cells — instead of long (user, type) rows; the sorted
+    per-block completion just sums the fixed columns.  Unknown event
+    types are counted into the ``n_other``/``cents_other`` catchall
+    (no silent drops).
+
+    Output: (user_id, n_<type>..., cents_<type>..., n_other,
+    cents_other) — all exact int64."""
+    cols = ([f"n_{t}" for t in PIVOT_TYPES]
+            + [f"cents_{t}" for t in PIVOT_TYPES]
+            + ["n_other", "cents_other"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if set(cols) <= set(df.columns):  # completion pass
+            g = df.groupby("user_id", sort=False)[cols].sum().reset_index()
+        else:
+            cents = _round_half_away(df["value"].to_numpy() * 100)
+            base = pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                "et": df["event_type"].to_numpy(),
+                "n": np.int64(1),
+                "cents": cents,
+            })
+            long = (base.groupby(["user_id", "et"], sort=False)
+                    .agg(n=("n", "sum"), cents=("cents", "sum"))
+                    .reset_index())
+            known = long["et"].isin(PIVOT_TYPES)
+            long.loc[~known, "et"] = "other"
+            long = (long.groupby(["user_id", "et"], sort=False)
+                    .sum().reset_index())
+            g = pd.DataFrame({"user_id": pd.unique(long["user_id"])})
+            for t in list(PIVOT_TYPES) + ["other"]:
+                sub = long[long["et"] == t][["user_id", "n", "cents"]]
+                sub = sub.rename(columns={"n": f"n_{t}",
+                                          "cents": f"cents_{t}"})
+                g = g.merge(sub, on="user_id", how="left")
+            g[cols] = g[cols].fillna(0)
+        out = {"user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                   pa.int64())}
+        for c in cols:
+            out[c] = pa.array(g[c].to_numpy(dtype=np.int64), pa.int64())
+        return pa.table(out)
+
+    return (events.map_batches(combine, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))

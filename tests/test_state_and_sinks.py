@@ -324,7 +324,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_funnel", "events_retention",
                  "events_attribution", "events_running_total",
                  "events_intervals", "events_outliers",
-                 "events_gaps", "events_kmv_users"]:
+                 "events_gaps", "events_kmv_users",
+                 "events_type_pivot"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -999,3 +1000,27 @@ def test_kmv_estimator_quality(ray_session):
     small = kmv_distinct_users(
         rd.from_arrow(tbl.slice(0, 40)), k=64).to_pylist()[0]
     assert small["est_users"] == 40 and small["n_kept"] == 40
+
+
+def test_user_type_pivot_catchall_and_block_split(ray_session):
+    """An unknown event type lands in n_other/cents_other (no silent
+    drops) and a user split across blocks still sums exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import user_type_pivot
+
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["click", "mystery", "click", "view"],
+                               pa.string()),
+        "value": pa.array([1.0, 2.5, 0.5, 9.99], pa.float64()),
+    })
+    out = (user_type_pivot(rd.from_arrow(tbl).repartition(4))
+           .to_pandas().set_index("user_id"))
+    assert out.loc[1, "n_click"] == 2
+    assert out.loc[1, "cents_click"] == 150
+    assert out.loc[1, "n_other"] == 1
+    assert out.loc[1, "cents_other"] == 250
+    assert out.loc[2, "n_view"] == 1 and out.loc[2, "cents_view"] == 999
+    assert out.loc[2, "n_other"] == 0
