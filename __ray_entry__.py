@@ -1063,6 +1063,21 @@ def _q_tpch_min_cost_supplier(sf_dir: str):
         nn)
 
 
+def _q_tpch_copurchase(sf_dir: str):
+    """Market-basket pair mining: part pairs co-purchased in >= 2
+    orders, emitted via vectorized triangle index arithmetic per
+    order run (the KG co-occurrence shape on relational data)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        copurchased_parts)
+
+    return copurchased_parts(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey"]),
+        min_count=2)
+
+
 def _q_tpch_disjunctive(sf_dir: str):
     """Q19-shaped disjunctive-predicate join: three (brand, size, qty)
     OR-bands evaluated as bitmasks on both join sides, pre-aggregated
@@ -1440,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing": _q_tpch_pricing,
         "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
         "tpch_disjunctive": _q_tpch_disjunctive,
+        "tpch_copurchase": _q_tpch_copurchase,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -3267,6 +3283,17 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        "tpch_copurchase": """
+            WITH te AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            )
+            SELECT a.p AS part_a, b.p AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM te a JOIN te b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+            HAVING count(*) >= 2
+        """,
         "tpch_disjunctive": """
             SELECT band,
                    CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4,

@@ -1418,3 +1418,88 @@ def disjunctive_revenue(
         "revenue_e4": pa.array([acc[b][0] for b in bands], pa.int64()),
         "n_items": pa.array([acc[b][1] for b in bands], pa.int64()),
     })
+
+
+def copurchased_parts(
+    lineitem: rd.Dataset,
+    *,
+    min_count: int = 2,
+) -> rd.Dataset:
+    """Market-basket pair mining: unordered part pairs bought together
+    in the same order, with support counts — the KG co-occurrence
+    emitter's shape applied to relational data.
+
+    Scale shape: ONE sort on the high-cardinality l_orderkey
+    co-locates each order's lines (equal keys never split); the
+    per-block pass dedups parts within the order and emits its
+    C(n,2) pairs via vectorized index arithmetic (np.triu-style
+    repeat/concat, no Python pair loop); a combine/sort/combine on the
+    (part_a, part_b) composite finishes the counts.  The support
+    filter runs in the completion block, AFTER counts are global.
+
+    Output: (part_a, part_b, n_orders) with part_a < part_b and
+    n_orders >= ``min_count``."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": batch.column("l_orderkey").cast(pa.int64()),
+            "pkey": batch.column("l_partkey").cast(pa.int64()),
+        })
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["okey", "pkey"]))
+        ok = df["okey"].to_numpy()
+        pk = df["pkey"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(ok)])))
+        # vectorized upper-triangle pair emission per order run
+        reps = counts - 1
+        if not len(pk) or reps.max(initial=0) <= 0:
+            return pa.table({
+                "pa_": pa.array([], pa.int64()),
+                "pb_": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        # for each element i (except run-last), pair with every later
+        # element of its run: left index repeats, right index counts up
+        idx = np.arange(len(pk))
+        run_id = np.repeat(np.arange(len(starts)), counts)
+        pos = idx - starts[run_id]
+        rem = (counts[run_id] - 1 - pos)      # pairs this element leads
+        left = np.repeat(idx, rem)
+        offs = np.arange(int(rem.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(rem)[:-1])), rem)
+        right = left + 1 + offs
+        g = (pd.DataFrame({"pa_": pk[left], "pb_": pk[right]})
+             .groupby(["pa_", "pb_"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "pa_": pa.array(g["pa_"].to_numpy(), pa.int64()),
+            "pb_": pa.array(g["pb_"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["pa_", "pb_"], sort=False)["n"].sum()
+             .reset_index())
+        g = g[g["n"] >= min_count]
+        return pa.table({
+            "part_a": pa.array(g["pa_"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "part_b": pa.array(g["pb_"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "n_orders": pa.array(g["n"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+        })
+
+    return (lineitem.map_batches(proj, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+            .sort("okey")
+            .map_batches(emit_pairs, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["pa_", "pb_"])
+            .map_batches(complete, batch_format="pyarrow",
+                         batch_size=None))

@@ -35,7 +35,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_rollup", "tpch_large_orders",
                                   "tpch_idle_rich",
                                   "tpch_min_cost_supplier",
-                                  "tpch_disjunctive"])
+                                  "tpch_disjunctive",
+                                  "tpch_copurchase"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -190,7 +191,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_supplier_revenue",
                                   "tpch_order_priority",
                                   "tpch_min_cost_supplier",
-                                  "tpch_disjunctive"])
+                                  "tpch_disjunctive",
+                                  "tpch_copurchase"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -226,6 +228,12 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("orders", ["o_orderkey", "o_orderdate",
                           "o_orderpriority"], 4),
             ds("lineitem", ["l_orderkey", "l_returnflag"]))
+    elif name == "tpch_copurchase":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            copurchased_parts)
+
+        res = copurchased_parts(
+            ds("lineitem", ["l_orderkey", "l_partkey"], 7), min_count=2)
     elif name == "tpch_disjunctive":
         from clinicaltransformerner_ray.pipelines.relational import (
             disjunctive_revenue)
