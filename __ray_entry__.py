@@ -241,6 +241,53 @@ def _q_kg_khop(sf_dir: str):
     return khop_reachability(pairs, max_hops=3, seed_suffix="0")
 
 
+def _q_kg_type_matrix(sf_dir: str):
+    """Schema-level KG report: triple counts + evidence sums by
+    (subj_type, pred, obj_type).  The lexicon-bounded entity->type map
+    rides the task closure (broadcast, no join shuffle); the per-batch
+    partials are O(types^2 x preds) so the driver folds them (the
+    promo/khop precedent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    al = _pq.read_table(_paths(sf_dir)["aliases"],
+                        columns=["entity_id", "type"]).to_pandas()
+    tmap = dict(zip(al["entity_id"], al["type"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = (pd.DataFrame({
+                "subj_type": df["subj"].map(tmap).to_numpy(),
+                "pred": df["pred"].to_numpy(),
+                "obj_type": df["obj"].map(tmap).to_numpy(),
+                "nt": np.int64(1),
+                "ev": df["n_evidence"].to_numpy(dtype=np.int64),
+             })
+             .groupby(["subj_type", "pred", "obj_type"], sort=False)
+             .agg(nt=("nt", "sum"), ev=("ev", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    acc: dict[tuple, list[int]] = {}
+    tri = _kg(sf_dir)["triples"].map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 19)
+    for r in tri.take_all():  # O(types^2 x preds x blocks) — tiny
+        k = (r["subj_type"], r["pred"], r["obj_type"])
+        a = acc.setdefault(k, [0, 0])
+        a[0] += r["nt"]
+        a[1] += r["ev"]
+    keys = sorted(acc)
+    return pa.table({
+        "subj_type": pa.array([k[0] for k in keys], pa.string()),
+        "pred": pa.array([k[1] for k in keys], pa.string()),
+        "obj_type": pa.array([k[2] for k in keys], pa.string()),
+        "n_triples": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_evidence": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })
+
+
 def _q_kg_lpa(sf_dir: str):
     """Synchronous label-propagation communities (4 fixed rounds,
     (count DESC, label ASC) tie-break) over the co-occurrence graph;
@@ -1404,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop": _q_kg_khop,
         "kg_kcore": _q_kg_kcore,
         "kg_lpa": _q_kg_lpa,
+        "kg_type_matrix": _q_kg_type_matrix,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mention_timeline": _q_kg_mention_timeline,
@@ -2027,6 +2075,37 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
         "kg_lpa": _lpa_sql(cte, rounds=4),
+        "kg_type_matrix": cte + f"""
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, 'co_occurs' AS pred,
+                       b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), fo AS (
+                SELECT a.entity_id AS subj, 'follows' AS pred,
+                       b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+                 AND a.entity_id <> b.entity_id
+            ), tr AS (
+                SELECT subj, pred, obj, count(*) AS n_evidence
+                FROM (SELECT * FROM co UNION ALL SELECT * FROM fo)
+                GROUP BY subj, pred, obj
+            ), ty AS (
+                SELECT DISTINCT entity_id, type
+                FROM read_parquet('{p["aliases"]}')
+            )
+            SELECT ts.type AS subj_type, tr.pred, tt.type AS obj_type,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(SUM(tr.n_evidence) AS BIGINT) AS n_evidence
+            FROM tr
+            JOIN ty ts ON ts.entity_id = tr.subj
+            JOIN ty tt ON tt.entity_id = tr.obj
+            GROUP BY ts.type, tr.pred, tt.type
+        """,
         "kg_conv_entities": cte + """
             , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
                      FROM mm)

@@ -216,7 +216,8 @@ def test_sql_oracle_parity_small(ray_session):
                  "kg_entities", "kg_turn_entities", "kg_degrees",
                  "kg_pagerank", "kg_assoc", "kg_components",
                  "kg_common_neighbors", "kg_jaccard_links",
-                 "kg_conv_entities", "kg_mention_timeline", "kg_lpa"]:
+                 "kg_conv_entities", "kg_mention_timeline", "kg_lpa",
+                 "kg_type_matrix"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
