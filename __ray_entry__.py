@@ -919,6 +919,16 @@ def _q_doc_quantiles(sf_dir: str):
     return token_count_quantiles(_docs(sf_dir))
 
 
+def _q_corpus_weighted_sample(sf_dir: str):
+    """Size-biased deterministic sampling: bottom-50 by the integer
+    priority md5(doc_id) // n_tokens (the weighted-reservoir key with
+    float h^(1/w) replaced by an engine-exact integer division)."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        weighted_sample)
+
+    return weighted_sample(_docs(sf_dir), k=50)
+
+
 def _q_corpus_sample(sf_dir: str):
     """Deterministic hash-stratified sample (en 10%, unk 50%) — the
     md5-derived keep rule equals DuckDB md5_number_upper % 100, so the
@@ -1499,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantiles": _q_doc_quantiles,
         "corpus_ranks": _q_corpus_ranks,
         "corpus_sample": _q_corpus_sample,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
         "bm25_topk": _q_bm25_topk,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
@@ -2754,6 +2765,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         # integer-lift idf: (N*10^4)//df on non-negative operands, so
         # DuckDB // == numpy floor; ROW_NUMBER tie (score DESC, token)
+        # uint64 // weight: md5_number_upper is UBIGINT; the explicit
+        # UBIGINT cast on the divisor keeps the division unsigned-exact
+        "corpus_weighted_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       len(string_split(coalesce(text, ''), ' '))
+                           AS n_tokens,
+                       md5_number_upper(CAST(doc_id AS VARCHAR))
+                           // CAST(len(string_split(coalesce(text, ''),
+                                                    ' ')) AS UBIGINT)
+                           AS prio
+                FROM documents
+            )
+            SELECT CAST(row_number() OVER (ORDER BY prio, doc_id)
+                        AS BIGINT) AS rk,
+                   doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM w ORDER BY prio, doc_id LIMIT 50
+        """,
         "docs_tfidf_topk": """
             WITH d AS (
                 SELECT doc_id,

@@ -1053,3 +1053,47 @@ def tfidf_topk(docs: rd.Dataset, n_docs: int, *, k: int = 5) -> rd.Dataset:
             .sort("doc_id")
             .map_batches(rank_complete, batch_format="pyarrow",
                          batch_size=None))
+
+
+def weighted_sample(docs: rd.Dataset, *, k: int = 50) -> pa.Table:
+    """Deterministic weighted sampling without replacement: keep the k
+    documents with the smallest integer priority
+    ``md5_hash(doc_id) // n_tokens`` — longer documents get smaller
+    priorities in expectation, so the sample is size-biased (the
+    exponential-jumps / bottom-k weighted reservoir idea with the
+    float ``h^(1/w)`` key replaced by an INTEGER division key, which
+    both engines floor identically).
+
+    Scale shape: bottom-k partials are mergeable (global bottom-k is
+    inside the union of per-block bottom-ks), so each block ships <= k
+    rows and the driver folds O(k x blocks).  Tie rule: (priority,
+    doc_id).
+
+    Output: (rk, doc_id, n_tokens) sorted by rank."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ")
+        w = pc.list_value_length(toks).to_numpy().astype(np.uint64)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _hash64([str(int(d)) for d in did])
+        prio = h // w  # uint64 floor division, exact on both engines
+        order = np.lexsort((did, prio))[:k]
+        return pa.table({
+            "doc_id": pa.array(did[order].astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(w[order].astype(np.int64), pa.int64()),
+            "prio": pa.array(prio[order], pa.uint64()),
+        })
+
+    rows = (docs.map_batches(bottom_k, batch_format="pyarrow",
+                             batch_size=1 << 19).take_all())
+    rows.sort(key=lambda r: (r["prio"], r["doc_id"]))
+    rows = rows[:k]
+    return pa.table({
+        "rk": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+    })

@@ -35,6 +35,7 @@ SQL_CHECKED = [
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
     "dedup_decontaminate", "dedup_clustering_coeff", "docs_tfidf_topk",
+    "corpus_weighted_sample",
 ]
 
 
@@ -1062,3 +1063,23 @@ def test_clustering_coefficients_brute_force(ray_session):
                                 int(r.coeff_bp))
                for r in out.itertuples()}
         assert got == want, f"broadcast_edges_max={bmax}"
+
+
+def test_weighted_sample_size_bias(ray_session):
+    """The integer-priority weighted sample is genuinely size-biased:
+    with 100 long docs and 900 short ones, long docs are heavily
+    overrepresented vs their 10% population share."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        weighted_sample)
+
+    long_txt = " ".join(["w"] * 400)
+    rows = [{"doc_id": i, "text": long_txt if i < 100 else "a b"}
+            for i in range(1000)]
+    out = weighted_sample(
+        rd.from_items(rows).repartition(5), k=50).to_pandas()
+    long_share = (out["doc_id"] < 100).mean()
+    assert long_share > 0.5, long_share
+    assert out["rk"].tolist() == list(range(1, 51))
