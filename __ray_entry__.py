@@ -949,6 +949,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_hybrid_rerank(sf_dir: str):
+    """Candidate-generation -> dense-rerank: BM25 top-10 per term,
+    re-ranked by embedding cosine to the rank-1 hit.  Rank-only output
+    keeps the float sims out of the hash (the ann_topk rule)."""
+    from clinicaltransformerner_ray.pipelines.retrieval import hybrid_rerank
+
+    return hybrid_rerank(_docs(sf_dir), _vecs(sf_dir), _BM25_TERMS, k=10)
+
+
 def _q_corpus_pack(sf_dir: str):
     """Sequence packing (distributed prefix-sum): global token offset
     and 2048-token bin per doc, bit-exact vs the window-cumsum SQL."""
@@ -1511,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "bm25_topk": _q_bm25_topk,
+        "hybrid_rerank": _q_hybrid_rerank,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
         "tpch_disjunctive": _q_tpch_disjunctive,
@@ -2910,6 +2920,77 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # within a term the idf factor is a positive constant, so rank
         # only depends on g(tf, dl) — evaluated with the identical
         # operation tree as pipelines/retrieval.py (bit-exact ranks)
+        # composes the bm25 CTE with a cosine rerank against the
+        # rank-1 hit; rank-only output (the ann_topk float rule)
+        "hybrid_rerank": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), ' ') AS l,
+                       len(coalesce(text, ''))
+                       - len(replace(coalesce(text, ''), ' ', '')) + 1
+                           AS dl
+                FROM documents
+            ),
+            stats AS (SELECT count(*) AS n_docs,
+                             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM d),
+            terms(term) AS (VALUES ('batch'), ('join'), ('the'),
+                                   ('vector')),
+            tf AS (
+                SELECT t.term, d.doc_id, d.dl,
+                       len(list_filter(d.l, x -> x = t.term)) AS tf
+                FROM d CROSS JOIN terms t
+            ),
+            g AS (
+                SELECT term AS query_term, doc_id,
+                       tf * (CAST(1.2 AS DOUBLE) + 1)
+                       / (tf + CAST(1.2 AS DOUBLE)
+                          * (1 - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                           AS s
+                FROM tf, stats WHERE tf > 0
+            ),
+            cand AS (
+                SELECT query_term, doc_id,
+                       CAST(rk AS BIGINT) AS bm25_rank
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY query_term
+                          ORDER BY s DESC, doc_id ASC) AS rk
+                      FROM g) WHERE rk <= 10
+            ),
+            anchor AS (SELECT query_term, doc_id AS aid
+                       FROM cand WHERE bm25_rank = 1),
+            unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
+                      FROM unn GROUP BY vec_id),
+            dots AS (
+                SELECT c.query_term, c.doc_id, c.bm25_rank,
+                       sum(qa.v * dv.v) AS dot
+                FROM cand c
+                JOIN anchor a ON a.query_term = c.query_term
+                JOIN unn qa ON qa.vec_id = a.aid
+                JOIN unn dv ON dv.vec_id = c.doc_id AND dv.i = qa.i
+                GROUP BY c.query_term, c.doc_id, c.bm25_rank
+            ),
+            sims AS (
+                SELECT dt.query_term, dt.doc_id, dt.bm25_rank,
+                       dt.dot / (nq.nn * nd.nn) AS sim
+                FROM dots dt
+                JOIN anchor a ON a.query_term = dt.query_term
+                JOIN norms nq ON nq.vec_id = a.aid
+                JOIN norms nd ON nd.vec_id = dt.doc_id
+            )
+            SELECT query_term, doc_id, bm25_rank,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_term
+                       ORDER BY sim DESC, doc_id ASC) AS BIGINT)
+                       AS rerank
+            FROM sims
+        """,
         "bm25_topk": """
             WITH d AS (
                 SELECT doc_id,

@@ -163,3 +163,71 @@ def bm25_topk(
         .sort("query_term")
         .map_batches(finalize, batch_format="pyarrow", batch_size=None)
     )
+
+
+def hybrid_rerank(
+    docs: rd.Dataset,
+    vecs: rd.Dataset,
+    terms: list[str],
+    *,
+    k: int = 10,
+) -> pa.Table:
+    """Two-stage hybrid retrieval: per query term, the BM25 top-``k``
+    lexical candidates are RE-RANKED by embedding cosine similarity to
+    the BM25 rank-1 document (a more-like-the-best-hit expansion — the
+    classic candidate-generation -> dense-rerank pipeline shape).
+
+    Exactness: like :func:`bm25_topk` and ann_topk, only RANKS are
+    emitted — cosine margins on the synth embeddings are orders of
+    magnitude above accumulation noise, and both engines order by
+    (sim DESC, doc_id ASC).
+
+    Scale shape: stage 1 is the streaming BM25 pipeline; stage 2
+    fetches ONLY the candidate embeddings with a distributed pyarrow
+    filter (the `load_queries` pattern — O(terms x k) rows reach the
+    driver) and the rerank itself is a numpy matmul over that tiny
+    candidate set (O(terms x k x dim), driver-side by design).
+
+    Output: pa.Table (query_term, doc_id, bm25_rank, rerank)."""
+    import pyarrow.compute as pc
+
+    cand = bm25_topk(docs, terms, k=k).take_all()  # O(terms x k)
+    by_term: dict[str, list] = {}
+    for r in cand:
+        by_term.setdefault(r["query_term"], []).append(
+            (r["rank"], r["doc_id"]))
+    need = sorted({r["doc_id"] for r in cand})
+    need_arr = pa.array(need, pa.int64())
+
+    emb_rows = vecs.map_batches(
+        lambda b, _n=need_arr: b.filter(
+            pc.is_in(pc.cast(b.column("vec_id"), pa.int64()), _n)),
+        batch_format="pyarrow",
+    ).take_all()  # O(terms x k) candidate embeddings only
+    E = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+         for r in emb_rows}
+
+    o_term, o_doc, o_b, o_r = [], [], [], []
+    for term in sorted(by_term):
+        ranked = sorted(by_term[term])
+        anchor_id = ranked[0][1]
+        q = E[anchor_id]
+        q = q / np.linalg.norm(q)
+        ids = np.asarray([d for _, d in ranked], np.int64)
+        M = np.stack([E[d] for d in ids])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ q
+        order = np.lexsort((ids, -sims))
+        rr = np.empty(len(ids), np.int64)
+        rr[order] = np.arange(1, len(ids) + 1)
+        for (brank, did), r2 in zip(ranked, rr):
+            o_term.append(term)
+            o_doc.append(did)
+            o_b.append(brank)
+            o_r.append(int(r2))
+    return pa.table({
+        "query_term": pa.array(o_term, pa.string()),
+        "doc_id": pa.array(o_doc, pa.int64()),
+        "bm25_rank": pa.array(o_b, pa.int64()),
+        "rerank": pa.array(o_r, pa.int64()),
+    })

@@ -35,7 +35,7 @@ SQL_CHECKED = [
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
     "dedup_decontaminate", "dedup_clustering_coeff", "docs_tfidf_topk",
-    "corpus_weighted_sample",
+    "corpus_weighted_sample", "hybrid_rerank",
 ]
 
 
