@@ -1065,6 +1065,20 @@ def _q_events_type_pivot(sf_dir: str):
                         columns=["user_id", "event_type", "value"]))
 
 
+def _q_events_markov(sf_dir: str):
+    """First-order Markov transition counts over each user's ordered
+    event-type stream (lag shape + driver-folded types^2 partials)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        type_transition_counts)
+
+    return type_transition_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+
+
 def _q_events_kmv_users(sf_dir: str):
     """KMV bottom-k distinct sketch over user_id: the sketch state (k
     smallest md5 hashes) is an order statistic both engines compute
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users_rowsonly": _q_events_hll_users_rowsonly,
         "events_kmv_users": _q_events_kmv_users,
         "events_type_pivot": _q_events_type_pivot,
+        "events_markov": _q_events_markov,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2414,6 +2429,21 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                              // CAST(hk AS HUGEINT)
                         END AS BIGINT) AS est_users
             FROM agg
+        """,
+        "events_markov": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                FROM events
+            ), t AS (
+                SELECT event_type AS to_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY us, event_id) AS from_type
+                FROM e
+            )
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         # lower median via 1-based list indexing (n+1)//2 == the Ray
         # side's 0-based (n-1)//2; ORDER BY inside list() pins the sort

@@ -1460,3 +1460,61 @@ def user_type_pivot(events: rd.Dataset) -> rd.Dataset:
             .sort("user_id")
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=None))
+
+
+def type_transition_counts(events: rd.Dataset) -> pa.Table:
+    """Event-type TRANSITION matrix (first-order Markov estimation):
+    counts of consecutive (from_type, to_type) pairs within each
+    user's (ts, event_id)-ordered stream.
+
+    Shape: the `user_gap_stats` lag pattern — one sort on user_id,
+    vectorized per-block lag with a first-row-per-user mask — followed
+    by a driver fold of the per-block (from, to, n) partials
+    (O(types^2 x blocks), the promo precedent).
+
+    Output: pa.Table (from_type, to_type, n) sorted by key."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "us": batch.column("ts").cast(pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "event_type": batch.column("event_type").cast(pa.string()),
+        })
+
+    def lag_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "us", "event_id"])
+        if df.empty:
+            return pa.table({
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = np.empty(len(df), bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        g = (pd.DataFrame({
+                "from_type": np.concatenate(([""], et[:-1]))[same],
+                "to_type": et[same],
+             })
+             .groupby(["from_type", "to_type"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (events.map_batches(proj, batch_format="pyarrow",
+                                batch_size=1 << 19)
+             .sort("user_id")
+             .map_batches(lag_counts, batch_format="pyarrow",
+                          batch_size=None))
+    acc: dict[tuple[str, str], int] = {}
+    for r in parts.take_all():  # O(types^2 x blocks) — tiny
+        k = (r["from_type"], r["to_type"])
+        acc[k] = acc.get(k, 0) + r["n"]
+    keys = sorted(acc)
+    return pa.table({
+        "from_type": pa.array([k[0] for k in keys], pa.string()),
+        "to_type": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([acc[k] for k in keys], pa.int64()),
+    })
