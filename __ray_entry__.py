@@ -241,6 +241,16 @@ def _q_kg_khop(sf_dir: str):
     return khop_reachability(pairs, max_hops=3, seed_suffix="0")
 
 
+def _q_kg_conv_stats(sf_dir: str):
+    """Per-conversation transcript triage: role turn counts, token
+    totals, epoch-us span — no model stage, one conv_id shuffle."""
+    from clinicaltransformerner_ray.pipelines.kg import conversation_stats
+    from clinicaltransformerner_ray.sources.turns import read_turns
+
+    return conversation_stats(
+        read_turns(sf_dir, columns=["conv_id", "role", "text", "ts"]))
+
+
 def _q_kg_type_matrix(sf_dir: str):
     """Schema-level KG report: triple counts + evidence sums by
     (subj_type, pred, obj_type).  The lexicon-bounded entity->type map
@@ -1485,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_lpa": _q_kg_lpa,
         "kg_type_matrix": _q_kg_type_matrix,
+        "kg_conv_stats": _q_kg_conv_stats,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mention_timeline": _q_kg_mention_timeline,
@@ -2111,6 +2122,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
         "kg_lpa": _lpa_sql(cte, rounds=4),
+        "kg_conv_stats": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (role = 'user') AS BIGINT)
+                       AS n_user,
+                   CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+                       AS n_assistant,
+                   CAST(count(*) FILTER (role = 'tool') AS BIGINT)
+                       AS n_tool,
+                   CAST(SUM(len(coalesce(text, ''))
+                            - len(replace(coalesce(text, ''), ' ', ''))
+                            + 1) AS BIGINT) AS n_tokens,
+                   MIN(epoch_us(ts)) AS first_us,
+                   MAX(epoch_us(ts)) AS last_us
+            FROM read_parquet('{p["turns_sql"]}')
+            GROUP BY conv_id
+        """,
         "kg_type_matrix": cte + f"""
             , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
                      FROM mm)

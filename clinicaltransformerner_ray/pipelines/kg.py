@@ -829,3 +829,66 @@ def mention_timeline(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
             .map_batches(attach_ts, batch_format="pyarrow", batch_size=None)
             .sort("entity_id")
             .map_batches(complete, batch_format="pyarrow", batch_size=None))
+
+
+def conversation_stats(turns: rd.Dataset) -> rd.Dataset:
+    """Per-conversation transcript profile straight off the turns
+    table (no tagger): turn counts per role, total whitespace tokens,
+    and the conversation's epoch-us time span — the corpus-triage
+    report a pipeline runs BEFORE any model stage.
+
+    One combine/sort/combine on the high-cardinality conv_id; the
+    combiner is pure Arrow kernels + one pandas groupby (counts, sums,
+    min/max all merge associatively, so re-running it per sorted block
+    completes the aggregate exactly)."""
+    import pyarrow.compute as pc
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if "n_turns" in batch.column_names:
+            df = batch.to_pandas()
+            g = (df.groupby("conv_id", sort=False)
+                 .agg(n_turns=("n_turns", "sum"),
+                      n_user=("n_user", "sum"),
+                      n_assistant=("n_assistant", "sum"),
+                      n_tool=("n_tool", "sum"),
+                      n_tokens=("n_tokens", "sum"),
+                      first_us=("first_us", "min"),
+                      last_us=("last_us", "max"))
+                 .reset_index())
+        else:
+            text = pc.fill_null(batch.column("text"), "")
+            toks = pc.add(pc.count_substring(text, " "), 1)
+            role = batch.column("role").to_pandas()
+            g = (pd.DataFrame({
+                    "conv_id": batch.column("conv_id").to_pandas(),
+                    "n_turns": np.int64(1),
+                    "n_user": (role == "user").to_numpy(np.int64),
+                    "n_assistant": (role == "assistant")
+                    .to_numpy(np.int64),
+                    "n_tool": (role == "tool").to_numpy(np.int64),
+                    "n_tokens": toks.to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "first_us": batch.column("ts").cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                 })
+                 .assign(last_us=lambda d: d["first_us"])
+                 .groupby("conv_id", sort=False)
+                 .agg(n_turns=("n_turns", "sum"),
+                      n_user=("n_user", "sum"),
+                      n_assistant=("n_assistant", "sum"),
+                      n_tool=("n_tool", "sum"),
+                      n_tokens=("n_tokens", "sum"),
+                      first_us=("first_us", "min"),
+                      last_us=("last_us", "max"))
+                 .reset_index())
+        cols = {"conv_id": pa.array(g["conv_id"].tolist(), pa.string())}
+        for c in ("n_turns", "n_user", "n_assistant", "n_tool",
+                  "n_tokens", "first_us", "last_us"):
+            cols[c] = pa.array(g[c].to_numpy(dtype=np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (turns.map_batches(combine, batch_format="pyarrow",
+                              batch_size=COMBINE_BATCH)
+            .sort("conv_id")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))
