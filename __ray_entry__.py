@@ -680,6 +680,15 @@ def _q_dedup_triangles(sf_dir: str):
         out_col="doc_id")
 
 
+def _q_dedup_containment(sf_dir: str):
+    """Near-subset pairs: smaller shingle set >= 90% contained in the
+    other — the doc-inside-doc duplication Jaccard misses."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        ngram_containment_pairs)
+
+    return ngram_containment_pairs(_docs(sf_dir), n=3, threshold=0.9)
+
+
 def _q_dedup_clustering_coeff(sf_dir: str):
     """Local clustering coefficient per node of the near-dup pair
     graph (how clique-like each doc's dup neighborhood is — the signal
@@ -1521,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_triangles": _q_dedup_triangles,
         "dedup_clustering_coeff": _q_dedup_clustering_coeff,
+        "dedup_containment": _q_dedup_containment,
         "dedup_curate": _q_dedup_curate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -2553,6 +2563,36 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_triangles
             FROM roles GROUP BY doc_id
+        """,
+        # containment = i / min(sa, sb): one division of exact ints,
+        # bit-identical across engines (the jaccard-output precedent)
+        "dedup_containment": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(CASE
+                    WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                    ELSE list_transform(range(1, len(l) - 1),
+                                        i -> l[i]||' '||l[i+1]||' '||l[i+2])
+                    END)) AS s
+                FROM d
+            ),
+            sizes AS (SELECT doc_id, count(*) AS c FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id AS doc_a, b_id AS doc_b,
+                   CAST(i AS BIGINT) AS n_common,
+                   CAST(sa.c AS BIGINT) AS size_a,
+                   CAST(sb.c AS BIGINT) AS size_b,
+                   CAST(i AS DOUBLE) / least(sa.c, sb.c) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE CAST(i AS DOUBLE) / least(sa.c, sb.c) >= 0.9
         """,
         # coeff_bp operands are non-negative, so DuckDB's truncating //
         # equals numpy's floor division (CLAUDE.md round-3 rule 3)

@@ -106,6 +106,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    mode: str = "jaccard",
 ) -> rd.Dataset:
     """All document pairs with word-``n``-gram Jaccard >= ``threshold``.
 
@@ -205,6 +206,20 @@ def ngram_jaccard_pairs(
 
     def finalize(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        if mode == "containment":
+            # near-SUBSET detection: i / min(|A|, |B|).  One float
+            # division of exact ints — bit-identical across engines
+            # (no accumulation, the jaccard precedent)
+            df["containment"] = (df["i"]
+                                 / np.minimum(df["fsa"], df["fsb"]))
+            out = df[df["containment"] >= threshold]
+            out = out.rename(columns={
+                "a": "doc_a", "b": "doc_b", "i": "n_common",
+                "fsa": "size_a", "fsb": "size_b"})
+            return pa.Table.from_pandas(
+                out[["doc_a", "doc_b", "n_common", "size_a", "size_b",
+                     "containment"]],
+                preserve_index=False)
         df["jaccard"] = df["i"] / (df["fsa"] + df["fsb"] - df["i"])
         out = df[df["jaccard"] >= threshold]
         return pa.Table.from_pandas(
@@ -214,6 +229,23 @@ def ngram_jaccard_pairs(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    docs: rd.Dataset,
+    *,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> rd.Dataset:
+    """Document pairs where the smaller shingle set is >= ``threshold``
+    contained in the other — catches doc-inside-doc duplication
+    (quoted articles, appended boilerplate) that symmetric Jaccard
+    misses: a short doc fully embedded in a long one has tiny Jaccard
+    but containment 1.0.  Same posting-join machinery and ``max_df``
+    hot-shingle guard as :func:`ngram_jaccard_pairs`."""
+    return ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                               max_df=max_df, mode="containment")
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ SQL_CHECKED = [
     "dedup_triangles", "corpus_ranks", "token_bigrams", "dedup_curate",
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
     "dedup_decontaminate", "dedup_clustering_coeff", "docs_tfidf_topk",
-    "corpus_weighted_sample", "hybrid_rerank",
+    "corpus_weighted_sample", "hybrid_rerank", "dedup_containment",
 ]
 
 
@@ -1083,3 +1083,25 @@ def test_weighted_sample_size_bias(ray_session):
     long_share = (out["doc_id"] < 100).mean()
     assert long_share > 0.5, long_share
     assert out["rk"].tolist() == list(range(1, 51))
+
+
+def test_containment_catches_embedded_doc(ray_session):
+    """A short doc fully embedded in a long one: containment 1.0 (pair
+    found) while symmetric Jaccard stays below threshold (pair missed)
+    — the reason the containment variant exists."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i}" for i in range(50))
+    rows = [{"doc_id": 1, "text": small}, {"doc_id": 2, "text": big}]
+    c = ngram_containment_pairs(rd.from_items(rows),
+                                threshold=0.9).to_pandas()
+    assert len(c) == 1
+    assert c.loc[0, "containment"] == 1.0
+    assert (c.loc[0, "doc_a"], c.loc[0, "doc_b"]) == (1, 2)
+    j = ngram_jaccard_pairs(rd.from_items(rows),
+                            threshold=0.8).to_pandas()
+    assert len(j) == 0
