@@ -1162,6 +1162,20 @@ def _q_tpch_min_cost_supplier(sf_dir: str):
         nn)
 
 
+def _q_tpch_line_share(sf_dir: str):
+    """SUM() OVER (PARTITION BY order) joined back to detail rows:
+    per-lineitem revenue share of its order in basis points."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        lineitem_order_share)
+
+    return lineitem_order_share(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_linenumber",
+                                 "l_extendedprice", "l_discount"]))
+
+
 def _q_tpch_copurchase(sf_dir: str):
     """Market-basket pair mining: part pairs co-purchased in >= 2
     orders, emitted via vectorized triangle index arithmetic per
@@ -1560,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
         "tpch_disjunctive": _q_tpch_disjunctive,
         "tpch_copurchase": _q_tpch_copurchase,
+        "tpch_line_share": _q_tpch_line_share,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -3570,6 +3585,22 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        "tpch_line_share": """
+            WITH l AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev_e4
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, rev_e4,
+                   CAST(SUM(rev_e4) OVER (PARTITION BY l_orderkey)
+                        AS BIGINT) AS order_rev_e4,
+                   CAST(rev_e4 * 10000
+                        // SUM(rev_e4) OVER (PARTITION BY l_orderkey)
+                        AS BIGINT) AS share_bp
+            FROM l
+        """,
         "tpch_copurchase": """
             WITH te AS (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -1503,3 +1503,56 @@ def copurchased_parts(
             .sort(["pa_", "pb_"])
             .map_batches(complete, batch_format="pyarrow",
                          batch_size=None))
+
+
+def lineitem_order_share(lineitem: rd.Dataset) -> rd.Dataset:
+    """Windowed-total-joined-back-to-detail shape (SUM() OVER
+    (PARTITION BY order)): every lineitem annotated with its order's
+    total discounted revenue and its own share in basis points,
+    ``share_bp = rev_e4 * 10000 // total_e4`` (non-negative ints, so
+    numpy floor == DuckDB truncation).
+
+    ONE sort on the high-cardinality l_orderkey; the per-block pass
+    computes group totals with a vectorized transform('sum') and emits
+    every detail row — no pre-aggregation is possible (the output IS
+    the detail), so the shuffle moves the projected fact columns
+    once."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "okey": pa.array(df["l_orderkey"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "lno": pa.array(df["l_linenumber"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "rev_e4": pa.array(_rev_e4(df), pa.int64()),
+        })
+
+    def share(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_linenumber": pa.array([], pa.int64()),
+                "rev_e4": pa.array([], pa.int64()),
+                "order_rev_e4": pa.array([], pa.int64()),
+                "share_bp": pa.array([], pa.int64()),
+            })
+        tot = (df.groupby("okey", sort=False)["rev_e4"]
+               .transform("sum").to_numpy(dtype=np.int64))
+        rev = df["rev_e4"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(df["okey"].to_numpy(dtype=np.int64),
+                                   pa.int64()),
+            "l_linenumber": pa.array(
+                df["lno"].to_numpy(dtype=np.int64), pa.int64()),
+            "rev_e4": pa.array(rev, pa.int64()),
+            "order_rev_e4": pa.array(tot, pa.int64()),
+            "share_bp": pa.array(rev * 10_000 // tot, pa.int64()),
+        })
+
+    return (lineitem.map_batches(proj, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+            .sort("okey")
+            .map_batches(share, batch_format="pyarrow",
+                         batch_size=None))

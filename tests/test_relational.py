@@ -36,7 +36,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_idle_rich",
                                   "tpch_min_cost_supplier",
                                   "tpch_disjunctive",
-                                  "tpch_copurchase"])
+                                  "tpch_copurchase",
+                                  "tpch_line_share"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -192,7 +193,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_order_priority",
                                   "tpch_min_cost_supplier",
                                   "tpch_disjunctive",
-                                  "tpch_copurchase"])
+                                  "tpch_copurchase",
+                                  "tpch_line_share"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -228,6 +230,13 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("orders", ["o_orderkey", "o_orderdate",
                           "o_orderpriority"], 4),
             ds("lineitem", ["l_orderkey", "l_returnflag"]))
+    elif name == "tpch_line_share":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            lineitem_order_share)
+
+        res = lineitem_order_share(
+            ds("lineitem", ["l_orderkey", "l_linenumber",
+                            "l_extendedprice", "l_discount"], 6))
     elif name == "tpch_copurchase":
         from clinicaltransformerner_ray.pipelines.relational import (
             copurchased_parts)
