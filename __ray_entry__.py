@@ -1084,6 +1084,19 @@ def _q_events_type_pivot(sf_dir: str):
                         columns=["user_id", "event_type", "value"]))
 
 
+def _q_events_sliding_distinct(sf_dir: str):
+    """Global distinct users per overlapping 1h/15min sliding window
+    (window-sorted so each window's user set lands whole per block)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        sliding_distinct_users)
+
+    return sliding_distinct_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
 def _q_events_markov(sf_dir: str):
     """First-order Markov transition counts over each user's ordered
     event-type stream (lag shape + driver-folded types^2 partials)."""
@@ -1598,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_users": _q_events_kmv_users,
         "events_type_pivot": _q_events_type_pivot,
         "events_markov": _q_events_markov,
+        "events_sliding_distinct": _q_events_sliding_distinct,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2482,6 +2496,21 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                              // CAST(hk AS HUGEINT)
                         END AS BIGINT) AS est_users
             FROM agg
+        """,
+        # every event covers the 4 window starts (us//slide - g)*slide;
+        # us >= 0 so // truncation == floor on both engines
+        "events_sliding_distinct": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us FROM events
+            ), w AS (
+                SELECT (us // 900000000 - g.g) * 900000000 AS win_us,
+                       user_id
+                FROM e CROSS JOIN generate_series(0, 3) g(g)
+            )
+            SELECT win_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY win_us
         """,
         "events_markov": """
             WITH e AS (

@@ -1518,3 +1518,74 @@ def type_transition_counts(events: rd.Dataset) -> pa.Table:
         "to_type": pa.array([k[1] for k in keys], pa.string()),
         "n": pa.array([acc[k] for k in keys], pa.int64()),
     })
+
+
+def sliding_distinct_users(
+    events: rd.Dataset,
+    *,
+    window_us: int = 3600 * 1_000_000,
+    slide_us: int = 900 * 1_000_000,
+) -> rd.Dataset:
+    """GLOBAL distinct users (and event totals) per sliding window —
+    the overlapping-window DISTINCT that per-(user, window) partials
+    can't answer: every event replicates into its ``window_us /
+    slide_us`` covering windows (vectorized np.repeat) and pre-reduces
+    to (window, user, cnt) partials, ONE sort on the window key alone
+    puts each window's full user set in one block (sorting on the
+    composite would split a window at user boundaries and undercount
+    the distinct), and the per-block completion sums counts + nuniques
+    users.
+
+    Output: (win_us, n_users, n_events) — exact int64."""
+    assert window_us % slide_us == 0
+    n_covers = window_us // slide_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        base = (us // slide_us) * slide_us
+        k = np.tile(np.arange(n_covers, dtype=np.int64), len(df))
+        g = (pd.DataFrame({
+                "win_us": np.repeat(base, n_covers) - k * slide_us,
+                "user_id": np.repeat(uid, n_covers),
+                "cnt": np.int64(1),
+             })
+             .groupby(["win_us", "user_id"], sort=False)["cnt"]
+             .sum().reset_index())
+        return pa.table({
+            "win_us": pa.array(g["win_us"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "win_us": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        g = (df.groupby("win_us", sort=False)
+             .agg(n_users=("user_id", "nunique"),
+                  n_events=("cnt", "sum"))
+             .reset_index())
+        return pa.table({
+            "win_us": pa.array(g["win_us"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "n_events": pa.array(g["n_events"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+        })
+
+    return (events.map_batches(expand, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("win_us")
+            .map_batches(complete, batch_format="pyarrow",
+                         batch_size=None))
