@@ -3100,8 +3100,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                           ORDER BY s DESC, doc_id ASC) AS rk
                       FROM g) WHERE rk <= 10
             ),
-            anchor AS (SELECT query_term, doc_id AS aid
-                       FROM cand WHERE bm25_rank = 1),
             unn AS (
                 SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                        generate_subscripts(embedding, 1) AS i
@@ -3109,6 +3107,19 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             ),
             norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
                       FROM unn GROUP BY vec_id),
+            -- anchor = best-BM25-rank candidate that HAS an embedding
+            -- (coverage is partial at some SFs); non-embedded
+            -- candidates drop from the rerank via the norms joins
+            anchor AS (
+                SELECT query_term, doc_id AS aid FROM (
+                    SELECT c.query_term, c.doc_id,
+                           row_number() OVER (
+                               PARTITION BY c.query_term
+                               ORDER BY c.bm25_rank) AS rn
+                    FROM cand c
+                    JOIN norms nx ON nx.vec_id = c.doc_id)
+                WHERE rn = 1
+            ),
             dots AS (
                 SELECT c.query_term, c.doc_id, c.bm25_rank,
                        sum(qa.v * dv.v) AS dot

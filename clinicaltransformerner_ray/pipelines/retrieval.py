@@ -188,6 +188,13 @@ def hybrid_rerank(
     driver) and the rerank itself is a numpy matmul over that tiny
     candidate set (O(terms x k x dim), driver-side by design).
 
+    Embedding coverage can be PARTIAL (at sf0.1 the synth embeddings
+    table covers 2000 of 5000 docs): candidates without an embedding
+    are excluded from the rerank, and the anchor is the best-BM25-rank
+    candidate that HAS one — identical to the SQL oracle's inner joins
+    against the embeddings table.  A term whose candidates have no
+    embeddings at all emits no rows.
+
     Output: pa.Table (query_term, doc_id, bm25_rank, rerank)."""
     import pyarrow.compute as pc
 
@@ -209,7 +216,10 @@ def hybrid_rerank(
 
     o_term, o_doc, o_b, o_r = [], [], [], []
     for term in sorted(by_term):
-        ranked = sorted(by_term[term])
+        ranked = [rd_ for rd_ in sorted(by_term[term])
+                  if rd_[1] in E]  # embedded candidates only
+        if not ranked:
+            continue
         anchor_id = ranked[0][1]
         q = E[anchor_id]
         q = q / np.linalg.norm(q)

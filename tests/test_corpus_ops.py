@@ -1105,3 +1105,36 @@ def test_containment_catches_embedded_doc(ray_session):
     j = ngram_jaccard_pairs(rd.from_items(rows),
                             threshold=0.8).to_pandas()
     assert len(j) == 0
+
+
+def test_hybrid_rerank_partial_embedding_coverage(ray_session):
+    """Candidates without an embedding are excluded and the anchor
+    falls back to the best-ranked EMBEDDED candidate (the sf0.1
+    regime, where embeddings cover only part of the corpus); a term
+    with zero embedded candidates emits no rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.retrieval import (
+        hybrid_rerank)
+
+    # docs 1..4 contain 'zap'; only docs 2 and 4 have embeddings, so
+    # the anchor is doc 2 (best embedded bm25 rank) and docs 1,3 drop
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "zap zap zap zap"},
+        {"doc_id": 2, "text": "zap zap zap"},
+        {"doc_id": 3, "text": "zap zap"},
+        {"doc_id": 4, "text": "zap filler words here"},
+        {"doc_id": 5, "text": "nothing relevant"},
+    ])
+    vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([2, 4], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+    }))
+    out = hybrid_rerank(docs, vecs, ["zap", "absent"], k=10).to_pandas()
+    assert set(out["doc_id"]) == {2, 4}
+    assert set(out["query_term"]) == {"zap"}  # 'absent' has no cands
+    row = out.set_index("doc_id")
+    assert row.loc[2, "rerank"] == 1   # anchor ranks itself first
+    assert row.loc[4, "rerank"] == 2
