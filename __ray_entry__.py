@@ -1175,6 +1175,20 @@ def _q_tpch_min_cost_supplier(sf_dir: str):
         nn)
 
 
+def _q_tpch_revenue_deciles(sf_dir: str):
+    """Distributed NTILE(10) over customer revenue: exact quantile
+    boundary values from a histogram CDF walk, broadcast into a
+    vectorized bucketing map — no global row-number pass."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        customer_revenue_deciles)
+
+    return customer_revenue_deciles(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"]))
+
+
 def _q_tpch_line_share(sf_dir: str):
     """SUM() OVER (PARTITION BY order) joined back to detail rows:
     per-lineitem revenue share of its order in basis points."""
@@ -1588,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_disjunctive": _q_tpch_disjunctive,
         "tpch_copurchase": _q_tpch_copurchase,
         "tpch_line_share": _q_tpch_line_share,
+        "tpch_revenue_deciles": _q_tpch_revenue_deciles,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -3625,6 +3640,30 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        # b_k = value at 1-based position (k*N+9)//10 (non-negative //
+        # == floor); ties on a boundary value share a bucket so the
+        # row_number tie order never matters
+        "tpch_revenue_deciles": """
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ), n AS (SELECT count(*) AS nt FROM r),
+            s AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents) AS rn
+                  FROM r),
+            b AS (
+                SELECT s.cents AS bv
+                FROM generate_series(1, 9) g(k)
+                CROSS JOIN n
+                JOIN s ON s.rn = (g.k * n.nt + 9) // 10
+            )
+            SELECT r.o_custkey, r.cents AS revenue_cents,
+                   CAST(1 + (SELECT count(*) FROM b
+                             WHERE r.cents > b.bv) AS BIGINT) AS decile
+            FROM r
+        """,
         "tpch_line_share": """
             WITH l AS (
                 SELECT l_orderkey, l_linenumber,

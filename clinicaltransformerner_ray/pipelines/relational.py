@@ -1556,3 +1556,73 @@ def lineitem_order_share(lineitem: rd.Dataset) -> rd.Dataset:
             .sort("okey")
             .map_batches(share, batch_format="pyarrow",
                          batch_size=None))
+
+
+def customer_revenue_deciles(orders: rd.Dataset) -> rd.Dataset:
+    """Distributed NTILE: bucket every customer into a revenue decile
+    WITHOUT a global row-number — exact quantile boundary VALUES come
+    from a (cents, count) histogram CDF walk on the driver (bounded by
+    distinct revenue points, the value_quantiles precedent), broadcast
+    into a final vectorized bucketing map.  Boundary rule on BOTH
+    engines: b_k = value at 1-based sorted position (k*N + 9) // 10,
+    decile(c) = 1 + #{k : c > b_k} — ties on a boundary value share a
+    bucket, so the tie-order inside row_number never matters.
+
+    Output: (o_custkey, revenue_cents, decile) — exact int64."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "cents" not in df.columns:
+            df = pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+                "cents": _round_half_away(
+                    df["o_totalprice"].to_numpy() * 100),
+            })
+        g = (df.groupby("o_custkey", sort=False)["cents"].sum()
+             .reset_index())
+        return pa.table({
+            "o_custkey": pa.array(g["o_custkey"].to_numpy(), pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+        })
+
+    # read twice downstream (histogram + bucketing): materialize once
+    per_cust = (orders.map_batches(combine, batch_format="pyarrow",
+                                   batch_size=1 << 19)
+                .sort("o_custkey")
+                .map_batches(combine, batch_format="pyarrow",
+                             batch_size=None)
+                .materialize())
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("cents", sort=False).size().reset_index(name="n")
+        return pa.table({
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    acc: dict[int, int] = {}
+    for r in per_cust.map_batches(hist, batch_format="pyarrow",
+                                  batch_size=1 << 19).take_all():
+        acc[r["cents"]] = acc.get(r["cents"], 0) + r["n"]
+    vals = np.array(sorted(acc), dtype=np.int64)
+    cdf = np.cumsum([acc[int(v)] for v in vals])
+    n_total = int(cdf[-1]) if len(cdf) else 0
+    bounds = np.array(
+        [vals[np.searchsorted(cdf, (k * n_total + 9) // 10)]
+         for k in range(1, 10)], dtype=np.int64) if n_total else \
+        np.array([], dtype=np.int64)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        # searchsorted(left) over sorted bounds == #{k : b_k < c}
+        dec = 1 + np.searchsorted(bounds, c, side="left")
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "revenue_cents": batch.column("cents"),
+            "decile": pa.array(dec.astype(np.int64), pa.int64()),
+        })
+
+    return per_cust.map_batches(bucket, batch_format="pyarrow")

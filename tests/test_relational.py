@@ -37,7 +37,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_min_cost_supplier",
                                   "tpch_disjunctive",
                                   "tpch_copurchase",
-                                  "tpch_line_share"])
+                                  "tpch_line_share",
+                                  "tpch_revenue_deciles"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -194,7 +195,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_min_cost_supplier",
                                   "tpch_disjunctive",
                                   "tpch_copurchase",
-                                  "tpch_line_share"])
+                                  "tpch_line_share",
+                                  "tpch_revenue_deciles"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -230,6 +232,12 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("orders", ["o_orderkey", "o_orderdate",
                           "o_orderpriority"], 4),
             ds("lineitem", ["l_orderkey", "l_returnflag"]))
+    elif name == "tpch_revenue_deciles":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            customer_revenue_deciles)
+
+        res = customer_revenue_deciles(
+            ds("orders", ["o_custkey", "o_totalprice"], 5))
     elif name == "tpch_line_share":
         from clinicaltransformerner_ray.pipelines.relational import (
             lineitem_order_share)
