@@ -241,6 +241,15 @@ def _q_kg_khop(sf_dir: str):
     return khop_reachability(pairs, max_hops=3, seed_suffix="0")
 
 
+def _q_kg_near_cooccur(sf_dir: str):
+    """Windowed co-occurrence (0 < gap <= 2 turns): the proximity
+    generalization of co_occurs/follows, emitted via per-block
+    shifted-merge window joins over conv-sorted turn tables."""
+    from clinicaltransformerner_ray.pipelines.kg import near_cooccurrence
+
+    return near_cooccurrence(_kg(sf_dir)["linked"], window=2)
+
+
 def _q_kg_conv_stats(sf_dir: str):
     """Per-conversation transcript triage: role turn counts, token
     totals, epoch-us span — no model stage, one conv_id shuffle."""
@@ -1546,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lpa": _q_kg_lpa,
         "kg_type_matrix": _q_kg_type_matrix,
         "kg_conv_stats": _q_kg_conv_stats,
+        "kg_near_cooccur": _q_kg_near_cooccur,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mention_timeline": _q_kg_mention_timeline,
@@ -2176,6 +2186,19 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
         "kg_lpa": _lpa_sql(cte, rounds=4),
+        "kg_near_cooccur": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            SELECT a.entity_id AS subj, b.entity_id AS obj,
+                   CAST(b.turn_idx - a.turn_idx AS BIGINT) AS gap,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM te a JOIN te b
+              ON a.conv_id = b.conv_id
+             AND b.turn_idx > a.turn_idx
+             AND b.turn_idx <= a.turn_idx + 2
+             AND a.entity_id <> b.entity_id
+            GROUP BY subj, obj, gap
+        """,
         "kg_conv_stats": f"""
             SELECT conv_id,
                    CAST(count(*) AS BIGINT) AS n_turns,

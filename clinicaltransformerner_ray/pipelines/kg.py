@@ -892,3 +892,84 @@ def conversation_stats(turns: rd.Dataset) -> rd.Dataset:
             .sort("conv_id")
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=None))
+
+
+def near_cooccurrence(
+    linked: rd.Dataset,
+    *,
+    window: int = 2,
+) -> rd.Dataset:
+    """Windowed co-occurrence: entity pairs appearing within
+    ``window`` turns of each other in the same conversation (0 <
+    turn_b - turn_a <= window, entity_a != entity_b, pair canonical by
+    the OCCURRENCE ORDER so direction = discourse order) — the
+    generalization of the triple emitter's same-turn `co_occurs` /
+    adjacent-turn `follows` to a proximity window.
+
+    Shape: batch-local dedup to distinct (conv, turn, entity), ONE
+    sort on conv_id (a conversation's rows land whole per block), a
+    vectorized per-block window join — for each offset d in 1..window
+    a pandas merge of the turn-table against itself shifted by d (no
+    Python pair loops) — then combine/sort/combine on the pair key.
+
+    Output: (subj, obj, gap, n_pairs): n_pairs = count of (conv,
+    turn_a, turn_b) incidences at that exact gap."""
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        df = (batch.select(["conv_id", "turn_idx", "entity_id"])
+              .to_pandas().drop_duplicates())
+        return pa.table({
+            "conv_id": pa.array(df["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(
+                df["turn_idx"].to_numpy(dtype=np.int64), pa.int64()),
+            "entity_id": pa.array(df["entity_id"].tolist(), pa.string()),
+        })
+
+    def window_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        outs = []
+        for d in range(1, window + 1):
+            right = df.copy()
+            right["turn_idx"] = right["turn_idx"] - d
+            j = df.merge(right, on=["conv_id", "turn_idx"],
+                         suffixes=("_a", "_b"))
+            j = j[j["entity_id_a"] != j["entity_id_b"]]
+            if len(j):
+                outs.append(pd.DataFrame({
+                    "subj": j["entity_id_a"].to_numpy(),
+                    "obj": j["entity_id_b"].to_numpy(),
+                    "gap": np.int64(d),
+                }))
+        if not outs:
+            return pa.table({
+                "subj": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "gap": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+            })
+        g = (pd.concat(outs)
+             .groupby(["subj", "obj", "gap"], sort=False)
+             .size().reset_index(name="n_pairs"))
+        return pa.table({
+            "subj": pa.array(g["subj"].tolist(), pa.string()),
+            "obj": pa.array(g["obj"].tolist(), pa.string()),
+            "gap": pa.array(g["gap"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "n_pairs": pa.array(g["n_pairs"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["subj", "obj", "gap"], sort=False)["n_pairs"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (linked.map_batches(dedup, batch_format="pyarrow",
+                               batch_size=COMBINE_BATCH)
+            .sort("conv_id")
+            .map_batches(window_pairs, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["subj", "obj", "gap"])
+            .map_batches(complete, batch_format="pyarrow",
+                         batch_size=None))
