@@ -1093,6 +1093,19 @@ def _q_events_type_pivot(sf_dir: str):
                         columns=["user_id", "event_type", "value"]))
 
 
+def _q_events_streaks(sf_dir: str):
+    """Gaps-and-islands longest consecutive-active-day streak per user
+    (day - rank island trick, vectorized per sorted block)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        activity_streaks)
+
+    return activity_streaks(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
 def _q_events_sliding_distinct(sf_dir: str):
     """Global distinct users per overlapping 1h/15min sliding window
     (window-sorted so each window's user set lands whole per block)."""
@@ -1637,6 +1650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": _q_events_type_pivot,
         "events_markov": _q_events_markov,
         "events_sliding_distinct": _q_events_sliding_distinct,
+        "events_streaks": _q_events_streaks,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2534,6 +2548,26 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                              // CAST(hk AS HUGEINT)
                         END AS BIGINT) AS est_users
             FROM agg
+        """,
+        "events_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), i AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS isl
+                FROM d
+            ), s AS (
+                SELECT user_id, count(*) AS len
+                FROM i GROUP BY user_id, isl
+            )
+            SELECT user_id,
+                   CAST(max(len) AS BIGINT) AS max_streak_days,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(count(*) AS BIGINT) AS n_streaks
+            FROM s GROUP BY user_id
         """,
         # every event covers the 4 window starts (us//slide - g)*slide;
         # us >= 0 so // truncation == floor on both engines

@@ -1589,3 +1589,68 @@ def sliding_distinct_users(
             .sort("win_us")
             .map_batches(complete, batch_format="pyarrow",
                          batch_size=None))
+
+
+def activity_streaks(events: rd.Dataset) -> rd.Dataset:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    active days plus active-day and streak counts.  Island id is the
+    classic ``day - rank(day)`` trick, fully vectorized per block
+    (epoch-us days are non-negative, so // == floor on both engines).
+
+    One sort on user_id (each user's distinct days land whole per
+    block); the batch-local day-dedup shrinks the shuffle and the
+    post-sort block pass re-dedups (cross-batch duplicates of a
+    (user, day) merge in the sorted block) before the island scan.
+
+    Output: (user_id, max_streak_days, n_active_days, n_streaks)."""
+    DAY_US = 86_400_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "day": (batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // DAY_US),
+        }).drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "day": pa.array(df["day"].to_numpy(), pa.int64()),
+        })
+
+    def islands(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["user_id", "day"]))
+        if df.empty:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "max_streak_days": pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64()),
+                "n_streaks": pa.array([], pa.int64()),
+            })
+        df["isl"] = df["day"] - df.groupby(
+            "user_id", sort=False).cumcount()
+        runs = (df.groupby(["user_id", "isl"], sort=False)
+                .size().reset_index(name="len"))
+        g = (runs.groupby("user_id", sort=False)
+             .agg(max_streak_days=("len", "max"),
+                  n_active_days=("len", "sum"),
+                  n_streaks=("len", "size"))
+             .reset_index())
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "max_streak_days": pa.array(
+                g["max_streak_days"].to_numpy(dtype=np.int64),
+                pa.int64()),
+            "n_active_days": pa.array(
+                g["n_active_days"].to_numpy(dtype=np.int64),
+                pa.int64()),
+            "n_streaks": pa.array(
+                g["n_streaks"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    return (events.map_batches(days, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(islands, batch_format="pyarrow",
+                         batch_size=None))

@@ -326,7 +326,7 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_intervals", "events_outliers",
                  "events_gaps", "events_kmv_users",
                  "events_type_pivot", "events_markov",
-                 "events_sliding_distinct"]:
+                 "events_sliding_distinct", "events_streaks"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
@@ -1025,3 +1025,27 @@ def test_user_type_pivot_catchall_and_block_split(ray_session):
     assert out.loc[1, "cents_other"] == 250
     assert out.loc[2, "n_view"] == 1 and out.loc[2, "cents_view"] == 999
     assert out.loc[2, "n_other"] == 0
+
+
+def test_activity_streaks_islands(ray_session):
+    """Hand graph: days {0,1,2, 5, 7,8} -> streaks 3/1/2 (max 3,
+    n_streaks 3); duplicate (user, day) rows across blocks collapse."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        activity_streaks)
+
+    D = 86_400_000_000
+    days = [0, 0, 1, 2, 5, 7, 8, 8]
+    tbl = pa.table({
+        "user_id": pa.array([1] * len(days) + [2], pa.int64()),
+        "ts": pa.array([d * D + 123 for d in days] + [9 * D],
+                       pa.timestamp("us")),
+    })
+    out = (activity_streaks(rd.from_arrow(tbl).repartition(4))
+           .to_pandas().set_index("user_id"))
+    assert out.loc[1, "max_streak_days"] == 3
+    assert out.loc[1, "n_active_days"] == 6
+    assert out.loc[1, "n_streaks"] == 3
+    assert out.loc[2, "max_streak_days"] == 1
