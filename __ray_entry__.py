@@ -947,6 +947,27 @@ def _q_doc_quantiles(sf_dir: str):
     return token_count_quantiles(_docs(sf_dir))
 
 
+def _q_corpus_shard_plan(sf_dir: str):
+    """Partitioned-output planning: md5 % 16 shard assignment with
+    per-shard doc/token balance stats (O(n_shards) partials)."""
+    from clinicaltransformerner_ray.pipelines.textstats import shard_plan
+
+    return shard_plan(_docs(sf_dir), n_shards=16)
+
+
+def _q_events_peak_hour(sf_dir: str):
+    """Groupwise argmax: each user's busiest hour-of-day, ties to the
+    smaller hour."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        peak_hour_per_user)
+
+    return peak_hour_per_user(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
 def _q_corpus_weighted_sample(sf_dir: str):
     """Size-biased deterministic sampling: bottom-50 by the integer
     priority md5(doc_id) // n_tokens (the weighted-reservoir key with
@@ -1618,6 +1639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_ranks": _q_corpus_ranks,
         "corpus_sample": _q_corpus_sample,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
+        "corpus_shard_plan": _q_corpus_shard_plan,
+        "events_peak_hour": _q_events_peak_hour,
         "bm25_topk": _q_bm25_topk,
         "hybrid_rerank": _q_hybrid_rerank,
         "tpch_pricing": _q_tpch_pricing,
@@ -2989,6 +3012,28 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         # integer-lift idf: (N*10^4)//df on non-negative operands, so
         # DuckDB // == numpy floor; ROW_NUMBER tie (score DESC, token)
+        "corpus_shard_plan": """
+            SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 16
+                        AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(coalesce(text, ''), ' ')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY shard
+        """,
+        "events_peak_hour": """
+            WITH h AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 3600000000) % 24 AS hour,
+                       count(*) AS n
+                FROM events GROUP BY user_id, hour
+            )
+            SELECT user_id, CAST(hour AS BIGINT) AS peak_hour,
+                   CAST(n AS BIGINT) AS n_events_at_peak
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY n DESC, hour ASC) AS rk FROM h)
+            WHERE rk = 1
+        """,
         # uint64 // weight: md5_number_upper is UBIGINT; the explicit
         # UBIGINT cast on the divisor keeps the division unsigned-exact
         "corpus_weighted_sample": """

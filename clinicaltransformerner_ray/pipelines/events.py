@@ -1654,3 +1654,61 @@ def activity_streaks(events: rd.Dataset) -> rd.Dataset:
             .sort("user_id")
             .map_batches(islands, batch_format="pyarrow",
                          batch_size=None))
+
+
+def peak_hour_per_user(events: rd.Dataset) -> rd.Dataset:
+    """Groupwise ARGMAX: each user's busiest hour-of-day (0-23), ties
+    broken by the SMALLER hour — the behavioral-profile projection.
+
+    Batch-local (user, hour) count partials, one sort on user_id,
+    block completion: sum counts then a vectorized (count DESC, hour
+    ASC) first-row-per-user pick.  hour = (us // 3600e6) % 24 on
+    non-negative epoch micros (floor == truncation).
+
+    Output: (user_id, peak_hour, n_events_at_peak)."""
+    HOUR_US = 3_600_000_000
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "n" in df.columns:
+            g = (df.groupby(["user_id", "hour"], sort=False)["n"]
+                 .sum().reset_index())
+        else:
+            us = df["ts"].to_numpy().astype("datetime64[us]").astype(
+                np.int64)
+            g = (pd.DataFrame({
+                    "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                    "hour": (us // HOUR_US) % 24,
+                    "n": np.int64(1),
+                 })
+                 .groupby(["user_id", "hour"], sort=False)["n"]
+                 .sum().reset_index())
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "hour": pa.array(g["hour"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def argmax(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["user_id", "hour"], sort=False)["n"].sum()
+             .reset_index()
+             .sort_values(["user_id", "n", "hour"],
+                          ascending=[True, False, True])
+             .drop_duplicates("user_id"))
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "peak_hour": pa.array(g["hour"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "n_events_at_peak": pa.array(
+                g["n"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    return (events.map_batches(combine, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(argmax, batch_format="pyarrow",
+                         batch_size=None))

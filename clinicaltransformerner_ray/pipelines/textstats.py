@@ -1097,3 +1097,54 @@ def weighted_sample(docs: rd.Dataset, *, k: int = 50) -> pa.Table:
         "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
         "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
     })
+
+
+def shard_plan(docs: rd.Dataset, *, n_shards: int = 16) -> rd.Dataset:
+    """Partitioned-output planning: deterministic hash-shard
+    assignment ``shard = md5(doc_id) % n_shards`` with per-shard
+    balance statistics (doc count, token sum) — the report that sizes
+    a resumable partitioned write before it runs.
+
+    Combine/sort/combine on the shard id; partials are O(n_shards)
+    per batch so the shuffle is negligible.  md5-derived hashing ==
+    DuckDB ``md5_number_upper`` (CLAUDE.md), and n_shards divides into
+    uint64 space without bias concerns for a balance REPORT."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = batch.to_pandas()
+        if "n_docs" in df.columns:
+            g = (df.groupby("shard", sort=False)
+                 .agg(n_docs=("n_docs", "sum"),
+                      n_tokens=("n_tokens", "sum"))
+                 .reset_index())
+        else:
+            toks = pc.list_value_length(pc.split_pattern(
+                pc.fill_null(batch.column("text"), ""), " "))
+            h = _hash64([str(int(d)) for d in df["doc_id"]])
+            g = (pd.DataFrame({
+                    "shard": (h % np.uint64(n_shards)).astype(np.int64),
+                    "n_docs": np.int64(1),
+                    "n_tokens": toks.to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                 })
+                 .groupby("shard", sort=False)
+                 .agg(n_docs=("n_docs", "sum"),
+                      n_tokens=("n_tokens", "sum"))
+                 .reset_index())
+        return pa.table({
+            "shard": pa.array(g["shard"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+        })
+
+    return (docs.map_batches(combine, batch_format="pyarrow",
+                             batch_size=1 << 19)
+            .sort("shard")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))
