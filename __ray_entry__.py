@@ -241,6 +241,18 @@ def _q_kg_khop(sf_dir: str):
     return khop_reachability(pairs, max_hops=3, seed_suffix="0")
 
 
+def _q_kg_entity_daily(sf_dir: str):
+    """Per-(entity, day) mention activity: the temporal drill-down of
+    kg_mention_timeline (same ts sort-merge join, day-grain
+    completion)."""
+    from clinicaltransformerner_ray.pipelines.kg import entity_daily
+    from clinicaltransformerner_ray.sources.turns import read_turns
+
+    return entity_daily(
+        _kg(sf_dir)["linked"],
+        read_turns(sf_dir, columns=["conv_id", "turn_idx", "ts"]))
+
+
 def _q_kg_near_cooccur(sf_dir: str):
     """Windowed co-occurrence (0 < gap <= 2 turns): the proximity
     generalization of co_occurs/follows, emitted via per-block
@@ -1590,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_matrix": _q_kg_type_matrix,
         "kg_conv_stats": _q_kg_conv_stats,
         "kg_near_cooccur": _q_kg_near_cooccur,
+        "kg_entity_daily": _q_kg_entity_daily,
         "kg_conv_entities": _q_kg_conv_entities,
         "kg_mention_spans": _q_kg_mention_spans,
         "kg_mention_timeline": _q_kg_mention_timeline,
@@ -2223,6 +2236,19 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
         "kg_lpa": _lpa_sql(cte, rounds=4),
+        "kg_entity_daily": cte + f"""
+            , tt AS (SELECT conv_id, turn_idx, epoch_us(ts) AS us
+                     FROM read_parquet('{p["turns_sql"]}'))
+            , me AS (SELECT mm.entity_id, mm.conv_id, mm.turn_idx,
+                            mm.n, tt.us // 86400000000 AS day
+                     FROM mm JOIN tt USING (conv_id, turn_idx))
+            SELECT entity_id, CAST(day AS BIGINT) AS day,
+                   CAST(SUM(n) AS BIGINT) AS n_mentions,
+                   CAST(COUNT(DISTINCT conv_id || '#' ||
+                              CAST(turn_idx AS VARCHAR)) AS BIGINT)
+                       AS n_turns
+            FROM me GROUP BY entity_id, day
+        """,
         "kg_near_cooccur": cte + """
             , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
                      FROM mm)

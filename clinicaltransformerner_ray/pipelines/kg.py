@@ -973,3 +973,97 @@ def near_cooccurrence(
             .sort(["subj", "obj", "gap"])
             .map_batches(complete, batch_format="pyarrow",
                          batch_size=None))
+
+
+def entity_daily(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
+    """Per-(entity, day) mention activity — the temporal drill-down of
+    :func:`mention_timeline` (same mentions⋈turns sort-merge ts join;
+    see there for the join exactness argument), completed per
+    (entity_id, day) instead of per entity.
+
+    day = epoch_us // 86_400_000_000 (non-negative, floor ==
+    truncation).  The final sort key is the (entity_id, day)
+    composite: every row of one (entity, day) pair carries the same
+    full sort key, so the pair lands whole in one block and the
+    distinct-turn count is block-local exact.
+
+    Output: (entity_id, day, n_mentions, n_turns)."""
+    DAY_US = 86_400_000_000
+
+    def ment_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
+        g = (df.groupby(["conv_id", "turn_idx", "entity_id"], sort=False)
+             .size().reset_index(name="cnt"))
+        n = len(g)
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(
+                g["turn_idx"].to_numpy(dtype=np.int64), pa.int64()),
+            "entity_id": pa.array(g["entity_id"].tolist(), pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "us": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def turn_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
+            "entity_id": pa.array([""] * n, pa.string()),
+            "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "us": batch.column("ts").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def attach_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df[df["side"] == 1]
+        t = df[df["side"] == 0]
+        j = m.merge(
+            t[["conv_id", "turn_idx", "us"]].rename(columns={"us": "tus"}),
+            on=["conv_id", "turn_idx"], how="inner")
+        return pa.table({
+            "entity_id": pa.array(j["entity_id"].tolist(), pa.string()),
+            "day": pa.array(
+                j["tus"].to_numpy(dtype=np.int64) // DAY_US, pa.int64()),
+            "tk": pa.array(
+                (j["conv_id"] + "#" + j["turn_idx"].astype(str)).tolist(),
+                pa.string()),
+            "cnt": pa.array(j["cnt"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "entity_id": pa.array([], pa.string()),
+                "day": pa.array([], pa.int64()),
+                "n_mentions": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64()),
+            })
+        g = (df.groupby(["entity_id", "day"], sort=False)
+             .agg(n_mentions=("cnt", "sum"), n_turns=("tk", "nunique"))
+             .reset_index())
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].tolist(), pa.string()),
+            "day": pa.array(g["day"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "n_mentions": pa.array(
+                g["n_mentions"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_turns": pa.array(
+                g["n_turns"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    partials = linked.map_batches(
+        ment_partial, batch_format="pyarrow", batch_size=COMBINE_BATCH)
+    tt = turns_ts.map_batches(turn_rows, batch_format="pyarrow")
+    return (partials.union(tt)
+            .sort(["conv_id", "turn_idx"])
+            .map_batches(attach_day, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["entity_id", "day"])
+            .map_batches(complete, batch_format="pyarrow",
+                         batch_size=None))
