@@ -1126,6 +1126,19 @@ def _q_events_type_pivot(sf_dir: str):
                         columns=["user_id", "event_type", "value"]))
 
 
+def _q_events_signup_to_purchase(sf_dir: str):
+    """Conversion latency: first-signup to first-purchase epoch-us gap
+    per user (min-per-type partials, one user_id shuffle)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        signup_to_purchase)
+
+    return signup_to_purchase(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "ts"]))
+
+
 def _q_events_streaks(sf_dir: str):
     """Gaps-and-islands longest consecutive-active-day streak per user
     (day - rank island trick, vectorized per sorted block)."""
@@ -1687,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": _q_events_markov,
         "events_sliding_distinct": _q_events_sliding_distinct,
         "events_streaks": _q_events_streaks,
+        "events_signup_to_purchase": _q_events_signup_to_purchase,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2597,6 +2611,21 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                              // CAST(hk AS HUGEINT)
                         END AS BIGINT) AS est_users
             FROM agg
+        """,
+        "events_signup_to_purchase": """
+            WITH m AS (
+                SELECT user_id,
+                       MIN(epoch_us(ts)) FILTER (event_type = 'signup')
+                           AS first_signup_us,
+                       MIN(epoch_us(ts)) FILTER (event_type = 'purchase')
+                           AS first_purchase_us
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, first_signup_us, first_purchase_us,
+                   first_purchase_us - first_signup_us AS gap_us
+            FROM m
+            WHERE first_signup_us IS NOT NULL
+              AND first_purchase_us IS NOT NULL
         """,
         "events_streaks": """
             WITH d AS (

@@ -1712,3 +1712,77 @@ def peak_hour_per_user(events: rd.Dataset) -> rd.Dataset:
             .sort("user_id")
             .map_batches(argmax, batch_format="pyarrow",
                          batch_size=None))
+
+
+def signup_to_purchase(events: rd.Dataset) -> rd.Dataset:
+    """Conversion latency: for every user with BOTH a signup and a
+    purchase, the epoch-us gap between the FIRST signup and the FIRST
+    purchase (negative when the purchase came first — kept raw, no
+    silent clamping).
+
+    Batch-local partials keep one min-ts per (user, type) — min is
+    algebraic, so each batch ships <= 2 rows per user; one sort on
+    user_id, block completion pivots the two mins and subtracts.
+
+    Output: (user_id, first_signup_us, first_purchase_us, gap_us)."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "us" not in df.columns:
+            df = pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                "event_type": df["event_type"].to_numpy(),
+                "us": df["ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64),
+            })
+            df = df[df["event_type"].isin(("signup", "purchase"))]
+        g = (df.groupby(["user_id", "event_type"], sort=False)["us"]
+             .min().reset_index())
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   pa.string()),
+            "us": pa.array(g["us"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "first_signup_us": pa.array([], pa.int64()),
+            "first_purchase_us": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        })
+        if df.empty:
+            return empty
+        g = (df.groupby(["user_id", "event_type"], sort=False)["us"]
+             .min().reset_index())
+        s = g[g["event_type"] == "signup"][["user_id", "us"]].rename(
+            columns={"us": "first_signup_us"})
+        p = g[g["event_type"] == "purchase"][["user_id", "us"]].rename(
+            columns={"us": "first_purchase_us"})
+        j = s.merge(p, on="user_id", how="inner")
+        if j.empty:
+            return empty
+        return pa.table({
+            "user_id": pa.array(j["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "first_signup_us": pa.array(
+                j["first_signup_us"].to_numpy(dtype=np.int64),
+                pa.int64()),
+            "first_purchase_us": pa.array(
+                j["first_purchase_us"].to_numpy(dtype=np.int64),
+                pa.int64()),
+            "gap_us": pa.array(
+                (j["first_purchase_us"]
+                 - j["first_signup_us"]).to_numpy(dtype=np.int64),
+                pa.int64()),
+        })
+
+    return (events.map_batches(combine, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(finish, batch_format="pyarrow",
+                         batch_size=None))
