@@ -1126,6 +1126,20 @@ def _q_events_type_pivot(sf_dir: str):
                         columns=["user_id", "event_type", "value"]))
 
 
+def _q_events_bursts(sf_dir: str):
+    """Per-user burst hours: hourly count above the user's lower-median
+    hourly count — the integer anomaly gate (factor=1 keeps the synth
+    fixture non-degenerate at every SF)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import burst_hours
+
+    return burst_hours(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]),
+        factor=1)
+
+
 def _q_events_signup_to_purchase(sf_dir: str):
     """Conversion latency: first-signup to first-purchase epoch-us gap
     per user (min-per-type partials, one user_id shuffle)."""
@@ -1701,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct": _q_events_sliding_distinct,
         "events_streaks": _q_events_streaks,
         "events_signup_to_purchase": _q_events_signup_to_purchase,
+        "events_bursts": _q_events_bursts,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2611,6 +2626,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                              // CAST(hk AS HUGEINT)
                         END AS BIGINT) AS est_users
             FROM agg
+        """,
+        "events_bursts": """
+            WITH h AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 3600000000) * 3600000000
+                           AS hour_us,
+                       count(*) AS n
+                FROM events GROUP BY user_id, hour_us
+            ), m AS (
+                SELECT user_id,
+                       (list_sort(list(n)))[(count(*) + 1) // 2] AS med
+                FROM h GROUP BY user_id
+            )
+            SELECT h.user_id, h.hour_us,
+                   CAST(h.n AS BIGINT) AS n_events,
+                   CAST(m.med AS BIGINT) AS med_hourly
+            FROM h JOIN m ON m.user_id = h.user_id
+            WHERE h.n > m.med
         """,
         "events_signup_to_purchase": """
             WITH m AS (

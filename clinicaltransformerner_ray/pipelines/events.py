@@ -1786,3 +1786,83 @@ def signup_to_purchase(events: rd.Dataset) -> rd.Dataset:
             .sort("user_id")
             .map_batches(finish, batch_format="pyarrow",
                          batch_size=None))
+
+
+def burst_hours(events: rd.Dataset, *, factor: int = 1) -> rd.Dataset:
+    """Integer burst detection: a user's hours whose event count
+    exceeds ``factor`` TIMES their lower-median hourly count — anomaly
+    gating with no float (the events_outliers MAD-gate's cheaper
+    cousin, robust to the user's own baseline).  The default factor 1
+    ("above the user's median hour") keeps the synth fixture
+    non-degenerate at every SF; production bursts would use 2-3.
+
+    Batch-local (user, hour) count partials; one sort on user_id;
+    per-block completion sums the partials, takes the per-user lower
+    median of hourly counts via sorted-run indexing (the
+    user_gap_stats trick), and emits rows with n > 2 * med.
+
+    Output: (user_id, hour_us, n_events, med_hourly)."""
+    HOUR_US = 3_600_000_000
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "n" in df.columns:
+            g = (df.groupby(["user_id", "hour_us"], sort=False)["n"]
+                 .sum().reset_index())
+        else:
+            us = df["ts"].to_numpy().astype("datetime64[us]").astype(
+                np.int64)
+            g = (pd.DataFrame({
+                    "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                    "hour_us": (us // HOUR_US) * HOUR_US,
+                    "n": np.int64(1),
+                 })
+                 .groupby(["user_id", "hour_us"], sort=False)["n"]
+                 .sum().reset_index())
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "hour_us": pa.array(g["hour_us"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "hour_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "med_hourly": pa.array([], pa.int64()),
+        })
+        if df.empty:
+            return empty
+        g = (df.groupby(["user_id", "hour_us"], sort=False)["n"].sum()
+             .reset_index())
+        s = g.sort_values(["user_id", "n"]).reset_index(drop=True)
+        su = s["user_id"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], su[1:] != su[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(su)])))
+        med = s["n"].to_numpy()[starts + (counts - 1) // 2]
+        med_map = dict(zip(su[starts].tolist(), med.tolist()))
+        g["med"] = g["user_id"].map(med_map)
+        g = g[g["n"] > factor * g["med"]]
+        if g.empty:
+            return empty
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "hour_us": pa.array(g["hour_us"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "n_events": pa.array(g["n"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+            "med_hourly": pa.array(g["med"].to_numpy(dtype=np.int64),
+                                   pa.int64()),
+        })
+
+    return (events.map_batches(combine, batch_format="pyarrow",
+                               batch_size=1 << 19)
+            .sort("user_id")
+            .map_batches(finish, batch_format="pyarrow",
+                         batch_size=None))
