@@ -701,6 +701,15 @@ def _q_dedup_triangles(sf_dir: str):
         out_col="doc_id")
 
 
+def _q_corpus_novelty(sf_dir: str):
+    """Per-doc shingle novelty: fraction of a doc's distinct 3-gram
+    shingles first owned (min doc_id) by the doc itself — boilerplate
+    scores ~0, fresh content ~10000 bp.  One shingle shuffle."""
+    from clinicaltransformerner_ray.pipelines.dedup import shingle_novelty
+
+    return shingle_novelty(_docs(sf_dir), n=3)
+
+
 def _q_dedup_containment(sf_dir: str):
     """Near-subset pairs: smaller shingle set >= 90% contained in the
     other — the doc-inside-doc duplication Jaccard misses."""
@@ -1656,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_triangles": _q_dedup_triangles,
         "dedup_clustering_coeff": _q_dedup_clustering_coeff,
         "dedup_containment": _q_dedup_containment,
+        "corpus_novelty": _q_corpus_novelty,
         "dedup_curate": _q_dedup_curate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -2790,6 +2800,32 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_triangles
             FROM roles GROUP BY doc_id
+        """,
+        "corpus_novelty": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(CASE
+                    WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                    ELSE list_transform(range(1, len(l) - 1),
+                                        i -> l[i]||' '||l[i+1]||' '||l[i+2])
+                    END)) AS s
+                FROM d
+            ),
+            sizes AS (SELECT doc_id, count(*) AS c FROM sh
+                      GROUP BY doc_id),
+            f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s),
+            nv AS (
+                SELECT sh.doc_id,
+                       count(*) FILTER (f.fd = sh.doc_id) AS n_novel
+                FROM sh JOIN f ON f.s = sh.s
+                GROUP BY sh.doc_id
+            )
+            SELECT nv.doc_id, CAST(sizes.c AS BIGINT) AS n_shingles,
+                   CAST(nv.n_novel AS BIGINT) AS n_novel,
+                   CAST(nv.n_novel * 10000 // sizes.c AS BIGINT)
+                       AS novelty_bp
+            FROM nv JOIN sizes ON sizes.doc_id = nv.doc_id
         """,
         # containment = i / min(sa, sb): one division of exact ints,
         # bit-identical across engines (the jaccard-output precedent)

@@ -968,3 +968,94 @@ def decontaminate(
 
     return train.map_batches(flag, batch_format="pyarrow",
                              batch_size=1 << 17)
+
+
+def shingle_novelty(docs: rd.Dataset, *, n: int = 3) -> rd.Dataset:
+    """Per-document content NOVELTY: the fraction of a doc's distinct
+    word-``n``-gram shingles whose FIRST owner (minimum doc_id across
+    the corpus) is the doc itself — the dedup-adjacent diversity score
+    a curation pass ranks by (mass-duplicated boilerplate scores ~0,
+    fresh content ~10000 bp).
+
+    ONE shuffle: the same posting explode as the Jaccard family, one
+    sort on shingle (every owner of a shingle lands whole per block),
+    and the per-block pass marks each posting ``novel = (doc_id ==
+    min(doc_id of the shingle))`` — first-ownership is decided inside
+    the block.  A second small sort completes the per-doc counts.
+    All integers; novelty_bp = n_novel * 10^4 // n_shingles
+    (non-negative floor).
+
+    Output: (doc_id, n_shingles, n_novel, novelty_bp)."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, shs, sizes = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            ss = set(_token_shingles(text or "", n))
+            for s in ss:
+                ids.append(did)
+                shs.append(s)
+                sizes.append(len(ss))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shingle": pa.array(shs, pa.string()),
+            "set_size": pa.array(sizes, pa.int64()),
+        })
+
+    def mark_first(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_novel": pa.array([], pa.int64()),
+            })
+        fd = (df.groupby("shingle", sort=False)["doc_id"]
+              .transform("min"))
+        df["novel"] = (df["doc_id"] == fd).astype(np.int64)
+        g = (df.groupby("doc_id", sort=False)
+             .agg(n_shingles=("set_size", "min"),
+                  n_novel=("novel", "sum"))
+             .reset_index())
+        # n_shingles rides every posting (constant per doc); partial
+        # rows for one doc from different blocks sum n_novel and keep
+        # the constant via min
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "n_shingles": pa.array(
+                g["n_shingles"].to_numpy(dtype=np.int64), pa.int64()),
+            "n_novel": pa.array(
+                g["n_novel"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_novel": pa.array([], pa.int64()),
+                "novelty_bp": pa.array([], pa.int64()),
+            })
+        g = (df.groupby("doc_id", sort=False)
+             .agg(n_shingles=("n_shingles", "min"),
+                  n_novel=("n_novel", "sum"))
+             .reset_index())
+        ns = g["n_shingles"].to_numpy(dtype=np.int64)
+        nv = g["n_novel"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "n_shingles": pa.array(ns, pa.int64()),
+            "n_novel": pa.array(nv, pa.int64()),
+            "novelty_bp": pa.array(nv * 10_000 // ns, pa.int64()),
+        })
+
+    return (docs.map_batches(postings, batch_format="pyarrow")
+            .sort("shingle")
+            .map_batches(mark_first, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("doc_id")
+            .map_batches(complete, batch_format="pyarrow",
+                         batch_size=None))

@@ -36,7 +36,7 @@ SQL_CHECKED = [
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
     "dedup_decontaminate", "dedup_clustering_coeff", "docs_tfidf_topk",
     "corpus_weighted_sample", "hybrid_rerank", "dedup_containment",
-    "corpus_shard_plan",
+    "corpus_shard_plan", "corpus_novelty",
 ]
 
 
