@@ -859,6 +859,14 @@ def _q_ann_topk(sf_dir: str):
     return knn_bruteforce(_vecs(sf_dir), n_queries=8, k=10)
 
 
+def _q_ann_mips(sf_dir: str):
+    """Exact maximum-inner-product top-k (unnormalized dot — the
+    recommendation scoring cosine can't answer); rank-only output."""
+    from clinicaltransformerner_ray.pipelines.similarity import mips_topk
+
+    return mips_topk(_vecs(sf_dir), n_queries=8, k=10)
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF-bucketed approximate top-k.  Oracle-checked: the init
     centroids (`vec_id % 16` normalized group means), the bucket argmax,
@@ -1675,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "corpus_chunks": _q_corpus_chunks,
         "ann_topk": _q_ann_topk,
+        "ann_mips": _q_ann_mips,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "knn_graph": _q_knn_graph,
@@ -3043,6 +3052,27 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT src_id, dst_id, CAST(rk AS BIGINT) AS rk, dot_q
             FROM ranked WHERE rk <= 5
+        """,
+        # MIPS: raw dot ranks — no norms CTE (scale-sensitive scoring)
+        "ann_mips": """
+            WITH unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            q AS (SELECT * FROM unn WHERE vec_id < 8),
+            dots AS (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       sum(q.v*d.v) AS dot
+                FROM q JOIN unn d ON q.i = d.i AND q.vec_id <> d.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dot DESC, neighbor_id ASC) AS rank
+                FROM dots) WHERE rank <= 10
         """,
         "ann_topk": """
             WITH unn AS (

@@ -560,3 +560,58 @@ def knn_graph(
         .sort("src_id")
         .map_batches(finalize, batch_format="pyarrow", batch_size=None)
     )
+
+
+def mips_topk(
+    vecs: rd.Dataset,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+) -> rd.Dataset:
+    """Exact top-k by MAXIMUM INNER PRODUCT (no normalization) — the
+    recommendation-retrieval scoring cosine kNN can't answer (MIPS
+    favors long vectors; cosine is scale-blind).  Same scale shape as
+    :func:`knn_bruteforce`: broadcast raw query matrix, per-batch
+    matmul + local top-k, combine/sort/combine merge.  Rank-only
+    output (the ann_topk float rule); ties (dot DESC, neighbor ASC).
+
+    Output: (query_id, neighbor_id, rank)."""
+    import pyarrow.compute as pc
+
+    small = vecs.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+        batch_format="pyarrow",
+    )
+    rows = small.take_all()  # O(n_queries) rows only
+    qids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(qids)
+    qids, Q = qids[order], Q[order]  # RAW vectors — no normalization
+    qref = ray.put((qids, Q))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(qref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        X = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)  # raw
+        dots = X @ Q_.T
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids_)):
+            s = dots[:, j]
+            mask = ids != qids_[j]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                o = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[o], cand_s[o]
+            out_q.extend([qids_[j]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
+    return _merge_topk(partials, k)

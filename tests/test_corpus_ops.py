@@ -36,7 +36,7 @@ SQL_CHECKED = [
     "heavy_hitters", "token_cms", "corpus_mix", "ann_lsh",
     "dedup_decontaminate", "dedup_clustering_coeff", "docs_tfidf_topk",
     "corpus_weighted_sample", "hybrid_rerank", "dedup_containment",
-    "corpus_shard_plan", "corpus_novelty",
+    "corpus_shard_plan", "corpus_novelty", "ann_mips",
 ]
 
 
@@ -1139,3 +1139,31 @@ def test_hybrid_rerank_partial_embedding_coverage(ray_session):
     row = out.set_index("doc_id")
     assert row.loc[2, "rerank"] == 1   # anchor ranks itself first
     assert row.loc[4, "rerank"] == 2
+
+
+def test_mips_vs_cosine_norm_sensitivity(ray_session):
+    """MIPS ranks the LONG vector first even when a unit vector points
+    closer; cosine does the opposite — the semantic reason both
+    operators exist.  (The synth embeddings are near-unit-norm, so the
+    oracle fixture can't separate them; this fixture can.)"""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        knn_bruteforce, mips_topk)
+
+    # query 0 = e1; vec 10 = 10*(0.6, 0.8) (long, 53 deg off),
+    # vec 11 = (0.99..., small) (unit, nearly parallel)
+    tbl = pa.table({
+        "vec_id": pa.array([0, 10, 11], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [6.0, 8.0], [0.995, 0.0998]],
+            pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    m = mips_topk(ds, n_queries=1, k=2).to_pandas().sort_values("rank")
+    c = (knn_bruteforce(rd.from_arrow(tbl), n_queries=1, k=2)
+         .to_pandas().sort_values("rank"))
+    assert m["neighbor_id"].tolist() == [10, 11]  # dot: 6.0 > 0.995
+    assert c["neighbor_id"].tolist() == [11, 10]  # cos: 0.995 > 0.6
