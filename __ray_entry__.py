@@ -1274,6 +1274,29 @@ def _q_tpch_min_cost_supplier(sf_dir: str):
         nn)
 
 
+def _q_tpch_trade_matrix(sf_dir: str):
+    """Q7-shaped trade-flow matrix: revenue by (supplier nation,
+    customer nation) through a 3-hop co-partition join chain with
+    per-hop pre-aggregation."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, trade_matrix)
+
+    nn = {k: v[0] for k, v in _nation_region_map(sf_dir).items()}
+    return trade_matrix(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_orderkey",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        nn)
+
+
 def _q_tpch_revenue_deciles(sf_dir: str):
     """Distributed NTILE(10) over customer revenue: exact quantile
     boundary values from a histogram CDF walk, broadcast into a
@@ -1708,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_copurchase": _q_tpch_copurchase,
         "tpch_line_share": _q_tpch_line_share,
         "tpch_revenue_deciles": _q_tpch_revenue_deciles,
+        "tpch_trade_matrix": _q_tpch_trade_matrix,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -3896,6 +3920,22 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        "tpch_trade_matrix": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            GROUP BY supp_nation, cust_nation
+        """,
         # b_k = value at 1-based position (k*N+9)//10 (non-negative //
         # == floor); ties on a boundary value share a bucket so the
         # row_number tie order never matters

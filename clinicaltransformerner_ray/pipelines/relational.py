@@ -1626,3 +1626,145 @@ def customer_revenue_deciles(orders: rd.Dataset) -> rd.Dataset:
         })
 
     return per_cust.map_batches(bucket, batch_format="pyarrow")
+
+
+def trade_matrix(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    nation_names: dict[int, str],
+) -> pa.Table:
+    """TPC-H Q7-shaped trade-flow matrix: discounted revenue by
+    (supplier nation, customer nation) — the longest join chain in the
+    engine: lineitem ⋈ supplier (suppkey) ⋈ orders (orderkey) ⋈
+    customer (custkey), all three as co-partition sort-merge joins
+    (every dim here is SF-scaled; only the fixed 25-row nation map
+    rides the closure).
+
+    Scale shape: each hop pre-aggregates before the next shuffle —
+    (suppkey, orderkey) partials into hop 1, (orderkey, supp_nat)
+    partials out of it, (custkey, supp_nat) into hop 3 — so the
+    shuffled row count shrinks monotonically toward the 25x25 matrix;
+    the driver folds the final O(625 x blocks) partials (the promo
+    precedent).
+
+    Output: pa.Table (supp_nation, cust_nation, revenue_e4, n_items)."""
+
+    def _sup(key, kind, rev, n, p1, p2) -> pa.Table:
+        m = len(key)
+        return pa.table({
+            "key": pa.array(np.asarray(key, np.int64), pa.int64()),
+            "kind": pa.array([kind] * m, pa.string()),
+            "rev_e4": pa.array(np.asarray(rev, np.int64), pa.int64()),
+            "n_items": pa.array(np.asarray(n, np.int64), pa.int64()),
+            "p1": pa.array(np.asarray(p1, np.int64), pa.int64()),
+            "p2": pa.array(np.asarray(p2, np.int64), pa.int64()),
+        })
+
+    def l_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        part = pd.DataFrame({
+            "key": df["l_suppkey"].to_numpy(dtype=np.int64),
+            "okey": df["l_orderkey"].to_numpy(dtype=np.int64),
+            "rev_e4": _rev_e4(df),
+            "n_items": np.ones(len(df), np.int64),
+        })
+        g = (part.groupby(["key", "okey"], sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        return _sup(g["key"], "l", g["rev_e4"], g["n_items"],
+                    g["okey"], np.zeros(len(g), np.int64))
+
+    def s_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["s_suppkey"], "s", z, z, z, df["s_nationkey"])
+
+    def merge_supplier(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df[df["kind"] == "s"]
+        ln = df[df["kind"] == "l"]
+        j = pd.merge(
+            ln[["key", "p1", "rev_e4", "n_items"]],
+            s[["key", "p2"]].rename(columns={"p2": "snat"}), on="key")
+        g = (j.groupby(["p1", "snat"], sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        # re-key on orderkey; supplier nation rides p2
+        return _sup(g["p1"], "x", g["rev_e4"], g["n_items"],
+                    np.zeros(len(g), np.int64), g["snat"])
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["o_orderkey"], "o", z, z, df["o_custkey"], z)
+
+    def merge_orders(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o = df[df["kind"] == "o"]
+        x = df[df["kind"] == "x"]
+        j = pd.merge(
+            x[["key", "p2", "rev_e4", "n_items"]],
+            o[["key", "p1"]].rename(columns={"p1": "custkey"}),
+            on="key")
+        g = (j.groupby(["custkey", "p2"], sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        return _sup(g["custkey"], "y", g["rev_e4"], g["n_items"],
+                    np.zeros(len(g), np.int64), g["p2"])
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["c_custkey"], "c", z, z, df["c_nationkey"], z)
+
+    def merge_customer(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = df[df["kind"] == "c"]
+        y = df[df["kind"] == "y"]
+        j = pd.merge(
+            y[["key", "p2", "rev_e4", "n_items"]],
+            c[["key", "p1"]].rename(columns={"p1": "cnat"}), on="key")
+        g = (j.groupby(["p2", "cnat"], sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        return pa.table({
+            "snat": pa.array(np.asarray(g["p2"], np.int64), pa.int64()),
+            "cnat": pa.array(np.asarray(g["cnat"], np.int64),
+                             pa.int64()),
+            "rev_e4": pa.array(np.asarray(g["rev_e4"], np.int64),
+                               pa.int64()),
+            "n_items": pa.array(np.asarray(g["n_items"], np.int64),
+                                pa.int64()),
+        })
+
+    hop1 = (lineitem.map_batches(l_side, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+            .union(supplier.map_batches(s_side, batch_format="pyarrow",
+                                        batch_size=1 << 19))
+            .sort("key")
+            .map_batches(merge_supplier, batch_format="pyarrow",
+                         batch_size=None))
+    hop2 = (hop1
+            .union(orders.map_batches(o_side, batch_format="pyarrow",
+                                      batch_size=1 << 19))
+            .sort("key")
+            .map_batches(merge_orders, batch_format="pyarrow",
+                         batch_size=None))
+    parts = (hop2
+             .union(customer.map_batches(c_side, batch_format="pyarrow",
+                                         batch_size=1 << 19))
+             .sort("key")
+             .map_batches(merge_customer, batch_format="pyarrow",
+                          batch_size=None))
+    acc: dict[tuple[int, int], list[int]] = {}
+    for r in parts.take_all():  # O(625 x blocks) — tiny
+        a = acc.setdefault((r["snat"], r["cnat"]), [0, 0])
+        a[0] += r["rev_e4"]
+        a[1] += r["n_items"]
+    keys = sorted(acc)
+    return pa.table({
+        "supp_nation": pa.array([nation_names[k[0]] for k in keys],
+                                pa.string()),
+        "cust_nation": pa.array([nation_names[k[1]] for k in keys],
+                                pa.string()),
+        "revenue_e4": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_items": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })

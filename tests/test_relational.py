@@ -38,7 +38,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_disjunctive",
                                   "tpch_copurchase",
                                   "tpch_line_share",
-                                  "tpch_revenue_deciles"])
+                                  "tpch_revenue_deciles",
+                                  "tpch_trade_matrix"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -196,7 +197,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_disjunctive",
                                   "tpch_copurchase",
                                   "tpch_line_share",
-                                  "tpch_revenue_deciles"])
+                                  "tpch_revenue_deciles",
+                                  "tpch_trade_matrix"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -232,6 +234,18 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("orders", ["o_orderkey", "o_orderdate",
                           "o_orderpriority"], 4),
             ds("lineitem", ["l_orderkey", "l_returnflag"]))
+    elif name == "tpch_trade_matrix":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            _nation_region_map, trade_matrix)
+
+        nn = {k: v[0] for k, v in _nation_region_map(SF).items()}
+        res = trade_matrix(
+            ds("lineitem", ["l_suppkey", "l_orderkey",
+                            "l_extendedprice", "l_discount"], 6),
+            ds("supplier", ["s_suppkey", "s_nationkey"], 2),
+            ds("orders", ["o_orderkey", "o_custkey"], 4),
+            ds("customer", ["c_custkey", "c_nationkey"], 3),
+            nn)
     elif name == "tpch_revenue_deciles":
         from clinicaltransformerner_ray.pipelines.relational import (
             customer_revenue_deciles)
