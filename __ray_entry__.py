@@ -319,6 +319,23 @@ def _q_kg_type_matrix(sf_dir: str):
     })
 
 
+def _q_kg_degree_histogram(sf_dir: str):
+    """Aggregate-of-aggregates: the degree DISTRIBUTION of the
+    co-occurrence graph (degree -> n_entities).  The degrees table is
+    lexicon-bounded and already driver-resident (the degrees query
+    returns a folded pa.Table), so the histogram is a plain fold."""
+    import pyarrow as pa
+
+    deg = _q_kg_degrees(sf_dir)
+    df = deg.to_pandas() if hasattr(deg, "to_pandas") else deg
+    g = (df.groupby("degree", sort=False).size()
+         .reset_index(name="n_entities").sort_values("degree"))
+    return pa.table({
+        "degree": pa.array(g["degree"].to_numpy(), pa.int64()),
+        "n_entities": pa.array(g["n_entities"].to_numpy(), pa.int64()),
+    })
+
+
 def _q_kg_lpa(sf_dir: str):
     """Synchronous label-propagation communities (4 fixed rounds,
     (count DESC, label ASC) tie-break) over the co-occurrence graph;
@@ -1666,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop": _q_kg_khop,
         "kg_kcore": _q_kg_kcore,
         "kg_lpa": _q_kg_lpa,
+        "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_type_matrix": _q_kg_type_matrix,
         "kg_conv_stats": _q_kg_conv_stats,
         "kg_near_cooccur": _q_kg_near_cooccur,
@@ -2303,8 +2321,13 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT entity_id, CAST(count(*) AS BIGINT) AS degree
             FROM ends GROUP BY entity_id
         """
+    degree_hist_sql = ("WITH degs AS (" + degrees_sql + """)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
+            FROM degs GROUP BY degree
+        """)
     return {
         "kg_degrees": degrees_sql,
+        "kg_degree_histogram": degree_hist_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
         "kg_lpa": _lpa_sql(cte, rounds=4),
