@@ -1160,6 +1160,20 @@ def _q_events_type_pivot(sf_dir: str):
                         columns=["user_id", "event_type", "value"]))
 
 
+def _q_events_session_quantiles(sf_dir: str):
+    """Exact percentiles of session length (events and whole seconds)
+    over the sessionization output — quantiles composed on another
+    distributed operator."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        session_quantiles)
+
+    return session_quantiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]))
+
+
 def _q_events_bursts(sf_dir: str):
     """Per-user burst hours: hourly count above the user's lower-median
     hourly count — the integer anomaly gate (factor=1 keeps the synth
@@ -1777,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaks": _q_events_streaks,
         "events_signup_to_purchase": _q_events_signup_to_purchase,
         "events_bursts": _q_events_bursts,
+        "events_session_quantiles": _q_events_session_quantiles,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2692,6 +2707,32 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                              // CAST(hk AS HUGEINT)
                         END AS BIGINT) AS est_users
             FROM agg
+        """,
+        # lower-quantile-by-position over the sessions CTE; durations
+        # quantize to whole seconds (non-negative // == floor)
+        "events_session_quantiles": """
+            WITH s AS (""" + _SESSIONS_SQL.strip() + """
+            ), m AS (
+                SELECT n_events,
+                       (epoch_us(end_ts) - epoch_us(start_ts))
+                           // 1000000 AS dur_s
+                FROM (SELECT * FROM s) t
+            ), nn AS (SELECT count(*) AS nt FROM m),
+            qv(q) AS (VALUES (25), (50), (75), (99)),
+            r1 AS (SELECT n_events,
+                          row_number() OVER (ORDER BY n_events) AS rn
+                   FROM m),
+            r2 AS (SELECT dur_s,
+                          row_number() OVER (ORDER BY dur_s) AS rn
+                   FROM m)
+            SELECT CAST(qv.q AS BIGINT) AS q_pct,
+                   CAST((SELECT n_events FROM r1, nn
+                         WHERE rn = (qv.q * nn.nt + 99) // 100)
+                        AS BIGINT) AS n_events_q,
+                   CAST((SELECT dur_s FROM r2, nn
+                         WHERE rn = (qv.q * nn.nt + 99) // 100)
+                        AS BIGINT) AS dur_s_q
+            FROM qv
         """,
         "events_bursts": """
             WITH h AS (

@@ -1866,3 +1866,67 @@ def burst_hours(events: rd.Dataset, *, factor: int = 1) -> rd.Dataset:
             .sort("user_id")
             .map_batches(finish, batch_format="pyarrow",
                          batch_size=None))
+
+
+def session_quantiles(
+    events: rd.Dataset,
+    *,
+    q_pct: tuple[int, ...] = (25, 50, 75, 99),
+    gap_us: int = SESSION_GAP_US,
+) -> pa.Table:
+    """Exact percentiles of SESSION-level metrics (events per session,
+    session duration in whole seconds) — quantiles over the output of
+    another distributed operator, the composition a pipeline health
+    report needs.
+
+    Quantile rule (both engines): value at 1-based sorted position
+    ``(q*N + 99) // 100``.  Durations quantize to seconds so the
+    driver-side CDF fold stays bounded by the session-length DOMAIN
+    (~10^4 values), not the session count; event counts are already
+    small-domain.  The histogram partials fold like value_quantiles.
+
+    Output: pa.Table (q_pct, n_events_q, dur_s_q)."""
+    sess = sessionize(events, gap_us=gap_us)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dur = ((df["end_ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64)
+                - df["start_ts"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64)) // 1_000_000)
+        out = []
+        for m, v in (("n", df["n_events"].to_numpy(dtype=np.int64)),
+                     ("d", dur)):
+            g = (pd.DataFrame({"v": v, "c": np.int64(1)})
+                 .groupby("v", sort=False)["c"].sum().reset_index())
+            g["m"] = m
+            out.append(g)
+        g = pd.concat(out)
+        return pa.table({
+            "m": pa.array(g["m"].tolist(), pa.string()),
+            "v": pa.array(g["v"].to_numpy(dtype=np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    acc: dict[tuple[str, int], int] = {}
+    for r in sess.map_batches(hist, batch_format="pyarrow",
+                              batch_size=1 << 19).take_all():
+        k = (r["m"], r["v"])
+        acc[k] = acc.get(k, 0) + r["c"]
+
+    def q_of(metric: str) -> dict[int, int]:
+        vals = sorted(v for (m, v) in acc if m == metric)
+        cdf = np.cumsum([acc[(metric, v)] for v in vals])
+        nt = int(cdf[-1]) if len(cdf) else 0
+        out = {}
+        for q in q_pct:
+            pos = (q * nt + 99) // 100
+            out[q] = int(np.asarray(vals)[np.searchsorted(cdf, pos)])
+        return out
+
+    qn, qd = q_of("n"), q_of("d")
+    return pa.table({
+        "q_pct": pa.array(list(q_pct), pa.int64()),
+        "n_events_q": pa.array([qn[q] for q in q_pct], pa.int64()),
+        "dur_s_q": pa.array([qd[q] for q in q_pct], pa.int64()),
+    })
