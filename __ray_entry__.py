@@ -993,6 +993,15 @@ def _q_doc_quantiles(sf_dir: str):
     return token_count_quantiles(_docs(sf_dir))
 
 
+def _q_token_char_trigrams(sf_dir: str):
+    """Character-trigram frequency table (lang-ID feature family):
+    distinct-token-weighted per-batch counting, one trigram shuffle."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        char_trigram_counts)
+
+    return char_trigram_counts(_docs(sf_dir))
+
+
 def _q_corpus_shard_plan(sf_dir: str):
     """Partitioned-output planning: md5 % 16 shard assignment with
     per-shard doc/token balance stats (O(n_shards) partials)."""
@@ -1754,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "corpus_shard_plan": _q_corpus_shard_plan,
+        "token_char_trigrams": _q_token_char_trigrams,
         "events_peak_hour": _q_events_peak_hour,
         "bm25_topk": _q_bm25_topk,
         "hybrid_rerank": _q_hybrid_rerank,
@@ -3254,6 +3264,20 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         # integer-lift idf: (N*10^4)//df on non-negative operands, so
         # DuckDB // == numpy floor; ROW_NUMBER tie (score DESC, token)
+        "token_char_trigrams": """
+            WITH tok AS (
+                SELECT unnest(string_split(coalesce(text, ''), ' '))
+                    AS w
+                FROM documents
+            ), tg AS (
+                SELECT unnest(list_transform(
+                    range(1, len(w) - 1),
+                    i -> substr(w, CAST(i AS INT), 3))) AS g
+                FROM tok WHERE len(w) >= 3
+            )
+            SELECT g AS trigram, CAST(count(*) AS BIGINT) AS n
+            FROM tg GROUP BY g
+        """,
         "corpus_shard_plan": """
             SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 16
                         AS BIGINT) AS shard,

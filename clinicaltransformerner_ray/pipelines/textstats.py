@@ -1148,3 +1148,46 @@ def shard_plan(docs: rd.Dataset, *, n_shards: int = 16) -> rd.Dataset:
             .sort("shard")
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=None))
+
+
+def char_trigram_counts(docs: rd.Dataset) -> rd.Dataset:
+    """Corpus character-TRIGRAM frequency table — the n-gram feature
+    family language-ID / gibberish models train on (the word-level
+    token_vocab's sub-word sibling).
+
+    Tokens are whitespace splits; a token of length L contributes its
+    L-2 sliding char trigrams (tokens shorter than 3 contribute
+    nothing).  The per-batch combiner counts DISTINCT tokens first and
+    multiplies each token's trigrams by its count, so per-batch work
+    is bounded by the distinct-token tail, not raw length; then the
+    standard combine/sort/combine wordcount shape on the trigram key."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if "n" in batch.column_names and "trigram" in batch.column_names:
+            df = batch.to_pandas()
+            g = (df.groupby("trigram", sort=False)["n"].sum()
+                 .reset_index())
+            return pa.table({
+                "trigram": pa.array(g["trigram"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            })
+        tok_counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w in (t or "").split(" "):
+                tok_counts[w] = tok_counts.get(w, 0) + 1
+        counts: dict[str, int] = {}
+        for w, c in tok_counts.items():
+            for i in range(len(w) - 2):
+                g3 = w[i:i + 3]
+                counts[g3] = counts.get(g3, 0) + c
+        return pa.table({
+            "trigram": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    return (docs.map_batches(combine, batch_format="pyarrow",
+                             batch_size=1 << 17)
+            .sort("trigram")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))
