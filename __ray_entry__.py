@@ -727,6 +727,16 @@ def _q_corpus_novelty(sf_dir: str):
     return shingle_novelty(_docs(sf_dir), n=3)
 
 
+def _q_dedup_calibration(sf_dir: str):
+    """Approximate-path quality harness: MinHash candidates bucketed
+    by exact integer estimate (k-of-64) vs confirmation against the
+    exact Jaccard pair set at the same 0.8 threshold."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        minhash_calibration)
+
+    return minhash_calibration(_docs(sf_dir), threshold=0.8)
+
+
 def _q_dedup_containment(sf_dir: str):
     """Near-subset pairs: smaller shingle set >= 90% contained in the
     other — the doc-inside-doc duplication Jaccard misses."""
@@ -1738,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clustering_coeff": _q_dedup_clustering_coeff,
         "dedup_containment": _q_dedup_containment,
         "corpus_novelty": _q_corpus_novelty,
+        "dedup_calibration": _q_dedup_calibration,
         "dedup_curate": _q_dedup_curate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -2995,6 +3006,27 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             WHERE deg.d >= 2
         """,
         "dedup_minhash": _MINHASH_SQL.format(perm_vals=_minhash_perm_values()),
+        # composes the two oracle-checked pair sets; est*64 is exact
+        # (power-of-two divisor) so the bucket key is integer
+        "dedup_calibration": f"""
+            WITH mh AS ({_MINHASH_SQL.format(
+                perm_vals=_minhash_perm_values())}),
+            ex AS (WITH {_JACCARD_PAIRS_CTE}
+                   SELECT doc_a, doc_b FROM pairs),
+            j AS (
+                SELECT mh.doc_a, mh.doc_b,
+                       CAST(round(mh.est_jaccard * 64) AS BIGINT)
+                           AS est_64,
+                       CASE WHEN ex.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                           AS conf
+                FROM mh LEFT JOIN ex
+                  ON ex.doc_a = mh.doc_a AND ex.doc_b = mh.doc_b
+            )
+            SELECT est_64,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(conf) AS BIGINT) AS n_confirmed
+            FROM j GROUP BY est_64
+        """,
         "dedup_simhash": _SIMHASH_SQL,
         "kmeans": _kmeans_sql(16, 5),
         "ann_ivf": _IVF_SQL,

@@ -37,7 +37,7 @@ SQL_CHECKED = [
     "dedup_decontaminate", "dedup_clustering_coeff", "docs_tfidf_topk",
     "corpus_weighted_sample", "hybrid_rerank", "dedup_containment",
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
-    "token_char_trigrams",
+    "token_char_trigrams", "dedup_calibration",
 ]
 
 
