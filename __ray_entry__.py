@@ -154,6 +154,55 @@ def _q_kg_assoc(sf_dir: str):
     return association_stats(out["linked"], out["triples"])
 
 
+def _q_kg_assoc_topk(sf_dir: str):
+    """Per-entity top-3 associations by integer-lift PMI
+    (lift = n_co * n_turns * 10^4 // (n_subj * n_obj), non-negative
+    floor): symmetrize the undirected assoc pairs, one sort on the
+    center entity, block-local (lift DESC, neighbor ASC) ranking."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.kg import association_stats
+
+    out = _kg(sf_dir)
+    assoc = association_stats(out["linked"], out["triples"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lift = (df["n_co"].to_numpy(dtype=np.int64)
+                * df["n_turns"].to_numpy(dtype=np.int64) * 10_000
+                // (df["n_subj"].to_numpy(dtype=np.int64)
+                    * df["n_obj"].to_numpy(dtype=np.int64)))
+        return pa.table({
+            "center": pa.array(df["subj"].tolist() + df["obj"].tolist(),
+                               pa.string()),
+            "nbr": pa.array(df["obj"].tolist() + df["subj"].tolist(),
+                            pa.string()),
+            "lift": pa.array(np.concatenate([lift, lift]), pa.int64()),
+        })
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()
+              .sort_values(["center", "lift", "nbr"],
+                           ascending=[True, False, True]))
+        df["rk"] = df.groupby("center", sort=False).cumcount() + 1
+        df = df[df["rk"] <= 3]
+        return pa.table({
+            "center": pa.array(df["center"].tolist(), pa.string()),
+            "nbr": pa.array(df["nbr"].tolist(), pa.string()),
+            "lift": pa.array(df["lift"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "rk": pa.array(df["rk"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        })
+
+    return (assoc.map_batches(sym, batch_format="pyarrow",
+                              batch_size=1 << 19)
+            .sort("center")
+            .map_batches(topk, batch_format="pyarrow", batch_size=None))
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components over the co-occurrence graph — reuses the
     dedup engine's pointer-jumping label propagation (`dup_clusters`)
@@ -1717,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_lpa": _q_kg_lpa,
         "kg_degree_histogram": _q_kg_degree_histogram,
+        "kg_assoc_topk": _q_kg_assoc_topk,
         "kg_type_matrix": _q_kg_type_matrix,
         "kg_conv_stats": _q_kg_conv_stats,
         "kg_near_cooccur": _q_kg_near_cooccur,
@@ -2592,6 +2642,38 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM pc
             JOIN etc es ON es.entity_id = pc.subj
             JOIN etc eo ON eo.entity_id = pc.obj, tt
+        """,
+        # integer-lift PMI rank per center; all operands non-negative
+        "kg_assoc_topk": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , etc AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n
+                      FROM te GROUP BY entity_id)
+            , tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+                     (SELECT DISTINCT conv_id, turn_idx FROM te))
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), pc AS (SELECT subj, obj, CAST(count(*) AS BIGINT) AS n_co
+                      FROM co GROUP BY subj, obj)
+            , base AS (
+                SELECT pc.subj, pc.obj,
+                       pc.n_co * tt.n * 10000 // (es.n * eo.n) AS lift
+                FROM pc
+                JOIN etc es ON es.entity_id = pc.subj
+                JOIN etc eo ON eo.entity_id = pc.obj, tt
+            ), sym AS (
+                SELECT subj AS center, obj AS nbr, lift FROM base
+                UNION ALL SELECT obj, subj, lift FROM base
+            )
+            SELECT center, nbr, CAST(lift AS BIGINT) AS lift,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY center
+                      ORDER BY lift DESC, nbr ASC) AS rk
+                  FROM sym) WHERE rk <= 3
         """,
         "kg_mentions": cte + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
