@@ -1373,6 +1373,52 @@ def _q_tpch_min_cost_supplier(sf_dir: str):
         nn)
 
 
+def _q_tpch_q6(sf_dir: str):
+    """Q6-shaped filtered scan aggregate: discount-band revenue with
+    ALL predicates vectorized in the batch map (pyarrow compute), one
+    partial-sum row per block folded on the driver — zero shuffles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        _round_half_away)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        # half-away-from-zero == DuckDB round() (np.rint would be
+        # half-to-even and diverge on exact .5 cents)
+        qty = _round_half_away(df["l_quantity"].to_numpy())
+        cents = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+        keep = ((ts >= lo) & (ts < hi) & (qty < 24)
+                & (disc >= 5) & (disc <= 7))
+        return pa.table({
+            "rev_e4": pa.array([int((cents[keep]
+                                     * disc[keep]).sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=1 << 19).take_all()  # O(blocks)
+    return pa.table({
+        "revenue_e4": pa.array([sum(r["rev_e4"] for r in rows)],
+                               pa.int64()),
+        "n_items": pa.array([sum(r["n_items"] for r in rows)],
+                            pa.int64()),
+    })
+
+
 def _q_tpch_trade_matrix(sf_dir: str):
     """Q7-shaped trade-flow matrix: revenue by (supplier nation,
     customer nation) through a 3-hop co-partition join chain with
@@ -1835,6 +1881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_line_share": _q_tpch_line_share,
         "tpch_revenue_deciles": _q_tpch_revenue_deciles,
         "tpch_trade_matrix": _q_tpch_trade_matrix,
+        "tpch_q6": _q_tpch_q6,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -4122,6 +4169,22 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        # Q6: revenue = cents * disc_pct (e4 units), integer exact
+        "tpch_q6": """
+            WITH l AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc,
+                       CAST(round(l_quantity) AS BIGINT) AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT CAST(COALESCE(SUM(cents * disc), 0) AS BIGINT)
+                       AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM l WHERE qty < 24 AND disc BETWEEN 5 AND 7
+        """,
         "tpch_trade_matrix": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(SUM(CAST(round(l.l_extendedprice * 100)
