@@ -368,6 +368,55 @@ def _q_kg_type_matrix(sf_dir: str):
     })
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Per-ENTITY triangle counts over the co-occurrence graph: the
+    string ids get a driver-side SORTED dense coding (lexicon-bounded
+    — the kg_components precedent; exact, unlike hashing), the int64
+    triangle machinery runs (degree-oriented wedges + closure), and
+    the codes map back."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.graph import triangle_counts
+
+    pairs = _kg(sf_dir)["triples"].map_batches(
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    pairs = pairs.materialize()  # consumed twice (vocab fold + coding)
+
+    ents: set = set()
+    def vocab(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        u = pd.unique(pd.concat([df["subj"], df["obj"]]))
+        return pa.table({"e": pa.array(u.tolist(), pa.string())})
+    for r in pairs.map_batches(vocab, batch_format="pyarrow",
+                               batch_size=1 << 19).take_all():
+        ents.add(r["e"])  # O(lexicon) driver fold
+    code = {e: i for i, e in enumerate(sorted(ents))}
+    inv = {i: e for e, i in code.items()}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a = df["subj"].map(code).to_numpy(dtype=np.int64)
+        b = df["obj"].map(code).to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_a": pa.array(np.minimum(a, b), pa.int64()),
+            "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+        })
+
+    tri = triangle_counts(
+        pairs.map_batches(encode, batch_format="pyarrow",
+                          batch_size=1 << 19),
+        out_col="node").to_pandas()
+    tri = tri.sort_values("node")
+    return pa.table({
+        "entity_id": pa.array([inv[int(v)] for v in tri["node"]],
+                              pa.string()),
+        "n_triangles": pa.array(
+            tri["n_triangles"].to_numpy(dtype=np.int64), pa.int64()),
+    })
+
+
 def _q_kg_degree_histogram(sf_dir: str):
     """Aggregate-of-aggregates: the degree DISTRIBUTION of the
     co-occurrence graph (degree -> n_entities).  The degrees table is
@@ -1813,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lpa": _q_kg_lpa,
         "kg_degree_histogram": _q_kg_degree_histogram,
         "kg_assoc_topk": _q_kg_assoc_topk,
+        "kg_triangles": _q_kg_triangles,
         "kg_type_matrix": _q_kg_type_matrix,
         "kg_conv_stats": _q_kg_conv_stats,
         "kg_near_cooccur": _q_kg_near_cooccur,
@@ -2464,6 +2514,28 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
         "kg_lpa": _lpa_sql(cte, rounds=4),
+        "kg_triangles": cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), pr AS (SELECT DISTINCT subj, obj FROM co)
+            , tri AS (
+                SELECT e1.subj AS x, e1.obj AS y, e2.obj AS z
+                FROM pr e1
+                JOIN pr e2 ON e2.subj = e1.subj AND e2.obj > e1.obj
+                JOIN pr e3 ON e3.subj = e1.obj AND e3.obj = e2.obj
+            ), roles AS (
+                SELECT x AS entity_id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT entity_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM roles GROUP BY entity_id
+        """,
         "kg_entity_daily": cte + f"""
             , tt AS (SELECT conv_id, turn_idx, epoch_us(ts) AS us
                      FROM read_parquet('{p["turns_sql"]}'))

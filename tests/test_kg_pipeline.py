@@ -219,7 +219,8 @@ def test_sql_oracle_parity_small(ray_session):
                  "kg_conv_entities", "kg_mention_timeline", "kg_lpa",
                  "kg_type_matrix", "kg_conv_stats",
                  "kg_near_cooccur", "kg_entity_daily",
-                 "kg_degree_histogram", "kg_assoc_topk"]:
+                 "kg_degree_histogram", "kg_assoc_topk",
+                 "kg_triangles"]:
         rdf = qs[name](SF).to_pandas()
         odf = con.execute(sqls[name]).df()
         a, b = canon(rdf), canon(odf)
