@@ -1291,6 +1291,66 @@ def _q_events_session_quantiles(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_type_overlap(sf_dir: str):
+    """Audience-overlap matrix: for every event-type pair (a < b), the
+    number of users who did BOTH — batch-local (user, type) dedup, one
+    user_id sort, per-block pair emission over each user's (block-
+    whole) type set, driver fold of the C(types,2) partials."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "event_type": pa.array(df["event_type"].tolist(),
+                                   pa.string()),
+        })
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["user_id", "event_type"]))
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(uid)])))
+        rows: dict[tuple[str, str], int] = {}
+        for s, c in zip(starts, counts):
+            ts = et[s:s + c]
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):  # <= C(5,2) per user
+                    k = (ts[i], ts[j])
+                    rows[k] = rows.get(k, 0) + 1
+        return pa.table({
+            "type_a": pa.array([k[0] for k in rows], pa.string()),
+            "type_b": pa.array([k[1] for k in rows], pa.string()),
+            "n": pa.array(list(rows.values()), pa.int64()),
+        })
+
+    acc: dict[tuple[str, str], int] = {}
+    parts = (ev.map_batches(dedup, batch_format="pyarrow",
+                            batch_size=1 << 19)
+             .sort("user_id")
+             .map_batches(pairs, batch_format="pyarrow",
+                          batch_size=None))
+    for r in parts.take_all():  # O(types^2 x blocks) — tiny
+        k = (r["type_a"], r["type_b"])
+        acc[k] = acc.get(k, 0) + r["n"]
+    ks = sorted(acc)
+    return pa.table({
+        "type_a": pa.array([k[0] for k in ks], pa.string()),
+        "type_b": pa.array([k[1] for k in ks], pa.string()),
+        "n_users": pa.array([acc[k] for k in ks], pa.int64()),
+    })
+
+
 def _q_events_bursts(sf_dir: str):
     """Per-user burst hours: hourly count above the user's lower-median
     hourly count — the integer anomaly gate (factor=1 keeps the synth
@@ -1960,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_signup_to_purchase": _q_events_signup_to_purchase,
         "events_bursts": _q_events_bursts,
         "events_session_quantiles": _q_events_session_quantiles,
+        "events_type_overlap": _q_events_type_overlap,
         "brat_format": _q_brat_format,
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
@@ -2929,6 +2990,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                              // CAST(hk AS HUGEINT)
                         END AS BIGINT) AS est_users
             FROM agg
+        """,
+        "events_type_overlap": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+            GROUP BY type_a, type_b
         """,
         # lower-quantile-by-position over the sessions CTE; durations
         # quantize to whole seconds (non-negative // == floor)

@@ -328,7 +328,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
                  "events_type_pivot", "events_markov",
                  "events_sliding_distinct", "events_streaks",
                  "events_peak_hour", "events_signup_to_purchase",
-                 "events_bursts", "events_session_quantiles"]:
+                 "events_bursts", "events_session_quantiles",
+                 "events_type_overlap"]:
         rdf = E.queries()[name](SF).to_pandas()
         odf = con.execute(E.oracle_sql_for(SF)[name]).df()
         pd.testing.assert_frame_equal(
