@@ -1482,6 +1482,97 @@ def _q_tpch_min_cost_supplier(sf_dir: str):
         nn)
 
 
+def _q_tpch_segment_stats(sf_dir: str):
+    """Per-market-segment rollup: customers, ordering customers,
+    orders and exact order cents — one custkey co-partition sort-merge
+    (orders pre-aggregate per custkey; segment payload rides the
+    customer row), segment-level fold on the driver (5 segments)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        _round_half_away)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+
+    def o_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (pd.DataFrame({
+                "key": df["o_custkey"].to_numpy(dtype=np.int64),
+                "cents": _round_half_away(
+                    df["o_totalprice"].to_numpy() * 100),
+                "n": np.int64(1),
+             })
+             .groupby("key", sort=False)
+             .agg(cents=("cents", "sum"), n=("n", "sum"))
+             .reset_index())
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(), pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+            "seg": pa.array([""] * len(g), pa.string()),
+            "kind": pa.array(np.ones(len(g), np.int8), pa.int8()),
+        })
+
+    def c_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "cents": z,
+            "n": z,
+            "seg": batch.column("c_mktsegment").cast(pa.string()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = df[df["kind"] == 0][["key", "seg"]]
+        o = (df[df["kind"] == 1]
+             .groupby("key", sort=False)[["cents", "n"]]
+             .sum().reset_index())
+        j = c.merge(o, on="key", how="left")
+        j[["cents", "n"]] = j[["cents", "n"]].fillna(0)
+        g = (j.assign(ordering=(j["n"] > 0).astype(np.int64),
+                      cust=np.int64(1))
+             .groupby("seg", sort=False)
+             .agg(n_customers=("cust", "sum"),
+                  n_ordering=("ordering", "sum"),
+                  n_orders=("n", "sum"),
+                  cents=("cents", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    acc: dict[str, list[int]] = {}
+    parts = (customer.map_batches(c_rows, batch_format="pyarrow",
+                                  batch_size=1 << 19)
+             .union(orders.map_batches(o_part, batch_format="pyarrow",
+                                       batch_size=1 << 19))
+             .sort("key")
+             .map_batches(seg_partial, batch_format="pyarrow",
+                          batch_size=None))
+    for r in parts.take_all():  # O(segments x blocks) — tiny
+        a = acc.setdefault(r["seg"], [0, 0, 0, 0])
+        a[0] += r["n_customers"]
+        a[1] += r["n_ordering"]
+        a[2] += r["n_orders"]
+        a[3] += int(r["cents"])
+    ks = sorted(acc)
+    return pa.table({
+        "c_mktsegment": pa.array(ks, pa.string()),
+        "n_customers": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_ordering": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "n_orders": pa.array([acc[k][2] for k in ks], pa.int64()),
+        "order_cents": pa.array([acc[k][3] for k in ks], pa.int64()),
+    })
+
+
 def _q_tpch_q6(sf_dir: str):
     """Q6-shaped filtered scan aggregate: discount-band revenue with
     ALL predicates vectorized in the batch map (pyarrow compute), one
@@ -1992,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_revenue_deciles": _q_tpch_revenue_deciles,
         "tpch_trade_matrix": _q_tpch_trade_matrix,
         "tpch_q6": _q_tpch_q6,
+        "tpch_segment_stats": _q_tpch_segment_stats,
         "tpch_revenue_nation": _q_tpch_revenue_nation,
         "tpch_antijoin": _q_tpch_antijoin,
         "tpch_top_orders": _q_tpch_top_orders,
@@ -4311,6 +4403,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # DuckDB round() is half-away-from-zero == the engine's
         # _round_half_away; every money value is cent-integral so the
         # int64 sums agree bitwise, and avg_* divide those exact sums
+        "tpch_segment_stats": """
+            WITH o AS (
+                SELECT o_custkey,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents,
+                       count(*) AS n
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_ordering,
+                   CAST(COALESCE(SUM(o.n), 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(SUM(o.cents), 0) AS BIGINT)
+                       AS order_cents
+            FROM customer c
+            LEFT JOIN o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
         # Q6: revenue = cents * disc_pct (e4 units), integer exact
         "tpch_q6": """
             WITH l AS (

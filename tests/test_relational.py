@@ -39,7 +39,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_copurchase",
                                   "tpch_line_share",
                                   "tpch_revenue_deciles",
-                                  "tpch_trade_matrix", "tpch_q6"])
+                                  "tpch_trade_matrix", "tpch_q6",
+                                  "tpch_segment_stats"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
