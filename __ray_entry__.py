@@ -16,6 +16,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver runs oracles at sf=0.01
 
 
@@ -348,7 +350,7 @@ def _q_kg_type_matrix(sf_dir: str):
              })
              .groupby(["subj_type", "pred", "obj_type"], sort=False)
              .agg(nt=("nt", "sum"), ev=("ev", "sum")).reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     acc: dict[tuple, list[int]] = {}
     tri = _kg(sf_dir)["triples"].map_batches(
@@ -518,7 +520,7 @@ def _q_kg_turn_entities(sf_dir: str):
 
     def dedup(batch: pa.Table) -> pa.Table:
         df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
-        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+        return from_pandas_clean(df.drop_duplicates(), preserve_index=False)
 
     # exact distinct: batch-local combiner, one sort (equal keys land
     # whole per block), block-local completion — no per-group calls
@@ -601,53 +603,11 @@ def _q_events_sliding(sf_dir: str):
 
 def _q_events_asof(sf_dir: str):
     """As-of join (purchase -> most recent prior click per user) —
-    the custom-operator family's range-join representative.  Oracle
-    is a windowed IGNORE NULLS carry with the identical strict
+    the custom-operator family's range-join representative.  Default
+    route = the skew-safe salted kernel; the unsalted oracle-shaped
+    kernel stays registered as `events_asof_unsalted`.  Oracle is a
+    windowed IGNORE NULLS carry with the identical strict
     (ts, event_id) tie rule."""
-    import ray.data as rd
-
-    from clinicaltransformerner_ray.pipelines.events import asof_join_events
-
-    return asof_join_events(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
-                        columns=["event_id", "user_id", "ts",
-                                 "event_type"]))
-
-
-def _q_events_range_join(sf_dir: str):
-    """Bounded range join (errors within 6 h after each purchase, per
-    user) — searchsorted per block, no pairwise expansion.  The 6 h
-    horizon matches the synth's inter-event cadence so the match path
-    is exercised, not just the NULL path."""
-    import ray.data as rd
-
-    from clinicaltransformerner_ray.pipelines.events import (
-        range_join_events)
-
-    return range_join_events(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
-                        columns=["event_id", "user_id", "ts",
-                                 "event_type"]),
-        horizon_us=6 * 3600 * 1_000_000)
-
-
-def _q_events_sessions_salted(sf_dir: str):
-    """Skew-safe sessionize route (time-bucket salt + ghost rows +
-    session-level stitch) — byte-identical to `sessionize`, so it
-    shares that oracle; registering it separately puts the at-scale
-    path itself through the driver's hash gate."""
-    import ray.data as rd
-
-    from clinicaltransformerner_ray.pipelines.events import sessionize_salted
-
-    return sessionize_salted(
-        rd.read_parquet(f"{sf_dir}/events.parquet",
-                        columns=["event_id", "user_id", "ts"]))
-
-
-def _q_events_asof_salted(sf_dir: str):
-    """Skew-safe as-of join (salted local resolve + carry-row stitch) —
-    byte-identical to `asof_join_events`, shares its oracle."""
     import ray.data as rd
 
     from clinicaltransformerner_ray.pipelines.events import (
@@ -659,16 +619,63 @@ def _q_events_asof_salted(sf_dir: str):
                                  "event_type"]))
 
 
-def _q_events_range_join_salted(sf_dir: str):
-    """Skew-safe bounded range join (time-bucket salt + previous-bucket
-    ghosts) — byte-identical to `range_join_events` at the same
-    horizon, shares its oracle."""
+def _q_events_range_join(sf_dir: str):
+    """Bounded range join (errors within 6 h after each purchase, per
+    user) — searchsorted per block, no pairwise expansion.  Default
+    route = the skew-safe salted kernel (time-bucket salt +
+    previous-bucket ghosts); the unsalted oracle-shaped kernel stays
+    registered as `events_range_join_unsalted`.  The 6 h horizon
+    matches the synth's inter-event cadence so the match path is
+    exercised, not just the NULL path."""
     import ray.data as rd
 
     from clinicaltransformerner_ray.pipelines.events import (
         range_join_events_salted)
 
     return range_join_events_salted(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]),
+        horizon_us=6 * 3600 * 1_000_000)
+
+
+def _q_events_sessions_unsalted(sf_dir: str):
+    """Oracle-shaped sessionize reference kernel (one sort on user_id,
+    per-user-whole-block assumption) — byte-identical to the salted
+    default route, shares its oracle; registering it separately keeps
+    both code paths under the driver's hash gate."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import sessionize
+
+    return sessionize(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]))
+
+
+def _q_events_asof_unsalted(sf_dir: str):
+    """Oracle-shaped as-of join reference kernel — byte-identical to
+    the salted default route, shares its oracle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import asof_join_events
+
+    return asof_join_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+
+
+def _q_events_range_join_unsalted(sf_dir: str):
+    """Oracle-shaped bounded range join reference kernel —
+    byte-identical to the salted default route at the same horizon,
+    shares its oracle."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        range_join_events)
+
+    return range_join_events(
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_id", "user_id", "ts",
                                  "event_type"]),
@@ -1547,7 +1554,7 @@ def _q_tpch_segment_stats(sf_dir: str):
                   n_orders=("n", "sum"),
                   cents=("cents", "sum"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     acc: dict[str, list[int]] = {}
     parts = (customer.map_batches(c_rows, batch_format="pyarrow",
@@ -1961,11 +1968,14 @@ def _q_events_windowed(sf_dir: str):
 
 
 def _q_events_sessions(sf_dir: str):
+    """Default sessionize route = the skew-safe salted kernel (time-bucket
+    salt + ghost rows + session-level stitch); the unsalted oracle-shaped
+    kernel stays registered as `events_sessions_unsalted`."""
     import ray.data as rd
 
-    from clinicaltransformerner_ray.pipelines.events import sessionize
+    from clinicaltransformerner_ray.pipelines.events import sessionize_salted
 
-    return sessionize(
+    return sessionize_salted(
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_id", "user_id", "ts"]))
 
@@ -1997,56 +2007,12 @@ def _q_kg_mentions_biaffine(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "kg_mentions": _q_kg_mentions,
-        "kg_mentions_crf": _q_kg_mentions_crf,
-        "kg_entities": _q_kg_entities,
-        "kg_triples": _q_kg_triples,
-        "kg_turn_entities": _q_kg_turn_entities,
-        "kg_degrees": _q_kg_degrees,
-        "kg_pagerank": _q_kg_pagerank,
-        "kg_assoc": _q_kg_assoc,
-        "kg_components": _q_kg_components,
-        "kg_common_neighbors": _q_kg_common_neighbors,
-        "kg_jaccard_links": _q_kg_jaccard_links,
-        "kg_khop": _q_kg_khop,
-        "kg_kcore": _q_kg_kcore,
-        "kg_lpa": _q_kg_lpa,
-        "kg_degree_histogram": _q_kg_degree_histogram,
-        "kg_assoc_topk": _q_kg_assoc_topk,
-        "kg_triangles": _q_kg_triangles,
-        "kg_type_matrix": _q_kg_type_matrix,
-        "kg_conv_stats": _q_kg_conv_stats,
-        "kg_near_cooccur": _q_kg_near_cooccur,
-        "kg_entity_daily": _q_kg_entity_daily,
-        "kg_conv_entities": _q_kg_conv_entities,
-        "kg_mention_spans": _q_kg_mention_spans,
-        "kg_mention_timeline": _q_kg_mention_timeline,
-        "kg_mentions_biaffine": _q_kg_mentions_biaffine,
-        "events_windowed": _q_events_windowed,
-        "events_sessions": _q_events_sessions,
-        "events_gaps": _q_events_gaps,
-        "events_sliding": _q_events_sliding,
-        "events_asof": _q_events_asof,
-        "events_range_join": _q_events_range_join,
-        "events_sessions_salted": _q_events_sessions_salted,
-        "events_asof_salted": _q_events_asof_salted,
-        "events_range_join_salted": _q_events_range_join_salted,
-        "events_value_quantiles": _q_events_value_quantiles,
-        "events_latest": _q_events_latest,
-        "events_running_total": _q_events_running_total,
-        "events_intervals": _q_events_intervals,
-        "events_outliers": _q_events_outliers,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_attribution": _q_events_attribution,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_triangles": _q_dedup_triangles,
-        "dedup_clustering_coeff": _q_dedup_clustering_coeff,
-        "dedup_containment": _q_dedup_containment,
-        "corpus_novelty": _q_corpus_novelty,
-        "dedup_calibration": _q_dedup_calibration,
-        "dedup_curate": _q_dedup_curate,
+        # --- never driver-checked before round 4 (driver budget ran out
+        # at entry 50 in r03): these go first so every one of them gets a
+        # driver-issued CORRECTNESS row this round ---
+        "events_sessions_unsalted": _q_events_sessions_unsalted,
+        "events_asof_unsalted": _q_events_asof_unsalted,
+        "events_range_join_unsalted": _q_events_range_join_unsalted,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -2117,6 +2083,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features_rowsonly": _q_multimodal_features_rowsonly,
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
         "kg_resume": _q_kg_resume,
+        # --- driver-green in CORRECTNESS_r03 (kept last; re-checked if
+        # the driver budget allows) ---
+        "kg_mentions": _q_kg_mentions,
+        "kg_mentions_crf": _q_kg_mentions_crf,
+        "kg_entities": _q_kg_entities,
+        "kg_triples": _q_kg_triples,
+        "kg_turn_entities": _q_kg_turn_entities,
+        "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_assoc": _q_kg_assoc,
+        "kg_components": _q_kg_components,
+        "kg_common_neighbors": _q_kg_common_neighbors,
+        "kg_jaccard_links": _q_kg_jaccard_links,
+        "kg_khop": _q_kg_khop,
+        "kg_kcore": _q_kg_kcore,
+        "kg_lpa": _q_kg_lpa,
+        "kg_degree_histogram": _q_kg_degree_histogram,
+        "kg_assoc_topk": _q_kg_assoc_topk,
+        "kg_triangles": _q_kg_triangles,
+        "kg_type_matrix": _q_kg_type_matrix,
+        "kg_conv_stats": _q_kg_conv_stats,
+        "kg_near_cooccur": _q_kg_near_cooccur,
+        "kg_entity_daily": _q_kg_entity_daily,
+        "kg_conv_entities": _q_kg_conv_entities,
+        "kg_mention_spans": _q_kg_mention_spans,
+        "kg_mention_timeline": _q_kg_mention_timeline,
+        "kg_mentions_biaffine": _q_kg_mentions_biaffine,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "events_gaps": _q_events_gaps,
+        "events_sliding": _q_events_sliding,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_latest": _q_events_latest,
+        "events_running_total": _q_events_running_total,
+        "events_intervals": _q_events_intervals,
+        "events_outliers": _q_events_outliers,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_attribution": _q_events_attribution,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_triangles": _q_dedup_triangles,
+        "dedup_clustering_coeff": _q_dedup_clustering_coeff,
+        "dedup_containment": _q_dedup_containment,
+        "corpus_novelty": _q_corpus_novelty,
+        "dedup_calibration": _q_dedup_calibration,
+        "dedup_curate": _q_dedup_curate,
     }
 
 
@@ -3224,9 +3239,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM g GROUP BY user_id
             HAVING count(gap) >= 1
         """,
-        "events_sessions_salted": _SESSIONS_SQL,
-        "events_asof_salted": _ASOF_SQL,
-        "events_range_join_salted": _RANGE_JOIN_SQL,
+        "events_sessions_unsalted": _SESSIONS_SQL,
+        "events_asof_unsalted": _ASOF_SQL,
+        "events_range_join_unsalted": _RANGE_JOIN_SQL,
         "events_sliding": """
             WITH e AS (
                 SELECT user_id,

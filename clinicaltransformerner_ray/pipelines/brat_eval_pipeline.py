@@ -26,6 +26,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray.data as rd
 
 
@@ -148,7 +150,7 @@ def brat_span_eval(
             rows.append({"doc_id": doc, "paired": True, "has_gold": True,
                          "tp": tp, "fp": fp, "fn": fn,
                          "p": p, "r": r, "f1": f1})
-        return pa.Table.from_pandas(pd.DataFrame(rows)) if rows else pa.table({
+        return from_pandas_clean(pd.DataFrame(rows)) if rows else pa.table({
             "doc_id": pa.array([], pa.string()),
             "paired": pa.array([], pa.bool_()),
             "has_gold": pa.array([], pa.bool_()),
@@ -234,7 +236,7 @@ def brat_full_eval(
             df["kind"] = kind
             cols = ["doc_id", "side", "kind", "tid", "type", "start",
                     "end", "rid", "rtype", "arg1", "arg2"]
-            return pa.Table.from_pandas(df[cols], preserve_index=False)
+            return from_pandas_clean(df[cols], preserve_index=False)
         return add
 
     both = (
@@ -287,7 +289,7 @@ def brat_full_eval(
                 "has_gold": pa.array([], pa.bool_()),
                 **{c: pa.array([], pa.int64()) for c in cols[3:]},
             })
-        return pa.Table.from_pandas(pd.DataFrame(rows)[cols],
+        return from_pandas_clean(pd.DataFrame(rows)[cols],
                                     preserve_index=False)
 
     per_doc = (both.sort("doc_id")

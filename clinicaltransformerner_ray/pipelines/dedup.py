@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray
 import ray.data as rd
 
@@ -86,7 +88,7 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
         g = df.groupby("h", sort=False).agg(
             keep_doc_id=("keep_doc_id", "min"),
             n_copies=("n_copies", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     agg = (
         docs.map_batches(combine, batch_format="pyarrow",
@@ -155,7 +157,7 @@ def ngram_jaccard_pairs(
                               "sa": pd.Series(dtype="int64"),
                               "sb": pd.Series(dtype="int64")})
         if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            return from_pandas_clean(empty, preserve_index=False)
         _, first, counts = np.unique(
             df["shingle"].to_numpy(), return_index=True, return_counts=True)
         ids = df["doc_id"].to_numpy()
@@ -175,12 +177,12 @@ def ngram_jaccard_pairs(
             _LOG.warning("ngram_jaccard_pairs: skipped %d shingles with "
                          "df > max_df=%d in this block", n_hot, max_df)
         if not i_parts:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            return from_pandas_clean(empty, preserve_index=False)
         I = np.concatenate(i_parts)
         J = np.concatenate(j_parts)
         out = pd.DataFrame({"a": ids[I], "b": ids[J],
                             "sa": sz[I], "sb": sz[J]})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     pairs = posts.sort("shingle").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
@@ -195,7 +197,7 @@ def ngram_jaccard_pairs(
             g = df.groupby(["a", "b"], sort=False).agg(
                 i=("sa", "size"), fsa=("sa", "min"),
                 fsb=("sb", "min")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     agg = (
         pairs.map_batches(pair_combine, batch_format="pyarrow",
@@ -216,13 +218,13 @@ def ngram_jaccard_pairs(
             out = out.rename(columns={
                 "a": "doc_a", "b": "doc_b", "i": "n_common",
                 "fsa": "size_a", "fsb": "size_b"})
-            return pa.Table.from_pandas(
+            return from_pandas_clean(
                 out[["doc_a", "doc_b", "n_common", "size_a", "size_b",
                      "containment"]],
                 preserve_index=False)
         df["jaccard"] = df["i"] / (df["fsa"] + df["fsb"] - df["i"])
         out = df[df["jaccard"] >= threshold]
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out.rename(columns={"a": "doc_a", "b": "doc_b"})[
                 ["doc_a", "doc_b", "jaccard"]],
             preserve_index=False,
@@ -335,7 +337,7 @@ def minhash_lsh_pairs(
                else pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                   "doc_b": pd.Series(dtype="int64"),
                                   "est_jaccard": pd.Series(dtype="float64")}))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     pairs = bucketed.sort("bucket").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
@@ -345,7 +347,7 @@ def minhash_lsh_pairs(
         df = batch.to_pandas()
         g = df.groupby(["doc_a", "doc_b"], sort=False)[
             "est_jaccard"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return (
         pairs.map_batches(pair_combine, batch_format="pyarrow",
@@ -428,7 +430,7 @@ def simhash_pairs(
                else pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                   "doc_b": pd.Series(dtype="int64"),
                                   "hamming": pd.Series(dtype="int64")}))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     pairs = bucketed.sort("bucket").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
@@ -437,7 +439,7 @@ def simhash_pairs(
         df = batch.to_pandas()
         g = df.groupby(["doc_a", "doc_b"], sort=False)[
             "hamming"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return (
         pairs.map_batches(pair_combine, batch_format="pyarrow",
@@ -635,7 +637,7 @@ def dup_clusters(
     def label_combine(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("node", sort=False)["label"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     labels = (edges.map_batches(init_labels, batch_format="pyarrow",
                                 batch_size=COMBINE_BATCH)
@@ -679,14 +681,14 @@ def dup_clusters(
                  pd.Series(np.full(len(msgs), sentinel))],
                 ignore_index=True).astype("int64"),
         })
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     def fold(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("node", sort=False).agg(
             label=("label", "min"), old=("old", "min")).reset_index()
         g["changed"] = (g["label"] != g["old"]).astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def changed_count(folded: rd.Dataset) -> int:
         import pyarrow.compute as pc

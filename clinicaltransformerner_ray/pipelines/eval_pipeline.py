@@ -17,6 +17,8 @@ import json
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray.data as rd
 
 from clinicaltransformerner_ray.functions.eval_bio import (
@@ -183,7 +185,7 @@ def labels_from_mentions(
                 row["tokens"] = list(tr["tokens"].iloc[0])
             out.append(row)
         if out:
-            return pa.Table.from_pandas(pd.DataFrame(out))
+            return from_pandas_clean(pd.DataFrame(out))
         cols = {
             "conv_id": pa.array([], pa.string()),
             "turn_idx": pa.array([], pa.int32()),

@@ -57,6 +57,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray.data as rd
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -90,7 +92,7 @@ def windowed_counts(events: rd.Dataset, *, window: str = "hour") -> rd.Dataset:
         g = df.groupby(["user_id", "window_start"], sort=False).agg(
             n_events=("n_events", "sum"),
             sum_value_cents=("sum_value_cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return (
         events.map_batches(combine, batch_format="pyarrow",
@@ -137,7 +139,7 @@ def sliding_window_counts(
         g = df.groupby(["user_id", "window_start"], sort=False).agg(
             n_events=("n_events", "sum"),
             sum_value_cents=("sum_value_cents", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return (
         events.map_batches(combine, batch_format="pyarrow",
@@ -172,7 +174,7 @@ def sessionize(events: rd.Dataset, *, gap_us: int = SESSION_GAP_US) -> rd.Datase
             n_events=("event_id", "size"),
             start_ts=("ts", "min"),
             end_ts=("ts", "max")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return events.sort("user_id").map_batches(
         per_block, batch_format="pyarrow", batch_size=None)
@@ -221,7 +223,7 @@ def sessionize_salted(
         g["skey"] = ((h[near_end] + (bucket[near_end] + 1).astype(np.uint64))
                      % nb).astype(np.int64)
         out = pd.concat([df, g], ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     tagged = events.map_batches(bucket_and_ghost, batch_format="pyarrow",
                                 batch_size=1 << 19)
@@ -238,7 +240,7 @@ def sessionize_salted(
             "continues_prev": pd.Series(dtype="bool"),
         })
         if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            return from_pandas_clean(empty, preserve_index=False)
         df = df.sort_values(["user_id", "bucket", "ts", "event_id"])
         ts = df["ts"].astype("int64")
         real = ~df["ghost"].to_numpy()
@@ -272,7 +274,7 @@ def sessionize_salted(
         agg.loc[agg["local_idx"] != 0, "continues_prev"] = False
         agg["start_ts"] = agg["start_ts"].astype("int64")
         agg["end_ts"] = agg["end_ts"].astype("int64")
-        return pa.Table.from_pandas(agg[empty.columns.tolist()],
+        return from_pandas_clean(agg[empty.columns.tolist()],
                                     preserve_index=False)
 
     local = tagged.sort("skey").map_batches(
@@ -301,7 +303,7 @@ def sessionize_salted(
         g["start_ts"] = g["start_ts"].astype("datetime64[us]")
         g["end_ts"] = g["end_ts"].astype("datetime64[us]")
         cols = ["user_id", "session_idx", "n_events", "start_ts", "end_ts"]
-        return pa.Table.from_pandas(g[cols], preserve_index=False)
+        return from_pandas_clean(g[cols], preserve_index=False)
 
     # the stitch input is one tiny row per session — sorting it on
     # user_id is safe even for hyperactive users.  Sort on user_id ALONE:
@@ -361,7 +363,7 @@ def asof_join_events(
             "asof_ts": pd.Series(dtype="datetime64[us]"),
         })
         if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            return from_pandas_clean(empty, preserve_index=False)
         ids = df["event_id"].to_numpy()
         is_left = (df["event_type"] == left_type).to_numpy()
         # latest left position carried forward per user; a right row's
@@ -382,7 +384,7 @@ def asof_join_events(
         asof_ts = pd.Series(df["ts"].to_numpy()[gather], index=out.index)
         asof_ts[~valid] = pd.NaT
         out["asof_ts"] = asof_ts
-        return pa.Table.from_pandas(out[empty.columns.tolist()],
+        return from_pandas_clean(out[empty.columns.tolist()],
                                     preserve_index=False)
 
     return (events.map_batches(project, batch_format="pyarrow")
@@ -433,7 +435,7 @@ def range_join_events(
             "first_range_ts": pd.Series(dtype="datetime64[us]"),
         })
         if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            return from_pandas_clean(empty, preserve_index=False)
         tus = df["ts"].astype("int64").to_numpy()
         # DENSE per-block user codes (df is user-sorted, so factorize
         # preserves order): the key composition depends on the number
@@ -468,7 +470,7 @@ def range_join_events(
             index=out.index).astype("datetime64[us]")
         first[n == 0] = pd.NaT
         out["first_range_ts"] = first
-        return pa.Table.from_pandas(out[empty.columns.tolist()],
+        return from_pandas_clean(out[empty.columns.tolist()],
                                     preserve_index=False)
 
     return (events.map_batches(project, batch_format="pyarrow")
@@ -529,7 +531,7 @@ def range_join_events_salted(
                       + (bucket[near_start] - 1).astype(np.uint64))
                      % nb).astype(np.int64)
         out = pd.concat([df, g], ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     def per_block(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(
@@ -542,7 +544,7 @@ def range_join_events_salted(
             "first_range_ts": pd.Series(dtype="datetime64[us]"),
         })
         if df.empty:
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            return from_pandas_clean(empty, preserve_index=False)
         tus = df["ts"].astype("int64").to_numpy()
         # (user, bucket) group codes: changed-flag cumsum on the sorted
         # frame (the composite analog of the unsalted factorize)
@@ -574,7 +576,7 @@ def range_join_events_salted(
             index=out.index).astype("datetime64[us]")
         first[n == 0] = pd.NaT
         out["first_range_ts"] = first
-        return pa.Table.from_pandas(out[empty.columns.tolist()],
+        return from_pandas_clean(out[empty.columns.tolist()],
                                     preserve_index=False)
 
     return (events.map_batches(bucket_and_ghost, batch_format="pyarrow",
@@ -1501,7 +1503,7 @@ def type_transition_counts(events: rd.Dataset) -> pa.Table:
              })
              .groupby(["from_type", "to_type"], sort=False)
              .size().reset_index(name="n"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     parts = (events.map_batches(proj, batch_format="pyarrow",
                                 batch_size=1 << 19)
@@ -1913,6 +1915,15 @@ def session_quantiles(
                               batch_size=1 << 19).take_all():
         k = (r["m"], r["v"])
         acc[k] = acc.get(k, 0) + r["c"]
+
+    if not acc:
+        # zero sessions: empty result with the output schema (the
+        # quantile-position gather below would index an empty array)
+        return pa.table({
+            "q_pct": pa.array([], pa.int64()),
+            "n_events_q": pa.array([], pa.int64()),
+            "dur_s_q": pa.array([], pa.int64()),
+        })
 
     def q_of(metric: str) -> dict[int, int]:
         vals = sorted(v for (m, v) in acc if m == metric)

@@ -692,7 +692,13 @@ def khop_reachability(
     ``max_hops + 1`` times (the engine's no-CSE rule).
 
     Output: small pa.Table (entity_id, hops BIGINT), unreached
-    entities omitted."""
+    entities omitted.
+
+    Precondition: ``pairs`` must be DISTINCT (subj, obj) rows — the
+    flagship triple table guarantees this per (subj, pred, obj) dedup.
+    Reachability itself is duplicate-insensitive, but the shared
+    oracle applies SELECT DISTINCT; route any non-distinct edge source
+    through a dedup first (same rule as kcore / label_propagation)."""
 
     def bidir(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -763,6 +769,12 @@ def kcore(
     converged — and once a round removes nothing the state is a fixed
     point, so the engine may break early without diverging (the
     remaining SQL rounds are no-ops).
+
+    Precondition: ``pairs`` must be DISTINCT (subj, obj) rows — the
+    flagship triple table guarantees this per (subj, pred, obj) dedup.
+    Degrees are counted over the raw rows (the oracle applies SELECT
+    DISTINCT), so a duplicated edge would silently inflate them; route
+    any non-distinct edge source through a dedup first.
 
     Scale shape (the pagerank/khop precedent): node state — the alive
     set — is lexicon-bounded and broadcast per round; the edge table
@@ -944,7 +956,14 @@ def label_propagation(
     seen) per block, never O(edges)) and the driver folds integer
     counts then takes the per-node (count DESC, label ASC) argmax.
 
-    Output: small pa.Table (entity_id, community)."""
+    Output: small pa.Table (entity_id, community).
+
+    Precondition: ``pairs`` must be DISTINCT (subj, obj) rows — the
+    flagship triple table guarantees this per (subj, pred, obj) dedup.
+    Neighbor-label counts are taken over the raw rows (the oracle
+    applies SELECT DISTINCT), so a duplicated edge would skew the
+    per-node vote; route any non-distinct edge source through a dedup
+    first."""
 
     def bidir(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -39,6 +39,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray
 import ray.data as rd
 
@@ -82,12 +84,20 @@ def detect_mentions(
     batch_size: int = 1024,
     decode: str = "argmax",
     quarantine_dir: str | None = None,
+    model_dir: str | None = None,
+    num_gpus: float = 0.0,
 ) -> rd.Dataset:
     """turns -> mentions via the tagger actor pool. Alias rows ship once
     per actor through a ray.put broadcast ref.  ``decode="crf"`` selects
     the Viterbi route (reference --use_crf).  ``quarantine_dir`` makes
     each actor write failed turns (keys + error) as a parquet side
-    table; failures always WARN-log regardless."""
+    table; failures always WARN-log regardless.
+
+    ``model_dir`` selects the real-checkpoint scorer (import-guarded
+    torch/transformers, loaded once per actor in ``__init__``); pair it
+    with ``num_gpus`` (e.g. 1.0, or 0.25 to pack 4 actors per device)
+    so Ray schedules each tagger actor onto a GPU — the reference's
+    single-process single-GPU loop becomes a GPU actor pool."""
     if concurrency is None:
         # the dominant CPU consumer: a fixed 3/4 FRACTION of the cluster
         # (not cluster-minus-constant) so the N vs 4N scaling comparison
@@ -112,6 +122,9 @@ def detect_mentions(
         frac = float(_os.environ.get("GRAFT_TAGGER_FRAC", "0.625"))
         concurrency = max(1, min(int(frac * cpus), cpus - linker_n - 1))
     ref = ray.put(alias_rows)
+    extra: dict = {}
+    if num_gpus:
+        extra["num_gpus"] = num_gpus
     return turns.map_batches(
         MentionTagger,
         fn_constructor_kwargs={
@@ -120,11 +133,13 @@ def detect_mentions(
             "noise_mod": noise_mod,
             "decode": decode,
             "quarantine_dir": quarantine_dir,
+            "model_dir": model_dir,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        **extra,
     )
 
 
@@ -217,7 +232,7 @@ def canonical_entities(linked: rd.Dataset) -> rd.Dataset:
             df = df[["entity_id", "type", "surface_norm"]].assign(pn=1)
         g = df.groupby(["entity_id", "type", "surface_norm"],
                        sort=False)["pn"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     def finalize(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -242,7 +257,7 @@ def canonical_entities(linked: rd.Dataset) -> rd.Dataset:
         out = tot.merge(top, on="entity_id")
         out = out[["entity_id", "type", "canonical_surface",
                    "n_mentions", "n_surfaces"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     return _combine_sort_combine(
         linked.map_batches(
@@ -261,7 +276,7 @@ def mention_counts(mentions: rd.Dataset) -> rd.Dataset:
         if "n_mentions" not in df.columns:
             df = df[keys].assign(n_mentions=1)
         g = df.groupby(keys, sort=False)["n_mentions"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return _combine_sort_combine(mentions, keys, combine)
 
@@ -302,7 +317,7 @@ def _bucketed_turn_entities(
              - np.uint64(1)) % nb
         ).astype(np.int64)
         out = pd.concat([df, border], ignore_index=True)
-        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        tbl = from_pandas_clean(out, preserve_index=False)
         # yield in chunks: the downstream sort emits one output
         # partition per INPUT block, and block_pairs' heavy merges run
         # one task per sorted block — coalescing to 512k-row combiner
@@ -464,7 +479,7 @@ def emit_triples(
                                        conv_uniq[c_ng[I_fo]]]),
             "turn_idx": np.concatenate([t_ng[I_co], t_ng[I_fo]]),
         })
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     raw = te.sort("bucket").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
@@ -489,7 +504,7 @@ def emit_triples(
                 first_conv_id=("first_conv_id", "min"),
                 first_turn_idx=("first_turn_idx", "min"),
             ).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return from_pandas_clean(g, preserve_index=False)
         # pre-shuffle combiner over RAW pair rows: integer-coded
         # (np.unique codes are sorted, so code-min == string-min) —
         # pandas string groupby here was the triples phase's hot spot
@@ -516,7 +531,7 @@ def emit_triples(
             "first_conv_id": conv_u[min_conv],
             "first_turn_idx": min_turn,
         })
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     return _combine_sort_combine(raw, ["subj", "pred", "obj"],
                                  triple_combine)
@@ -963,7 +978,7 @@ def near_cooccurrence(
         df = batch.to_pandas()
         g = (df.groupby(["subj", "obj", "gap"], sort=False)["n_pairs"]
              .sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return (linked.map_batches(dedup, batch_format="pyarrow",
                                batch_size=COMBINE_BATCH)

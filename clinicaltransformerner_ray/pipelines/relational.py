@@ -1512,6 +1512,12 @@ def lineitem_order_share(lineitem: rd.Dataset) -> rd.Dataset:
     ``share_bp = rev_e4 * 10000 // total_e4`` (non-negative ints, so
     numpy floor == DuckDB truncation).
 
+    Domain precondition: per-order revenue totals must be POSITIVE —
+    guaranteed on TPC-H-shaped data (extendedprice > 0, discount <=
+    10%).  An all-zero-revenue order would make numpy emit 0 for the
+    share where SQL yields NULL/error; the per-block pass raises
+    instead of diverging silently.
+
     ONE sort on the high-cardinality l_orderkey; the per-block pass
     computes group totals with a vectorized transform('sum') and emits
     every detail row — no pre-aggregation is possible (the output IS
@@ -1540,6 +1546,11 @@ def lineitem_order_share(lineitem: rd.Dataset) -> rd.Dataset:
             })
         tot = (df.groupby("okey", sort=False)["rev_e4"]
                .transform("sum").to_numpy(dtype=np.int64))
+        if len(tot) and tot.min() <= 0:
+            raise ValueError(
+                "lineitem_order_share: non-positive per-order revenue "
+                "total — input violates the positive-revenue domain "
+                "precondition (see docstring)")
         rev = df["rev_e4"].to_numpy(dtype=np.int64)
         return pa.table({
             "l_orderkey": pa.array(df["okey"].to_numpy(dtype=np.int64),

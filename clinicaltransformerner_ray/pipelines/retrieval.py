@@ -211,8 +211,16 @@ def hybrid_rerank(
             pc.is_in(pc.cast(b.column("vec_id"), pa.int64()), _n)),
         batch_format="pyarrow",
     ).take_all()  # O(terms x k) candidate embeddings only
-    E = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
-         for r in emb_rows}
+    # zero-norm embeddings are excluded up front (same bucket as "no
+    # embedding"): normalizing one would emit NaN cosine sims and
+    # nondeterministic ranks where the SQL oracle's inner join +
+    # NULL-propagating division never produces a row.  Synth vectors
+    # are non-zero, so this guard is unreachable in the fixtures.
+    E = {}
+    for r in emb_rows:
+        v = np.asarray(r["embedding"], np.float64)
+        if np.linalg.norm(v) > 0.0:
+            E[r["vec_id"]] = v
 
     o_term, o_doc, o_b, o_r = [], [], [], []
     for term in sorted(by_term):

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray
 import ray.data as rd
 
@@ -135,7 +137,7 @@ def _merge_topk(partials: rd.Dataset, k: int) -> rd.Dataset:
         df = batch.to_pandas()
         if df.empty:
             return empty_partial
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             _topk_frame(df)[["query_id", "neighbor_id", "sim"]],
             preserve_index=False)
 
@@ -148,7 +150,7 @@ def _merge_topk(partials: rd.Dataset, k: int) -> rd.Dataset:
                 "rank": pa.array([], pa.int64()),
             })
         out = _topk_frame(df)
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             out[["query_id", "neighbor_id", "rank"]], preserve_index=False)
 
     return (

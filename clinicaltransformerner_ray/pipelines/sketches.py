@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray.data as rd
 
 #: register-index bits: 2^12 = 4096 registers, ~1.6% standard error
@@ -54,7 +56,7 @@ def distinct_users(events: rd.Dataset) -> rd.Dataset:
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         df = (batch.select(["event_type", "user_id"]).to_pandas()
               .drop_duplicates())
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df, preserve_index=False)
 
     def block_counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
@@ -284,8 +286,10 @@ def kmv_distinct_users(events: rd.Dataset, *, k: int = 64) -> pa.Table:
     kept = merged[:k]
     n_kept = int(len(kept))
     if n_kept == 0:
+        # mirror the SQL oracle on empty input: max(hv) over zero rows
+        # is NULL, so the k-th-hash halves are NULL (est stays n_kept=0)
         est = 0
-        hk = 0
+        hk = None
     elif n_kept < k:
         est = n_kept
         hk = int(kept[-1])
@@ -294,7 +298,8 @@ def kmv_distinct_users(events: rd.Dataset, *, k: int = 64) -> pa.Table:
         est = ((k - 1) << 64) // hk
     return pa.table({
         "n_kept": pa.array([n_kept], pa.int64()),
-        "hk_hi": pa.array([hk >> 32], pa.int64()),
-        "hk_lo": pa.array([hk & 0xFFFFFFFF], pa.int64()),
+        "hk_hi": pa.array([None if hk is None else hk >> 32], pa.int64()),
+        "hk_lo": pa.array([None if hk is None else hk & 0xFFFFFFFF],
+                          pa.int64()),
         "est_users": pa.array([est], pa.int64()),
     })

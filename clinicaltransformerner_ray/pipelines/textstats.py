@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray.data as rd
 
 #: tiny function-word lexicon for the language-ID heuristic
@@ -162,7 +164,7 @@ def curate_corpus(
             n_copies=("n_copies", "sum"),
             **{c: (c, "first") for c in stat_cols},
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     agg = (
         docs.map_batches(combine, batch_format="pyarrow",
@@ -228,7 +230,7 @@ def token_count_quantiles(
         else:
             df = batch.to_pandas()
         g = df.groupby("v", sort=False)["n"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     cdf = (
         docs.map_batches(combine, batch_format="pyarrow",
@@ -498,7 +500,7 @@ def token_vocab(docs: rd.Dataset) -> rd.Dataset:
         if "n" in batch.column_names:
             df = batch.to_pandas()
             g = df.groupby("token", sort=False)["n"].sum().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return from_pandas_clean(g, preserve_index=False)
         counts: dict[str, int] = {}
         for t in batch.column("text").to_pylist():
             for tok in TOKEN_RE.findall(t or ""):
@@ -1014,7 +1016,7 @@ def tfidf_topk(docs: rd.Dataset, n_docs: int, *, k: int = 5) -> rd.Dataset:
         df = (df.sort_values(["doc_id", "score", "token"],
                              ascending=[True, False, True])
               .groupby("doc_id", sort=False).head(k))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df, preserve_index=False)
 
     def rank_complete(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

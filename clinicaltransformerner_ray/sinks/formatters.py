@@ -21,6 +21,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray.data as rd
 
 
@@ -112,7 +114,7 @@ def brat_annotations(mentions: rd.Dataset) -> rd.Dataset:
                       + " " + field + "\t" + text + "\n")
         out = _join_by_group(df, key, "line", "ann",
                              runs=(starts, offsets))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     return _coalesce(mentions).sort(["conv_id", "turn_idx"]).map_batches(
         per_block, batch_format="pyarrow", batch_size=None)
@@ -159,7 +161,7 @@ def bioc_documents(mentions: rd.Dataset) -> rd.Dataset:
                       + "</id><passage><offset>0</offset>"
                       + out["annot"] + "</passage></document>")
         out = out[["conv_id", "turn_idx", "xml"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     return _coalesce(mentions).sort(["conv_id", "turn_idx"]).map_batches(
         per_block, batch_format="pyarrow", batch_size=None)
@@ -196,7 +198,7 @@ def bioc_files(mentions: rd.Dataset) -> rd.Dataset:
                 .str.replace("</passage></document>", "", regex=False))
         header = doc_id.map(lambda d: BIOC_FILE_HEADER.format(doc_id=d))
         df["xml"] = header + body + BIOC_FILE_FOOTER
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             df[["conv_id", "turn_idx", "xml"]], preserve_index=False)
 
     return bioc_documents(mentions).map_batches(

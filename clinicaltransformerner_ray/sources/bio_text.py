@@ -19,6 +19,8 @@ import os
 
 import pyarrow as pa
 
+from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+
 import ray.data as rd
 
 SENT_SCHEMA = pa.schema([
@@ -133,7 +135,7 @@ def format_bio(sentences: rd.Dataset, *, with_offsets: bool = False) -> rd.Datas
         out = (df.groupby("doc_id", sort=False)["sent_text"]
                .agg(lambda s: "\n\n".join(s) + "\n").reset_index()
                .rename(columns={"sent_text": "bio_text"}))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out, preserve_index=False)
 
     return sentences.sort(["doc_id", "sent_idx"]).map_batches(
         per_block, batch_format="pyarrow", batch_size=None)

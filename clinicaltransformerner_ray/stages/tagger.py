@@ -113,6 +113,23 @@ def _maybe_get(ref):
     return ref
 
 
+def _import_hf():
+    """Import-guarded torch/transformers for the real-checkpoint scorer
+    path.  This sandbox ships neither, so the guard raises a pointed
+    error instead of a bare ModuleNotFoundError; every default path
+    (mock scorer) never reaches this."""
+    try:
+        import torch
+        import transformers
+    except ImportError as exc:  # pragma: no cover - no torch here
+        raise ImportError(
+            "MentionTagger(model_dir=...) needs torch + transformers "
+            "installed on every Ray worker; install them or drop "
+            "model_dir to use the deterministic mock scorer"
+        ) from exc
+    return torch, transformers
+
+
 class MentionTagger:
     def __init__(
         self,
@@ -124,6 +141,9 @@ class MentionTagger:
         family: str = "bert",
         label2idx: dict[str, int] | None = None,
         quarantine_dir: str | None = None,
+        model_dir: str | None = None,
+        device: str = "cpu",
+        forward_window_batch: int = 64,
     ):
         alias_rows = _maybe_get(alias_rows_ref)
         self.lexicon = Lexicon(
@@ -142,6 +162,35 @@ class MentionTagger:
                 build_label_vocab(types), label2idx)
         else:
             self.label2idx = build_label_vocab(types)
+        # real-checkpoint scorer (T1/T2 parity, import-guarded): load
+        # tokenizer + token-classification head ONCE per actor — the
+        # Ray analog of the reference's load-model-once production loop
+        # (`src/transformer_ner/task.py:75-98`: config/tokenizer/model
+        # from the checkpoint dir, plus the added [next] token,
+        # `task.py:646-651`).  Absent torch/transformers (this
+        # sandbox), model_dir=None keeps the deterministic mock and
+        # nothing below imports anything.
+        self.model = None
+        self.device = device
+        self.forward_window_batch = forward_window_batch
+        if model_dir is not None:
+            torch, transformers = _import_hf()
+            self._torch = torch
+            self.hf_tokenizer = transformers.AutoTokenizer.from_pretrained(
+                model_dir, use_fast=False)
+            from clinicaltransformerner_ray.labels import NEXT_TOKEN
+
+            self.hf_tokenizer.add_tokens(NEXT_TOKEN)
+            self.model = (transformers.AutoModelForTokenClassification
+                          .from_pretrained(model_dir))
+            self.model.resize_token_embeddings(len(self.hf_tokenizer))
+            self.model.to(device).eval()
+            if label2idx is None:
+                # the checkpoint's frozen train-time vocab replaces the
+                # alias-synthesized one (the reference persists and
+                # reloads label2idx the same way, task.py:556-577)
+                self.label2idx = {str(k): int(v) for k, v in
+                                  self.model.config.label2id.items()}
         self.idx2label = invert(self.label2idx)
         self.system_labels = system_labels(self.label2idx)
         self.n_labels = len(self.label2idx)
@@ -149,7 +198,13 @@ class MentionTagger:
         # padding side, continuation-label policy and partial-token
         # convention all come from one strategy object
         self.family = FAMILIES[family]
-        self.tokenizer = tokenizer_for_family(family)
+        # the windowing layer needs exactly tokenize(word) +
+        # convert_tokens_to_ids(tokens) — the HF slow-tokenizer
+        # interface — so a real checkpoint tokenizer drops in where the
+        # deterministic mock otherwise sits (same word-by-word loop as
+        # the reference featurizer, data_utils.py:287-299)
+        self.tokenizer = (self.hf_tokenizer if self.model is not None
+                          else tokenizer_for_family(family))
         self.max_seq_length = max_seq_length
         self.noise_mod = noise_mod
         self.fast_decode = fast_decode
@@ -207,6 +262,39 @@ class MentionTagger:
             return viterbi_decode(logits, self.transitions, mask)
         return argmax_decode(logits)
 
+    def _forward_real(self, input_ids: np.ndarray, mask: np.ndarray,
+                      segment_ids: np.ndarray) -> np.ndarray:
+        """Real-checkpoint batched forward (task.py:359-432): stack ALL
+        the batch's windows, run them through the token-classification
+        head in bounded sub-batches, argmax the logits (argmax over
+        log_softmax == argmax over logits) — or Viterbi over the real
+        emissions when the CRF route is selected."""
+        torch = self._torch
+        outs = []
+        step = self.forward_window_batch
+        with torch.no_grad():
+            for i in range(0, len(input_ids), step):
+                kwargs = {
+                    "input_ids": torch.as_tensor(
+                        input_ids[i:i + step], dtype=torch.long,
+                        device=self.device),
+                    "attention_mask": torch.as_tensor(
+                        mask[i:i + step], dtype=torch.long,
+                        device=self.device),
+                }
+                if self.family.uses_token_type_ids:
+                    kwargs["token_type_ids"] = torch.as_tensor(
+                        segment_ids[i:i + step], dtype=torch.long,
+                        device=self.device)
+                outs.append(self.model(**kwargs).logits
+                            .detach().cpu().numpy())
+        logits = np.concatenate(outs, axis=0)
+        if self.decode == "crf":
+            from clinicaltransformerner_ray.functions.crf import viterbi_decode
+
+            return viterbi_decode(logits, self.transitions, mask)
+        return argmax_decode(logits)
+
     # -- per-turn featurize ------------------------------------------------
     def _featurize_turn(self, text: str):
         """Tokenize/window one turn; returns (tokens, offsets, wins,
@@ -218,25 +306,31 @@ class MentionTagger:
         tokens, offsets = tokenize_with_offsets(text)
         if not tokens:
             return None
-        norm = [normalize_surface(t) for t in tokens]
-        word_tags = self.lexicon.tag_words(norm)
-        if self.noise_mod:
-            word_tags = perturb_tags(norm, word_tags, mod=self.noise_mod)
-
         # featurize with all-'O' labels (predict mode, data_utils.py:167-168)
         wins = make_windows(tokens, ["O"] * len(tokens), self.tokenizer,
                             self.max_seq_length, self.label2idx,
                             family=self.family)
         guards_mat = np.asarray([w.guards for w in wins], dtype=np.int32)
+        first = np.empty_like(guards_mat, dtype=bool)
+        first[:, 0] = True
+        first[:, 1:] = guards_mat[:, 1:] != guards_mat[:, :-1]
+        mask_mat = np.asarray([w.attention_mask for w in wins],
+                              dtype=np.int8)
+        if self.model is not None:
+            # real checkpoint: the model scores the windows itself — no
+            # lexicon-derived target ids exist (the checkpoint vocab
+            # need not cover the alias types at all)
+            return tokens, offsets, wins, guards_mat, first, None, mask_mat
+        norm = [normalize_surface(t) for t in tokens]
+        word_tags = self.lexicon.tag_words(norm)
+        if self.noise_mod:
+            word_tags = perturb_tags(norm, word_tags, mod=self.noise_mod)
         # what a trained model would emit per subtoken: word tag on first
         # piece, X on continuations (XLNet: the tag again), O on specials
         tag_ids = np.asarray(
             [self.label2idx[t] for t in word_tags] + [self.label2idx["O"]],
             dtype=np.int32,
         )
-        first = np.empty_like(guards_mat, dtype=bool)
-        first[:, 0] = True
-        first[:, 1:] = guards_mat[:, 1:] != guards_mat[:, :-1]
         word_pos = np.clip(guards_mat - 1, 0, len(word_tags) - 1)
         cont = (tag_ids[word_pos]
                 if self.family.repeat_label_on_continuation
@@ -246,8 +340,6 @@ class MentionTagger:
             self.label2idx["O"],
             np.where(first, tag_ids[word_pos], cont),
         )
-        mask_mat = np.asarray([w.attention_mask for w in wins],
-                              dtype=np.int8)
         return tokens, offsets, wins, guards_mat, first, target, mask_mat
 
     def _decode_turn(self, feat, preds: np.ndarray):
@@ -293,10 +385,19 @@ class MentionTagger:
             self._report_failures(failures)
             return MENTION_SCHEMA.empty_table()
 
-        targets = np.concatenate([f[2][5] for f in feats], axis=0)
-        masks = (np.concatenate([f[2][6] for f in feats], axis=0)
-                 if self.decode == "crf" else None)
-        preds_all = self._forward(targets, masks)
+        if self.model is not None:
+            wins_all = [w for f in feats for w in f[2][2]]
+            input_ids = np.asarray([w.input_ids for w in wins_all],
+                                   dtype=np.int64)
+            mask_mat = np.concatenate([f[2][6] for f in feats], axis=0)
+            seg_mat = np.asarray([w.segment_ids for w in wins_all],
+                                 dtype=np.int64)
+            preds_all = self._forward_real(input_ids, mask_mat, seg_mat)
+        else:
+            targets = np.concatenate([f[2][5] for f in feats], axis=0)
+            masks = (np.concatenate([f[2][6] for f in feats], axis=0)
+                     if self.decode == "crf" else None)
+            preds_all = self._forward(targets, masks)
 
         # phase 2: split predictions back per turn and decode
         pos = 0

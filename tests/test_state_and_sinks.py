@@ -318,8 +318,8 @@ def test_events_windowed_and_sessions_parity(ray_session):
 
     for name in ["events_windowed", "events_sessions", "events_sliding",
                  "events_asof", "events_range_join",
-                 "events_sessions_salted", "events_asof_salted",
-                 "events_range_join_salted", "events_distinct_users",
+                 "events_sessions_unsalted", "events_asof_unsalted",
+                 "events_range_join_unsalted", "events_distinct_users",
                  "events_value_quantiles", "events_latest",
                  "events_funnel", "events_retention",
                  "events_attribution", "events_running_total",
