@@ -145,9 +145,14 @@ def pricing_summary(
             df["sum_disc_pct"].to_numpy() / cnt, pa.float64())
         return pa.table(out)
 
+    # first combine: batch_size=None = one batch per BLOCK.  A fixed
+    # 512k batch coalesced bench-scale inputs (sf0.1 = 600k rows, 64
+    # read blocks) into 1-2 tasks, starving 31 CPUs for ~9 s; per-block
+    # batches keep task count = block count at every scale, and the
+    # combine output (~6 rows/task) stays trivial for the shuffle.
     return (
         lineitem.map_batches(combine, batch_format="pyarrow",
-                             batch_size=1 << 19)
+                             batch_size=None)
         .sort(["l_returnflag", "l_linestatus"])
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
