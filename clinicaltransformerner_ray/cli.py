@@ -117,6 +117,54 @@ def cmd_kg(args) -> None:
         print(f"kg: {name} -> {d}")
 
 
+def cmd_eval(args) -> None:
+    """Shell eval surface (reference `new_bio_eval.py:356-368` /
+    `brat_eval.py:448-496` arg shapes):
+
+      eval --mode bio  --gold G --pred P [--beta 1.0]
+      eval --mode brat --gold G --pred P [--match strict|lenient]
+           [--exclude TYPE ...] [--tag-type T] [--relations]
+
+    bio mode runs the distributed BioEval counters (span_prf) over two
+    BIO files/dirs; brat mode runs the micro/macro document eval over
+    two .ann dirs (``--relations`` adds relation scores — the track2
+    full eval).  ``--exclude`` drops tag types at the reader, matching
+    the reference's exclusion lists.  Prints one JSON object."""
+    import json
+
+    if args.mode == "bio":
+        from clinicaltransformerner_ray.pipelines.eval_pipeline import (
+            span_prf)
+        from clinicaltransformerner_ray.sources.bio_text import read_bio
+
+        def to_key(ds):
+            def ren(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "conv_id": batch.column("doc_id"),
+                    "turn_idx": batch.column("sent_idx").cast(pa.int64()),
+                    "labels": batch.column("labels"),
+                })
+            return ds.map_batches(ren, batch_format="pyarrow")
+
+        res = span_prf(to_key(read_bio(args.gold)),
+                       to_key(read_bio(args.pred)), beta=args.beta)
+    else:
+        from clinicaltransformerner_ray.pipelines.brat_eval_pipeline import (
+            brat_full_eval, brat_span_eval)
+        from clinicaltransformerner_ray.sources.brat import read_brat
+
+        excl = set(args.exclude) if args.exclude else None
+        g_tags, g_rels = read_brat(args.gold, tags_to_exclude=excl)
+        s_tags, s_rels = read_brat(args.pred, tags_to_exclude=excl)
+        if args.relations:
+            res = brat_full_eval(g_tags, g_rels, s_tags, s_rels,
+                                 mode=args.match, tag_type=args.tag_type)
+        else:
+            res = brat_span_eval(g_tags, s_tags, mode=args.match,
+                                 tag_type=args.tag_type)
+    print(json.dumps(res, sort_keys=True))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="clinicaltransformerner_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -141,6 +189,29 @@ def build_parser() -> argparse.ArgumentParser:
     kg.add_argument("--output-dir", required=True)
     kg.add_argument("--num-cpus", type=int, default=None)
     kg.set_defaults(fn=cmd_kg)
+
+    ev = sub.add_parser(
+        "eval",
+        help="span-level eval: BIO files (ref new_bio_eval) or brat "
+             ".ann dirs (ref brat_eval), JSON report to stdout")
+    ev.add_argument("--mode", choices=["bio", "brat"], required=True)
+    ev.add_argument("--gold", required=True,
+                    help="gold BIO file/dir (bio) or .ann dir (brat)")
+    ev.add_argument("--pred", required=True,
+                    help="predicted BIO file/dir (bio) or .ann dir (brat)")
+    ev.add_argument("--beta", type=float, default=1.0,
+                    help="F-beta for bio mode (ref --beta)")
+    ev.add_argument("--match", choices=["strict", "lenient"],
+                    default="strict", help="brat span match mode")
+    ev.add_argument("--tag-type", default=None,
+                    help="brat: score only this tag type (ref key)")
+    ev.add_argument("--exclude", nargs="*", default=None,
+                    help="brat: tag types dropped at the reader "
+                         "(ref exclusion lists)")
+    ev.add_argument("--relations", action="store_true",
+                    help="brat: also score relations (track2 full eval)")
+    ev.add_argument("--num-cpus", type=int, default=None)
+    ev.set_defaults(fn=cmd_eval)
     return p
 
 

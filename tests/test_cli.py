@@ -73,3 +73,71 @@ def test_cli_kg_writes_tables(ray_session, tmp_path):
     ent = sum(pq.read_metadata(f).num_rows for f in
               glob.glob(os.path.join(out, "entities", "*.parquet")))
     assert tri == 1387 and ent == 120  # the sf0.001 flagship outputs
+
+
+def _run_json(argv, capsys):
+    import json
+
+    _run(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_eval_bio_golden_counters(ray_session, tmp_path, capsys):
+    """`eval --mode bio` reproduces the reference BioEval counters
+    (same fixture + expected values as test_distributed_span_prf,
+    produced by running the reference new_bio_eval on this input)."""
+    gold_labels = ["O", "O", "B-misc", "O", "O", "B-misc", "I-misc",
+                   "I-misc", "I-misc", "I-misc", "O"]
+    pred_labels = ["O", "O", "B-misc", "O", "O", "B-misc", "I-misc",
+                   "O", "O", "B-misc", "O"]
+    g = tmp_path / "gold"
+    p = tmp_path / "pred"
+    g.mkdir(); p.mkdir()
+    (g / "c1.txt").write_text(
+        "\n".join(f"w{i} {lb}" for i, lb in enumerate(gold_labels)) + "\n")
+    (p / "c1.txt").write_text(
+        "\n".join(f"w{i} {lb}" for i, lb in enumerate(pred_labels)) + "\n")
+    res = _run_json(["eval", "--mode", "bio",
+                     "--gold", str(g), "--pred", str(p)], capsys)
+    strict = res["counts"]["prediction"]["strict"]["overall"]
+    relax = res["counts"]["prediction"]["relax"]["overall"]
+    assert res["counts"]["expect"]["overall"] == 2
+    assert strict == {"total": 2, "true": 1, "false": 1}
+    assert relax == {"total": 2, "true": 2, "false": 0}
+    perf = res["performance"]["overall"]
+    assert round(perf["acc"], 4) == 0.7273
+    assert perf["strict"]["f_score"] == 0.5
+    assert perf["relax"]["f_score"] == 1.0
+
+
+def test_cli_eval_brat_golden_counters(ray_session, tmp_path, capsys):
+    """`eval --mode brat` reproduces the reference brat_eval micro/macro
+    scores (same fixture corpus as test_brat_eval_matches_reference)."""
+    from tests.test_readers_brat_eval import (
+        GOLD_DOC1, GOLD_DOC2, SYS_DOC1, SYS_DOC2)
+
+    g = tmp_path / "gold"
+    s = tmp_path / "sys"
+    g.mkdir(); s.mkdir()
+    (g / "doc1.ann").write_text(GOLD_DOC1)
+    (s / "doc1.ann").write_text(SYS_DOC1)
+    (g / "doc2.ann").write_text(GOLD_DOC2)
+    (s / "doc2.ann").write_text(SYS_DOC2)
+
+    res = _run_json(["eval", "--mode", "brat", "--match", "strict",
+                     "--gold", str(g), "--pred", str(s)], capsys)
+    assert (res["tp"], res["fp"], res["fn"]) == (2, 3, 2)
+    assert round(res["micro"]["f1"], 4) == 0.4444
+
+    res = _run_json(["eval", "--mode", "brat", "--match", "lenient",
+                     "--gold", str(g), "--pred", str(s)], capsys)
+    assert (res["tp"], res["fp"], res["fn"]) == (3, 1, 1)
+    assert round(res["micro"]["f1"], 4) == 0.75
+
+    # exclusion list drops a tag type at the reader (ref brat_eval
+    # exclusion lists): excluding 'test' removes one gold/sys pair
+    res = _run_json(["eval", "--mode", "brat", "--match", "strict",
+                     "--gold", str(g), "--pred", str(s),
+                     "--exclude", "test"], capsys)
+    assert res["tp"] + res["fn"] == 3  # only problem/drug gold spans left
