@@ -51,13 +51,28 @@ def pagerank(
     *,
     iters: int = 5,
     damping_pct: int = 85,
-) -> pa.Table:
+    broadcast_edges_max: int = 1 << 22,
+):
     """PageRank over the undirected co-occurrence graph in the triple
     table (rows with ``pred == 'co_occurs'``; each pair is one
     undirected edge, walked in both directions).
 
-    Output: small pa.Table (entity_id, rank_e12 BIGINT) — the rank in
-    units of 1e-12 of the total mass, bit-exact vs the unrolled SQL."""
+    Two auto-selected paths with BIT-IDENTICAL integer outputs (the
+    `_triangles_broadcast` precedent):
+
+    - edge count <= ``broadcast_edges_max``: node state (degrees +
+      ranks) folds on the driver and broadcasts into each map task —
+      right for lexicon-bounded KG graphs, O(entities) driver memory.
+      Returns a small pa.Table (entity_id, rank_e12 BIGINT), rank in
+      units of 1e-12 of the total mass, bit-exact vs the unrolled SQL.
+    - above the cap (unbounded node spaces — doc-pair graphs, open
+      KGs): NO per-node driver state; degrees and ranks live as
+      Datasets and every iteration is two sorts (attach rank/deg to
+      edges by src via union-sort-merge, then per-dst integer partial
+      sums + rejoin with degrees in one sorted pass).  Returns the
+      rank Dataset (entity_id, rank_e12).  Integer arithmetic makes
+      the two paths exactly equal (order-free sums; verified by
+      tests/test_graph_distributed.py)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -76,6 +91,9 @@ def pagerank(
     edges = triples.map_batches(
         explode, batch_format="pyarrow", batch_size=1 << 19,
     ).materialize()
+    if edges.count() > broadcast_edges_max:
+        return _pagerank_distributed(edges, iters=iters,
+                                     damping_pct=damping_pct)
 
     # node state is lexicon-bounded: collect degrees once (tiny)
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -127,6 +145,171 @@ def pagerank(
         "entity_id": pa.array(nodes, pa.string()),
         "rank_e12": pa.array([ranks[v] for v in nodes], pa.int64()),
     })
+
+
+def _pagerank_distributed(
+    edges: rd.Dataset,
+    *,
+    iters: int,
+    damping_pct: int,
+) -> rd.Dataset:
+    """Large-graph PageRank: NO per-node driver state (the
+    kg_components sorted-completion shape applied to iterative rank).
+
+    ``edges`` is the materialized bidirectional (src, dst) table.  Node
+    state lives as a Dataset (node, deg, rank); each iteration is two
+    sorts on the high-cardinality node key:
+
+      1. ATTACH — union(edge rows, state rows) sorted on node: equal
+         keys land whole per block (the range-partitioner invariant),
+         so each block holds every edge of its nodes AND their one
+         state row; a vectorized merge computes rank // deg shares and
+         emits per-block (dst, partial_sum) rows — O(distinct dst per
+         block), never O(edges).
+      2. SUM+REJOIN — union(share partials, degree rows) sorted on
+         node: per block, integer partial sums total per node (sums
+         commute exactly — the integer fixed-point contract) and the
+         new rank = base + damping * total // 100 rebuilds the state
+         row in the same pass.
+
+    Each iteration's state is materialized (iterative lineage
+    truncation, the dup_clusters precedent).  Output: Dataset
+    (entity_id, rank_e12), bit-identical to the broadcast path."""
+    empty = pa.table({"entity_id": pa.array([], pa.string()),
+                      "rank_e12": pa.array([], pa.int64())})
+
+    def deg_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "d" not in df.columns:
+            df = pd.DataFrame({"node": df["src"].to_numpy(),
+                               "d": np.int64(1)})
+        g = df.groupby("node", sort=False)["d"].sum().reset_index()
+        return pa.table({
+            "node": pa.array(g["node"].tolist(), pa.string()),
+            "d": pa.array(np.asarray(g["d"], np.int64), pa.int64()),
+        })
+
+    deg = (edges.map_batches(deg_combine, batch_format="pyarrow",
+                             batch_size=1 << 19)
+           .sort("node")
+           .map_batches(deg_combine, batch_format="pyarrow",
+                        batch_size=None)
+           .materialize())
+    n = deg.count()
+    if n == 0:
+        return rd.from_arrow(empty)
+    base = (SCALE * (100 - damping_pct) // 100) // n
+    r0 = SCALE // n
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "deg": batch.column("d"),
+            "rank": pa.array(np.full(batch.num_rows, r0, np.int64),
+                             pa.int64()),
+        })
+
+    state = deg.map_batches(init_state,
+                            batch_format="pyarrow").materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "node": batch.column("src"),
+            "dst": batch.column("dst"),
+            "deg": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "rank": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    def state_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "node": batch.column("node"),
+            "dst": pa.array([""] * m, pa.string()),
+            "deg": batch.column("deg"),
+            "rank": batch.column("rank"),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+        })
+
+    def emit_shares(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        st = df[df["side"] == 0][["node", "deg", "rank"]]
+        ed = df[df["side"] == 1][["node", "dst"]]
+        if ed.empty:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "s": pa.array([], pa.int64())})
+        m = ed.merge(st, on="node")  # every src's state row is in-block
+        share = (m["rank"].to_numpy(dtype=np.int64)
+                 // m["deg"].to_numpy(dtype=np.int64))
+        g = (pd.DataFrame({"node": m["dst"].to_numpy(), "s": share})
+             .groupby("node", sort=False)["s"].sum().reset_index())
+        return pa.table({
+            "node": pa.array(g["node"].tolist(), pa.string()),
+            "s": pa.array(np.asarray(g["s"], np.int64), pa.int64()),
+        })
+
+    def share_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "node": batch.column("node"),
+            "s": batch.column("s"),
+            "deg": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+        })
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "node": batch.column("node"),
+            "s": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "deg": batch.column("deg"),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        st = df[df["side"] == 1]
+        if st.empty:
+            return pa.table({
+                "node": pa.array([], pa.string()),
+                "deg": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            })
+        sums = (df[df["side"] == 0].groupby("node", sort=False)["s"]
+                .sum())
+        total = (st["node"].map(sums).fillna(0)
+                 .to_numpy(dtype=np.int64))
+        return pa.table({
+            "node": pa.array(st["node"].tolist(), pa.string()),
+            "deg": pa.array(st["deg"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "rank": pa.array(base + damping_pct * total // 100,
+                             pa.int64()),
+        })
+
+    for _ in range(iters):
+        shares = (edges.map_batches(edge_rows, batch_format="pyarrow")
+                  .union(state.map_batches(state_rows,
+                                           batch_format="pyarrow"))
+                  .sort("node")
+                  .map_batches(emit_shares, batch_format="pyarrow",
+                               batch_size=None))
+        state = (shares.map_batches(share_rows, batch_format="pyarrow")
+                 .union(state.map_batches(deg_rows,
+                                          batch_format="pyarrow"))
+                 .sort("node")
+                 .map_batches(rebuild, batch_format="pyarrow",
+                              batch_size=None)
+                 .materialize())
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_id": batch.column("node"),
+            "rank_e12": batch.column("rank"),
+        })
+
+    return state.map_batches(final, batch_format="pyarrow")
 
 
 def _orient_fwd(a: np.ndarray, b: np.ndarray,
@@ -610,12 +793,15 @@ def jaccard_links(
     union_size = deg_a + deg_b - n_common by inclusion-exclusion over
     distinct neighbor sets.
 
-    Degrees fold on the driver and broadcast into one stateless
-    annotation map — justified ONLY because node state is
-    lexicon-bounded (the pagerank/kg_degrees precedent; O(entities)
-    driver state, never edges).  For an unbounded node space, swap
-    the fold for the two-sort annotate-each-endpoint pipeline (sort
-    pairs on a, fill deg_a per block, sort on b, fill deg_b).
+    Two auto-selected degree paths with identical outputs (the
+    `_triangles_broadcast` precedent): at or below
+    ``broadcast_edges_max`` edge rows, degrees fold on the driver and
+    broadcast into one stateless annotation map (right for
+    lexicon-bounded node spaces); above it, NO per-node driver state —
+    degrees are computed combine/sort/combine and attached to the
+    surviving pairs by two union-sort-merge passes (sort on a, fill
+    deg_a per block; sort on b, fill deg_b), exactly the
+    kg_components sorted-completion shape.
 
     Output: (a_col, b_col, n_common, deg_a, deg_b, union_size)."""
 
@@ -645,6 +831,11 @@ def jaccard_links(
             "d": pa.array(np.asarray(g["d"], np.int64), pa.int64()),
         })
 
+    if ed.count() > broadcast_edges_max:
+        return _jaccard_annotate_distributed(
+            ed, cn, a_col=a_col, b_col=b_col, node_type=node_type,
+            deg_partial=deg_partial)
+
     deg: dict = {}
     for r in ed.map_batches(deg_partial, batch_format="pyarrow",
                             batch_size=1 << 19).take_all():
@@ -668,6 +859,133 @@ def jaccard_links(
 
     return cn.map_batches(annotate, batch_format="pyarrow",
                           batch_size=1 << 19)
+
+
+def _jaccard_annotate_distributed(
+    ed: rd.Dataset,
+    cn: rd.Dataset,
+    *,
+    a_col: str,
+    b_col: str,
+    node_type: pa.DataType,
+    deg_partial,
+) -> rd.Dataset:
+    """Large-graph degree annotation for :func:`jaccard_links`: NO
+    per-node driver state.  Degrees become a Dataset
+    (combine/sort/combine, the _pagerank_distributed shape) and are
+    attached to the surviving (a, b, n_common) pairs by two
+    union-sort-merge passes — sort on the a endpoint filling deg_a per
+    block, then sort on the b endpoint filling deg_b — relying only on
+    Ray's equal-keys-land-whole range-partitioner invariant.  Every
+    pair endpoint is a wedge leaf, hence a graph node with a degree
+    row, so the per-block merges are total."""
+
+    def deg_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("e", sort=False)["d"].sum().reset_index()
+        return pa.table({
+            "e": pa.array(g["e"].tolist(), node_type),
+            "d": pa.array(np.asarray(g["d"], np.int64), pa.int64()),
+        })
+
+    deg = (ed.map_batches(deg_partial, batch_format="pyarrow",
+                          batch_size=1 << 19)
+           .sort("e")
+           .map_batches(deg_combine, batch_format="pyarrow",
+                        batch_size=None)
+           .materialize())  # consumed by BOTH fill passes (no CSE)
+
+    def pair_rows_a(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "k": batch.column(a_col),
+            "o": batch.column(b_col),
+            "n": batch.column("n_common"),
+            "dk": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "d": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        z = pa.array(np.zeros(m, np.int64), pa.int64())
+        return pa.table({
+            "k": batch.column("e"),
+            "o": pa.nulls(m, node_type),
+            "n": z, "dk": z,
+            "d": batch.column("d"),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+        })
+
+    def fill(batch: pa.Table) -> pa.Table:
+        """Per-block: map side==0 degree rows onto side==1 pair rows
+        by k, emitting the pair re-keyed on its OTHER endpoint with
+        the just-resolved degree carried in dk."""
+        df = batch.to_pandas()
+        pr = df[df["side"] == 1]
+        if pr.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({
+                "k": pa.array([], node_type),
+                "o": pa.array([], node_type),
+                "n": z, "dk": z, "d": z,
+                "side": pa.array([], pa.int8()),
+            })
+        st = df[df["side"] == 0]
+        dmap = pd.Series(st["d"].to_numpy(dtype=np.int64),
+                         index=st["k"])
+        got = pr["k"].map(dmap).to_numpy(dtype=np.int64)
+        m = len(pr)
+        return pa.table({
+            "k": pa.array(pr["o"].tolist(), node_type),  # re-key on other
+            "o": pa.array(pr["k"].tolist(), node_type),
+            "n": pa.array(pr["n"].to_numpy(dtype=np.int64),
+                          pa.int64()),
+            "dk": pa.array(got, pa.int64()),
+            "d": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    # pass 1: key = a endpoint, resolves deg_a (carried in dk), output
+    # re-keyed on b; pass 2: key = b endpoint, resolves deg_b.
+    pass1 = (cn.map_batches(pair_rows_a, batch_format="pyarrow",
+                            batch_size=1 << 19)
+             .union(deg.map_batches(deg_rows, batch_format="pyarrow"))
+             .sort("k")
+             .map_batches(fill, batch_format="pyarrow",
+                          batch_size=None))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pr = df[df["side"] == 1]
+        if pr.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({
+                a_col: pa.array([], node_type),
+                b_col: pa.array([], node_type),
+                "n_common": z, "deg_a": z, "deg_b": z,
+                "union_size": z,
+            })
+        st = df[df["side"] == 0]
+        dmap = pd.Series(st["d"].to_numpy(dtype=np.int64),
+                         index=st["k"])
+        db = pr["k"].map(dmap).to_numpy(dtype=np.int64)
+        da = pr["dk"].to_numpy(dtype=np.int64)
+        nc = pr["n"].to_numpy(dtype=np.int64)
+        return pa.table({
+            a_col: pa.array(pr["o"].tolist(), node_type),
+            b_col: pa.array(pr["k"].tolist(), node_type),
+            "n_common": pa.array(nc, pa.int64()),
+            "deg_a": pa.array(da, pa.int64()),
+            "deg_b": pa.array(db, pa.int64()),
+            "union_size": pa.array(da + db - nc, pa.int64()),
+        })
+
+    return (pass1
+            .union(deg.map_batches(deg_rows, batch_format="pyarrow"))
+            .sort("k")
+            .map_batches(finish, batch_format="pyarrow",
+                         batch_size=None))
 
 
 def khop_reachability(
