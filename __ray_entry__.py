@@ -1050,6 +1050,55 @@ def _q_text_stats(sf_dir: str):
     return doc_stats(_docs(sf_dir))
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII sanitize pass: the synth corpus carries no PII, so the query
+    first ENRICHES each doc with deterministic doc_id-derived PII
+    strings (emails for id%3==0, NANP phones for id%4==0, SSNs for
+    id%5==0, IPv4s for id%7==0 — the oracle builds the identical text
+    with ||/lpad), then runs the real RE2 scrub kernels end-to-end.
+    Counts + cleaned text are both oracle-compared, so the regex match
+    sets must agree byte-for-byte between pyarrow and DuckDB (they do:
+    both compile RE2)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.textstats import pii_redact
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        s = lambda m, w: pd.Series(ids % m).astype(str).str.zfill(w)  # noqa: E731
+        text = df["text"].fillna("").to_numpy(dtype=object)
+        email = (" contact user" + pd.Series(ids).astype(str)
+                 + "@example.com").to_numpy(dtype=object)
+        phone = (" call 555-" + s(1000, 3) + "-"
+                 + s(10000, 4)).to_numpy(dtype=object)
+        ssn = (" ssn " + s(1000, 3) + "-" + s(100, 2) + "-"
+               + s(10000, 4)).to_numpy(dtype=object)
+        ip = (" from 10." + pd.Series(ids % 256).astype(str) + ".0."
+              + pd.Series(ids % 100).astype(str)).to_numpy(dtype=object)
+        text = np.where(ids % 3 == 0, text + email, text)
+        text = np.where(ids % 4 == 0, text + phone, text)
+        text = np.where(ids % 5 == 0, text + ssn, text)
+        text = np.where(ids % 7 == 0, text + ip, text)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(text.tolist(), pa.string()),
+        })
+
+    enriched = _docs(sf_dir).map_batches(enrich, batch_format="pyarrow")
+    return pii_redact(enriched)
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (exact integers)."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        doc_repetition)
+
+    return doc_repetition(_docs(sf_dir))
+
+
 def _q_corpus_curate(sf_dir: str):
     """The composed training-data cleanup pass: quality gate (lang-ID +
     min token count) + keep-one exact dedup + shape columns, one
@@ -2010,6 +2059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked before round 4 (driver budget ran out
         # at entry 50 in r03): these go first so every one of them gets a
         # driver-issued CORRECTNESS row this round ---
+        "pii_scrub": _q_pii_scrub,
+        "doc_repetition": _q_doc_repetition,
         "events_sessions_unsalted": _q_events_sessions_unsalted,
         "events_asof_unsalted": _q_events_asof_unsalted,
         "events_range_join_unsalted": _q_events_range_join_unsalted,
@@ -3631,6 +3682,99 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS mean_tok_len,
                    CASE WHEN n_stop > 0 THEN 'en' ELSE 'unk' END AS lang_pred
             FROM c
+        """,
+        # pii_scrub: enrichment expression mirrors _q_pii_scrub.enrich
+        # exactly; the four regexp stages chain IN ORDER (email, phone,
+        # ssn, ip) with counts taken on the text as redacted so far —
+        # both engines compile the patterns with RE2, so the match sets
+        # are byte-identical.
+        "pii_scrub": r"""
+            WITH enr AS (
+                SELECT doc_id, coalesce(text, '')
+                  || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                       || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' ssn '
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END AS t0
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(t0,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_email,
+                regexp_replace(t0,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g') AS t1 FROM enr),
+            s2 AS (SELECT doc_id, n_email,
+                CAST(len(regexp_extract_all(t1,
+                    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+                regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b',
+                    '<PHONE>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_phone,
+                CAST(len(regexp_extract_all(t2,
+                    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+                regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b',
+                    '<SSN>', 'g') AS t3 FROM s2)
+            SELECT doc_id,
+                regexp_replace(t3,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                    '<IP>', 'g') AS clean_text,
+                n_email, n_phone, n_ssn,
+                CAST(len(regexp_extract_all(t3,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                    AS BIGINT) AS n_ip
+            FROM s3
+        """,
+        # doc_repetition: bigram identity is the (w1, w2) PAIR on both
+        # sides (no separator-concat ambiguity); lead() drops each
+        # doc's final token exactly like the Ray side's same-parent
+        # pair mask.
+        "doc_repetition": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS tok,
+                       generate_subscripts(
+                           string_split(coalesce(text, ''), ' '), 1)
+                           AS pos
+                FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS c
+                   FROM w GROUP BY 1, 2),
+            t AS (SELECT doc_id,
+                         CAST(sum(c) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_distinct,
+                         CAST(max(c) AS BIGINT) AS top_token_n
+                  FROM tc GROUP BY 1),
+            bg AS (SELECT doc_id, tok AS w1,
+                          lead(tok) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS w2
+                   FROM w),
+            bc AS (SELECT doc_id, w1, w2, count(*) AS c
+                   FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+            b AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                         CAST(max(c) AS BIGINT) AS top_bigram_n
+                  FROM bc GROUP BY 1)
+            SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_token_n,
+                   t.n_tokens - 1 AS n_bigrams,
+                   CAST(coalesce(b.n_distinct_bigrams, 0) AS BIGINT)
+                       AS n_distinct_bigrams,
+                   CAST(coalesce(b.top_bigram_n, 0) AS BIGINT)
+                       AS top_bigram_n
+            FROM t LEFT JOIN b ON t.doc_id = b.doc_id
         """,
         "corpus_curate": """
             WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l

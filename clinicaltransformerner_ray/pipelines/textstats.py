@@ -1193,3 +1193,127 @@ def char_trigram_counts(docs: rd.Dataset) -> rd.Dataset:
             .sort("trigram")
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=None))
+
+
+#: PII patterns applied IN ORDER by :func:`pii_redact` — each is
+#: (column-suffix, RE2 pattern, replacement token).  Both pyarrow and
+#: DuckDB compile these with RE2, so match sets are engine-identical
+#: (verified: email/ssn/phone/ip fixtures agree byte-for-byte).  Order
+#: matters: counts are taken on the text AS REDACTED SO FAR, and the
+#: SQL oracle must chain its regexp_replace calls identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(
+    docs: rd.Dataset,
+    *,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> rd.Dataset:
+    """Scrub PII from the text column: sequentially count + replace each
+    pattern (emails, NANP phone numbers, SSNs, IPv4 addresses) with its
+    placeholder token.
+
+    The training-data sanitize pass every LLM corpus pipeline needs
+    before text leaves the ingest tier.  Pure projection — vectorized
+    RE2 kernels (`pc.count_substring_regex` / `replace_substring_regex`)
+    inside one map_batches, zero shuffles, streams at any scale.
+    Patterns apply IN ORDER so an earlier replacement cannot double-count
+    under a later pattern (e.g. phone before SSN: `555-010-0042` is gone
+    before the \\d{3}-\\d{2}-\\d{4} scan runs); the SQL oracle chains
+    `regexp_replace(..., 'g')` in the same order.
+
+    Output: (doc_id, clean_text, n_<name> per pattern) — counts are
+    int64 match counts at that pattern's turn."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        cols: dict = {"doc_id": batch.column("doc_id")}
+        counts = []
+        for name, pat, rep in patterns:
+            counts.append((name, pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())))
+            text = pc.replace_substring_regex(text, pat, rep)
+        cols["clean_text"] = text
+        for name, n in counts:
+            cols[f"n_{name}"] = n
+        return pa.table(cols)
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def doc_repetition(docs: rd.Dataset) -> rd.Dataset:
+    """Gopher-style per-doc repetition signals as EXACT integers: token
+    and bigram duplication is the strongest single predictor of
+    low-quality machine-generated text (Rae et al. 2021 §A1.1 use
+    duplicate line/n-gram fractions as hard filters).
+
+    Per doc (split-on-space tokens, the shared `space_token_counts`
+    rule): ``n_tokens``, ``n_distinct`` distinct tokens,
+    ``top_token_n`` = occurrences of the most-repeated token,
+    ``n_bigrams`` = n_tokens - 1 adjacent pairs, ``n_distinct_bigrams``,
+    ``top_bigram_n`` = occurrences of the most-repeated bigram (0 when
+    the doc has no bigrams).  Downstream filters derive the Gopher
+    fractions as ratios of these integers — emitting the integers keeps
+    the oracle comparison bit-exact (the repo's float-parity rule).
+
+    Pure projection: docs are whole rows, so every signal is
+    block-local — explode once, two pandas groupbys per block, zero
+    shuffles."""
+    import pyarrow.compute as pc
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_pylist()
+        n_rows = batch.num_rows
+        df = pd.DataFrame({"i": parent, "tok": flat})
+        per_tok = (df.groupby(["i", "tok"], sort=False)
+                   .size().reset_index(name="c"))
+        by_doc = per_tok.groupby("i", sort=False)["c"]
+        n_tok = np.zeros(n_rows, np.int64)
+        n_dist = np.zeros(n_rows, np.int64)
+        top_tok = np.zeros(n_rows, np.int64)
+        agg = by_doc.agg(["sum", "count", "max"])
+        idx = agg.index.to_numpy()
+        n_tok[idx] = agg["sum"].to_numpy(dtype=np.int64)
+        n_dist[idx] = agg["count"].to_numpy(dtype=np.int64)
+        top_tok[idx] = agg["max"].to_numpy(dtype=np.int64)
+        # adjacent bigrams: consecutive flattened tokens with the same
+        # parent row (vectorized pair mask, no per-doc loop)
+        same = parent[1:] == parent[:-1]
+        ser = pd.Series(flat, dtype="object")
+        bi = pd.DataFrame({
+            "i": parent[1:][same],
+            "w1": ser.iloc[:-1].reset_index(drop=True)[same],
+            "w2": ser.iloc[1:].reset_index(drop=True)[same],
+        })
+        n_bi = np.maximum(n_tok - 1, 0)
+        n_dist_bi = np.zeros(n_rows, np.int64)
+        top_bi = np.zeros(n_rows, np.int64)
+        if len(bi):
+            per_bg = (bi.groupby(["i", "w1", "w2"], sort=False)
+                      .size().reset_index(name="c"))
+            bagg = per_bg.groupby("i", sort=False)["c"].agg(
+                ["count", "max"])
+            bidx = bagg.index.to_numpy()
+            n_dist_bi[bidx] = bagg["count"].to_numpy(dtype=np.int64)
+            top_bi[bidx] = bagg["max"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_dist, pa.int64()),
+            "top_token_n": pa.array(top_tok, pa.int64()),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dist_bi, pa.int64()),
+            "top_bigram_n": pa.array(top_bi, pa.int64()),
+        })
+
+    return docs.map_batches(per_block, batch_format="pyarrow")

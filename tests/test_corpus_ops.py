@@ -38,6 +38,7 @@ SQL_CHECKED = [
     "corpus_weighted_sample", "hybrid_rerank", "dedup_containment",
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
     "token_char_trigrams", "dedup_calibration",
+    "pii_scrub", "doc_repetition",
 ]
 
 
@@ -1168,3 +1169,60 @@ def test_mips_vs_cosine_norm_sensitivity(ray_session):
          .to_pandas().sort_values("rank"))
     assert m["neighbor_id"].tolist() == [10, 11]  # dot: 6.0 > 0.995
     assert c["neighbor_id"].tolist() == [11, 10]  # cos: 0.995 > 0.6
+
+
+def test_pii_redact_semantics(ray_session):
+    """Real PII fixtures through the scrub kernels: every pattern class
+    fires, replacement order prevents double counting, clean text is
+    PII-free."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import pii_redact
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "reach a.b+c@mail.example.org or x@y.io today",
+            "ssn 123-45-6789 phone 415-555-0042 ip 192.168.0.1",
+            None,
+            "no pii here at all",
+        ], pa.string()),
+    }))
+    out = (pii_redact(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_email"] == 2
+    assert out.loc[0, "clean_text"] == "reach <EMAIL> or <EMAIL> today"
+    assert out.loc[1, ["n_phone", "n_ssn", "n_ip"]].tolist() == [1, 1, 1]
+    assert out.loc[1, "clean_text"] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert out.loc[2, "clean_text"] == ""  # null text -> empty, no crash
+    assert out.loc[3, "clean_text"] == "no pii here at all"
+    assert out[["n_email", "n_phone", "n_ssn", "n_ip"]].sum().sum() == 5
+
+
+def test_doc_repetition_signals(ray_session):
+    """Hand-computed Gopher repetition integers, including the
+    single-token (zero-bigram) and empty-text edge docs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        doc_repetition)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array([
+            "spam spam spam ham spam",  # top token 4x, top bigram 2x
+            "one",                       # 1 token, 0 bigrams
+            "",                          # ''.split(' ') == [''] rule
+        ], pa.string()),
+    }))
+    out = (doc_repetition(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    r = out.loc[7]
+    assert (r["n_tokens"], r["n_distinct"], r["top_token_n"]) == (5, 2, 4)
+    # bigrams: (spam,spam)x2 (spam,ham) (ham,spam) -> 4 total 3 distinct
+    assert (r["n_bigrams"], r["n_distinct_bigrams"],
+            r["top_bigram_n"]) == (4, 3, 2)
+    assert out.loc[8].tolist() == [1, 1, 1, 0, 0, 0]
+    assert out.loc[9].tolist() == [1, 1, 1, 0, 0, 0]
