@@ -1050,6 +1050,18 @@ def _q_text_stats(sf_dir: str):
     return doc_stats(_docs(sf_dir))
 
 
+def _q_dedup_semantic(sf_dir: str):
+    """SemDeDup: within-kmeans-cluster exact cosine pairs.  The oracle
+    chains the verified kmeans CTE (integer assignments) with the
+    verified pairwise-cosine shape under the same cluster constraint;
+    threshold margin on the synth is ~1e-3 vs float noise ~1e-14."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        semantic_dup_pairs)
+
+    return semantic_dup_pairs(_vecs(sf_dir), k=16, iters=5,
+                              threshold=0.45)
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII sanitize pass: the synth corpus carries no PII, so the query
     first ENRICHES each doc with deterministic doc_id-derived PII
@@ -2061,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-issued CORRECTNESS row this round ---
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
+        "dedup_semantic": _q_dedup_semantic,
         "events_sessions_unsalted": _q_events_sessions_unsalted,
         "events_asof_unsalted": _q_events_asof_unsalted,
         "events_range_join_unsalted": _q_events_range_join_unsalted,
@@ -3458,6 +3471,31 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         "dedup_simhash": _SIMHASH_SQL,
         "kmeans": _kmeans_sql(16, 5),
+        # dedup_semantic: the kmeans CTE nests verbatim (its own WITH is
+        # scoped inside `asn`); the pair stage replicates the verified
+        # cosine shape with the added same-centroid constraint.
+        "dedup_semantic": (
+            "WITH asn AS ({km}),\n"
+            "unn2 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)"
+            " AS v,\n"
+            "         generate_subscripts(embedding, 1) AS i\n"
+            "         FROM embeddings),\n"
+            "nrm2 AS (SELECT vec_id, i,\n"
+            "         v / sqrt(SUM(v*v) OVER (PARTITION BY vec_id))"
+            " AS v\n"
+            "         FROM unn2),\n"
+            "dots AS (\n"
+            "    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n"
+            "           ca.centroid AS centroid, SUM(a.v * b.v) AS dot\n"
+            "    FROM nrm2 a JOIN nrm2 b\n"
+            "      ON a.i = b.i AND a.vec_id < b.vec_id\n"
+            "    JOIN asn ca ON ca.vec_id = a.vec_id\n"
+            "    JOIN asn cb ON cb.vec_id = b.vec_id\n"
+            "     AND cb.centroid = ca.centroid\n"
+            "    GROUP BY 1, 2, 3)\n"
+            "SELECT vec_a, vec_b, CAST(centroid AS BIGINT) AS centroid\n"
+            "FROM dots WHERE dot >= CAST(0.45 AS DOUBLE)"
+        ).format(km=_kmeans_sql(16, 5)),
         "ann_ivf": _IVF_SQL,
         "dedup_clusters": "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """
             , edges AS (

@@ -1150,3 +1150,111 @@ def minhash_calibration(
         "n_candidates": pa.array([acc[k][0] for k in ks], pa.int64()),
         "n_confirmed": pa.array([acc[k][1] for k in ks], pa.int64()),
     })
+
+
+def semantic_dup_pairs(
+    vecs: rd.Dataset,
+    *,
+    k: int = 16,
+    iters: int = 5,
+    threshold: float = 0.45,
+    n_chunks: int = 2,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then run exact pairwise cosine ONLY within each
+    cluster — the published recipe for semantic dedup at web scale,
+    where clustering bounds the quadratic term (all-pairs cost drops
+    from N^2 to sum of cluster_size^2).
+
+    Composition of two already-oracle-verified kernels: the
+    `similarity.kmeans` integer assignment (driver state = k x dim
+    centroids only, broadcast via ``ray.put``) and the
+    `embedding_dup_pairs` chunk-pair co-location join, with the cluster
+    id prepended to the bucket key so only same-cluster vectors ever
+    meet in a block.  One sort on the composite bucket; per-block
+    vectorized matmul emits (vec_a, vec_b, centroid) for cosine >=
+    threshold.
+
+    Scale knobs: ``k`` is SemDeDup's own lever (grow it ~N/target
+    cluster size; the paper uses 11k clusters for LAION); ``n_chunks``
+    bounds per-block memory for fat clusters (bucket count =
+    k * n_chunks*(n_chunks+1)/2).  Pairs that straddle clusters are
+    deliberately NOT emitted — that approximation is the algorithm, and
+    the SQL oracle applies the identical cluster constraint."""
+    from clinicaltransformerner_ray.pipelines.similarity import kmeans
+
+    C, _ = kmeans(vecs, k=k, iters=iters)
+    ref = ray.put(C)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        X = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cen = np.argmax(X @ C_.T, axis=1).astype(np.int64)
+        chunk = ids % n_chunks
+        out_bucket, out_id, out_chunk, out_vec, out_cen = [], [], [], [], []
+        for p in range(n_chunks):
+            lo = np.minimum(chunk, p)
+            hi = np.maximum(chunk, p)
+            out_bucket.append((cen * n_chunks + lo) * n_chunks + hi)
+            out_id.append(ids)
+            out_chunk.append(chunk)
+            out_vec.append(X)
+            out_cen.append(cen)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "chunk": pa.array(np.concatenate(out_chunk), pa.int64()),
+            "centroid": pa.array(np.concatenate(out_cen), pa.int64()),
+            "embedding": pa.array(list(np.concatenate(out_vec)),
+                                  pa.list_(pa.float64())),
+        })
+
+    replicated = vecs.map_batches(replicate, batch_format="pyarrow")
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_a, out_b, out_c = [], [], []
+        for b, g in df.groupby("bucket", sort=False):
+            cen = int(b) // (n_chunks * n_chunks)
+            i = (int(b) // n_chunks) % n_chunks
+            j = int(b) % n_chunks
+            gi = g[g["chunk"] == i]
+            ids_i = gi["vec_id"].to_numpy()
+            if i == j:
+                if len(ids_i) < 2:
+                    continue
+                Xi = np.stack(gi["embedding"].to_numpy())
+                sims = Xi @ Xi.T
+                rr, cc = np.nonzero(sims >= threshold)
+                keep = ids_i[rr] < ids_i[cc]
+                a, bb = ids_i[rr][keep], ids_i[cc][keep]
+            else:
+                gj = g[g["chunk"] == j]
+                ids_j = gj["vec_id"].to_numpy()
+                if not len(ids_i) or not len(ids_j):
+                    continue
+                Xi = np.stack(gi["embedding"].to_numpy())
+                Xj = np.stack(gj["embedding"].to_numpy())
+                sims = Xi @ Xj.T
+                rr, cc = np.nonzero(sims >= threshold)
+                a, bb = ids_i[rr], ids_j[cc]
+            lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(np.full(len(lo), cen, np.int64))
+        if not out_a:
+            z = pa.array([], pa.int64())
+            return pa.table({"vec_a": z, "vec_b": z, "centroid": z})
+        return pa.table({
+            "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "centroid": pa.array(np.concatenate(out_c), pa.int64()),
+        })
+
+    return (replicated.sort("bucket")
+            .map_batches(bucket_pairs, batch_format="pyarrow",
+                         batch_size=None))

@@ -38,7 +38,7 @@ SQL_CHECKED = [
     "corpus_weighted_sample", "hybrid_rerank", "dedup_containment",
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
     "token_char_trigrams", "dedup_calibration",
-    "pii_scrub", "doc_repetition",
+    "pii_scrub", "doc_repetition", "dedup_semantic",
 ]
 
 
@@ -1226,3 +1226,31 @@ def test_doc_repetition_signals(ray_session):
             r["top_bigram_n"]) == (4, 3, 2)
     assert out.loc[8].tolist() == [1, 1, 1, 0, 0, 0]
     assert out.loc[9].tolist() == [1, 1, 1, 0, 0, 0]
+
+
+def test_semantic_dup_pairs_subset_of_exact(ray_session):
+    """SemDeDup output must be exactly the all-pairs cosine pairs whose
+    BOTH endpoints share a kmeans cluster — no more, no fewer — and be
+    invariant to the chunk count (pure co-location knob)."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        embedding_dup_pairs, semantic_dup_pairs)
+    from clinicaltransformerner_ray.pipelines.similarity import kmeans
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    vecs = read_embeddings(SF)
+    exact = {(r.vec_a, r.vec_b)
+             for r in embedding_dup_pairs(vecs, threshold=0.45)
+             .to_pandas().itertuples()}
+    _, asn = kmeans(vecs, k=16, iters=5)
+    cl = dict(zip(*[asn.to_pandas()[c] for c in ("vec_id", "centroid")]))
+    expected = {(a, b) for a, b in exact if cl[a] == cl[b]}
+    got = semantic_dup_pairs(vecs, k=16, iters=5,
+                             threshold=0.45).to_pandas()
+    assert {(r.vec_a, r.vec_b) for r in got.itertuples()} == expected
+    got3 = semantic_dup_pairs(vecs, k=16, iters=5, threshold=0.45,
+                              n_chunks=3).to_pandas()
+    assert ({(r.vec_a, r.vec_b) for r in got3.itertuples()}
+            == expected)  # chunk-count invariance
+    # centroid column is consistent with the assignment
+    for r in got.itertuples():
+        assert cl[r.vec_a] == r.centroid == cl[r.vec_b]
