@@ -1253,7 +1253,8 @@ def label_propagation(
     pairs: rd.Dataset,
     *,
     rounds: int = 4,
-) -> pa.Table:
+    broadcast_edges_max: int = 1 << 22,
+):
     """Synchronous label-propagation community detection over the
     undirected co-occurrence graph, ``rounds`` fixed iterations.
 
@@ -1267,14 +1268,23 @@ def label_propagation(
     fixed-unroll trick); isolated fixed points mean extra SQL rounds
     are harmless.
 
-    Scale shape (the pagerank precedent): node state is
-    lexicon-bounded — the label map broadcasts into each map task —
-    while the EDGE table streams once per round; each block emits
-    per-(node, neighbor-label) COUNT partials (O(entities x labels
-    seen) per block, never O(edges)) and the driver folds integer
-    counts then takes the per-node (count DESC, label ASC) argmax.
+    Two auto-selected paths with BIT-IDENTICAL outputs (the pagerank
+    precedent — integer votes + lexicographic tie-break are order-free):
 
-    Output: small pa.Table (entity_id, community).
+    - edge count <= ``broadcast_edges_max``: node state is
+      lexicon-bounded — the label map broadcasts into each map task —
+      while the EDGE table streams once per round; each block emits
+      per-(node, neighbor-label) COUNT partials (O(entities x labels
+      seen) per block, never O(edges)) and the driver folds integer
+      counts then takes the per-node (count DESC, label ASC) argmax.
+      Returns a small pa.Table (entity_id, community).  The broadcast
+      path may early-exit at a fixed point, where extra rounds are
+      no-ops on both paths.
+    - above the cap: NO per-node driver state — labels live as a
+      Dataset and each round is two sorts (attach each neighbor's
+      current label to edges by the label-owner endpoint, then
+      per-node vote sum + argmax in a second sorted pass).  Returns
+      the community Dataset (entity_id, community).
 
     Precondition: ``pairs`` must be DISTINCT (subj, obj) rows — the
     flagship triple table guarantees this per (subj, pred, obj) dedup.
@@ -1295,6 +1305,8 @@ def label_propagation(
     # consumed once per round + once for the node set: materialize
     ed = pairs.map_batches(bidir, batch_format="pyarrow",
                            batch_size=1 << 19).materialize()
+    if ed.count() > broadcast_edges_max:
+        return _lpa_distributed(ed, rounds=rounds)
 
     def node_partial(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1342,3 +1354,125 @@ def label_propagation(
         "entity_id": pa.array([k for k, _ in items], pa.string()),
         "community": pa.array([v for _, v in items], pa.string()),
     })
+
+
+def _lpa_distributed(ed: rd.Dataset, *, rounds: int) -> rd.Dataset:
+    """Large-graph label propagation: NO per-node driver state (the
+    _pagerank_distributed shape applied to label votes).
+
+    ``ed`` is the materialized bidirectional (a, b) edge table.  Label
+    state is a Dataset (node, lab); each round:
+
+      1. ATTACH — union(edge rows keyed on the label-owner endpoint b,
+         state rows) sorted on the key: equal keys land whole per
+         block, so a vectorized merge tags every edge with its
+         neighbor's CURRENT label and emits per-block
+         (voter, neighbor-label, count) partials.
+      2. VOTE — partials sorted on the voter: per block, integer sums
+         per (voter, label) then the (count DESC, label ASC) argmax
+         rebuilds the state row.  Integer votes + lexicographic
+         tie-break are order-free, so the result is bit-identical to
+         the broadcast fold (no early exit here: the broadcast path
+         exits only at a fixed point, where extra rounds are no-ops).
+
+    Output: Dataset (entity_id, community)."""
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        v = pd.unique(batch.to_pandas()["a"])
+        return pa.table({
+            "node": pa.array(v, pa.string()),
+            "lab": pa.array(v, pa.string()),
+        })
+
+    def state_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates("node")
+        return pa.table({
+            "node": pa.array(df["node"].tolist(), pa.string()),
+            "lab": pa.array(df["lab"].tolist(), pa.string()),
+        })
+
+    state = (ed.map_batches(init_state, batch_format="pyarrow",
+                            batch_size=1 << 19)
+             .sort("node")
+             .map_batches(state_combine, batch_format="pyarrow",
+                          batch_size=None)
+             .materialize())
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "k": batch.column("b"),       # label-owner endpoint
+            "voter": batch.column("a"),
+            "lab": pa.array([""] * m, pa.string()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    def state_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "k": batch.column("node"),
+            "voter": pa.array([""] * m, pa.string()),
+            "lab": batch.column("lab"),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+        })
+
+    def attach(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        edges = df[df["side"] == 1]
+        if edges.empty:
+            return pa.table({
+                "k": pa.array([], pa.string()),
+                "nl": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            })
+        st = df[df["side"] == 0]
+        lmap = pd.Series(st["lab"].to_numpy(), index=st["k"])
+        g = (pd.DataFrame({
+                "k": edges["voter"].to_numpy(),
+                "nl": edges["k"].map(lmap).to_numpy(),
+             })
+             .groupby(["k", "nl"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.table({
+            "k": pa.array(g["k"].tolist(), pa.string()),
+            "nl": pa.array(g["nl"].tolist(), pa.string()),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def vote(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "node": pa.array([], pa.string()),
+                "lab": pa.array([], pa.string()),
+            })
+        g = (df.groupby(["k", "nl"], sort=False)["c"].sum()
+             .reset_index()
+             .sort_values(["k", "c", "nl"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+             .drop_duplicates("k"))
+        return pa.table({
+            "node": pa.array(g["k"].tolist(), pa.string()),
+            "lab": pa.array(g["nl"].tolist(), pa.string()),
+        })
+
+    for _ in range(rounds):
+        state = (ed.map_batches(edge_rows, batch_format="pyarrow")
+                 .union(state.map_batches(state_rows,
+                                          batch_format="pyarrow"))
+                 .sort("k")
+                 .map_batches(attach, batch_format="pyarrow",
+                              batch_size=None)
+                 .sort("k")
+                 .map_batches(vote, batch_format="pyarrow",
+                              batch_size=None)
+                 .materialize())
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_id": batch.column("node"),
+            "community": batch.column("lab"),
+        })
+
+    return state.map_batches(final, batch_format="pyarrow")

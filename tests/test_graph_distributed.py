@@ -15,7 +15,7 @@ import pytest
 import ray.data as rd
 
 from clinicaltransformerner_ray.pipelines.graph import (
-    SCALE, jaccard_links, pagerank)
+    SCALE, jaccard_links, label_propagation, pagerank)
 
 
 def _dense_triples() -> pa.Table:
@@ -91,3 +91,22 @@ def test_jaccard_links_distributed_bitwise_matches_broadcast(ray_session):
     # inclusion-exclusion invariant holds row-wise
     assert (out["union_size"]
             == out["deg_a"] + out["deg_b"] - out["n_common"]).all()
+
+
+def test_lpa_distributed_bitwise_matches_broadcast(ray_session):
+    pairs = _dense_triples().filter(
+        pa.compute.equal(pa.compute.field("pred"), "co_occurs"))
+    edges = rd.from_arrow(pa.table({
+        "subj": pairs.column("subj"),
+        "obj": pairs.column("obj"),
+    })).repartition(4)
+    ref = label_propagation(edges, rounds=4)
+    assert isinstance(ref, pa.Table)  # broadcast path
+    out = label_propagation(edges, rounds=4, broadcast_edges_max=0)
+    assert isinstance(out, rd.Dataset)  # distributed path exercised
+    a = (ref.to_pandas().sort_values("entity_id")
+         .reset_index(drop=True))
+    b = (out.to_pandas().sort_values("entity_id")
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["community"].nunique() < len(a)  # labels actually spread
