@@ -1910,6 +1910,44 @@ def _q_tpch_rollup(sf_dir: str):
         _nation_region_map(sf_dir))
 
 
+def _q_tpch_waiting_suppliers(sf_dir: str):
+    """Q21-shaped only-late-supplier-in-a-multi-supplier-order count
+    (shipdate-vs-orderdate lateness; EXISTS / NOT EXISTS shape kept)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        waiting_suppliers)
+
+    return waiting_suppliers(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]),
+    )
+
+
+def _q_tpch_part_variety(sf_dir: str):
+    """Q16-shaped distinct-supplier count per (brand, type, size) with
+    the complaint-supplier NOT IN anti-join."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        supplier_part_variety)
+
+    return supplier_part_variety(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey"]),
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand", "p_type",
+                                 "p_size"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]),
+    )
+
+
 def _q_tpch_large_orders(sf_dir: str):
     """Q18-shaped HAVING-filtered aggregate-then-join: orders whose
     summed line quantity exceeds 150, joined back to the customer —
@@ -2074,6 +2112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "dedup_semantic": _q_dedup_semantic,
+        "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
+        "tpch_part_variety": _q_tpch_part_variety,
         "events_sessions_unsalted": _q_events_sessions_unsalted,
         "events_asof_unsalted": _q_events_asof_unsalted,
         "events_range_join_unsalted": _q_events_range_join_unsalted,
@@ -4194,6 +4234,51 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        """,
+        # tpch_waiting_suppliers: a supplier is late in an order iff
+        # its MAX shipdate beats orderdate + 60 days (any-line-late ==
+        # max-late, the combinable form the Ray side pre-aggregates).
+        "tpch_waiting_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(l_shipdate) AS mx
+                FROM lineitem GROUP BY 1, 2),
+            j AS (
+                SELECT ls.l_orderkey, ls.l_suppkey,
+                       CASE WHEN ls.mx > o.o_orderdate
+                                 + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM ls JOIN orders o
+                  ON o.o_orderkey = ls.l_orderkey),
+            per_o AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       sum(late) AS n_late
+                FROM j GROUP BY 1),
+            q AS (
+                SELECT j.l_suppkey
+                FROM j JOIN per_o p ON p.l_orderkey = j.l_orderkey
+                WHERE j.late = 1 AND p.n_supp >= 2 AND p.n_late = 1)
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+            GROUP BY 1, 2
+        """,
+        "tpch_part_variety": """
+            WITH excl AS (
+                SELECT s_suppkey FROM supplier
+                WHERE s_name LIKE '%9'),
+            ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl)),
+            j AS (
+                SELECT p.p_brand, p.p_type, p.p_size, ps.l_suppkey
+                FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+                WHERE p.p_brand <> 'Brand#1'
+                  AND p.p_size IN (1, 9, 19, 29, 39, 49))
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM j GROUP BY 1, 2, 3
         """,
         "tpch_large_orders": """
             WITH q AS (

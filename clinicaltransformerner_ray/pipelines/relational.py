@@ -1784,3 +1784,289 @@ def trade_matrix(
         "revenue_e4": pa.array([acc[k][0] for k in keys], pa.int64()),
         "n_items": pa.array([acc[k][1] for k in keys], pa.int64()),
     })
+
+
+def waiting_suppliers(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    supplier: rd.Dataset,
+    *,
+    late_days: int = 60,
+) -> rd.Dataset:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: count, per
+    supplier, the multi-supplier orders in which that supplier was the
+    ONLY late one (late = any of its lines shipped more than
+    ``late_days`` after the order date — the synth lineitem carries no
+    commit/receipt dates, so shipdate-vs-orderdate stands in for Q21's
+    receipt-vs-commit lateness; the EXISTS / NOT EXISTS shape is
+    preserved exactly).
+
+    Scale shape: lineitem pre-aggregates max(shipdate) per
+    (orderkey, suppkey) in each batch (lateness is ANY-line-late ==
+    max-shipdate-late, so the partial is max-combinable and the
+    shuffle moves one row per (orderkey, suppkey, batch), never raw
+    lines); the orderkey sort-merge block holds every supplier of an
+    order plus its order row, so the only-late-supplier test completes
+    per block and emits per-block (suppkey, c) count partials; the
+    final suppkey exchange carries those tiny partials plus the
+    supplier table for the name join.  All comparisons are int64
+    microsecond arithmetic — hash-exact.
+
+    Output: (s_suppkey, s_name, numwait)."""
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def l_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (pd.DataFrame({
+                "key": df["l_orderkey"].to_numpy(),
+                "supp": df["l_suppkey"].to_numpy(),
+                "ship_us": df["l_shipdate"].astype("int64").to_numpy(),
+             })
+             .groupby(["key", "supp"], sort=False)["ship_us"].max()
+             .reset_index())
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "kind": pa.array(["l"] * len(g), pa.string()),
+            "supp": pa.array(g["supp"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "ship_us": pa.array(g["ship_us"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+        })
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = len(df)
+        return pa.table({
+            "key": pa.array(df["o_orderkey"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "kind": pa.array(["o"] * m, pa.string()),
+            "supp": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "ship_us": pa.array(
+                df["o_orderdate"].astype("int64").to_numpy(),
+                pa.int64()),
+        })
+
+    def only_late(batch: pa.Table) -> pa.Table:
+        """Per-block orderkey completion: finish the per-(order, supp)
+        max, flag lateness vs the in-block order row, keep the sole
+        late supplier of each >=2-supplier order, emit count partials."""
+        df = batch.to_pandas()
+        ln = df[df["kind"] == "l"]
+        o = df[df["kind"] == "o"][["key", "ship_us"]].rename(
+            columns={"ship_us": "odate_us"})
+        if ln.empty or o.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"key": z, "c": z,
+                             "name": pa.array([], pa.string())})
+        g = (ln.groupby(["key", "supp"], sort=False)["ship_us"].max()
+             .reset_index())
+        j = pd.merge(g, o, on="key")
+        j["late"] = (j["ship_us"].to_numpy()
+                     > j["odate_us"].to_numpy() + late_us)
+        per_o = (j.groupby("key", sort=False)
+                 .agg(n_supp=("supp", "size"), n_late=("late", "sum"))
+                 .reset_index())
+        ok = per_o[(per_o["n_supp"] >= 2) & (per_o["n_late"] == 1)]
+        q = j[j["late"] & j["key"].isin(ok["key"])]
+        c = q.groupby("supp", sort=False).size().reset_index(name="c")
+        m = len(c)
+        return pa.table({
+            "key": pa.array(c["supp"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "c": pa.array(c["c"].to_numpy(dtype=np.int64), pa.int64()),
+            "name": pa.nulls(m, pa.string()),
+        })
+
+    def s_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "key": pa.array(df["s_suppkey"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "c": pa.array(np.zeros(len(df), np.int64), pa.int64()),
+            "name": pa.array(df["s_name"].tolist(), pa.string()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df[df["name"].notna()][["key", "name"]]
+        p = df[df["name"].isna()]
+        c = p.groupby("key", sort=False)["c"].sum().reset_index()
+        j = pd.merge(c[c["c"] > 0], s, on="key")
+        return pa.table({
+            "s_suppkey": pa.array(j["key"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "s_name": pa.array(j["name"].tolist(), pa.string()),
+            "numwait": pa.array(j["c"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+        })
+
+    partials = (
+        lineitem.map_batches(l_side, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .union(orders.map_batches(o_side, batch_format="pyarrow",
+                                  batch_size=1 << 19))
+        .sort("key")
+        .map_batches(only_late, batch_format="pyarrow",
+                     batch_size=None)
+    )
+    return (
+        partials
+        .union(supplier.map_batches(s_side, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        .sort("key")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def supplier_part_variety(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    supplier: rd.Dataset,
+    *,
+    exclude_name_suffix: str = "9",
+    exclude_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (1, 9, 19, 29, 39, 49),
+) -> rd.Dataset:
+    """TPC-H Q16-shaped part/supplier variety: per (brand, type, size)
+    over the selected parts, how many DISTINCT suppliers ship it —
+    excluding "complaint" suppliers (name ending in
+    ``exclude_name_suffix``; the NOT IN anti-join of Q16).
+
+    Scale shape, three exchanges all carrying pre-shrunk rows:
+      1. suppkey sort-merge anti-join: lineitem's per-block DISTINCT
+         (partkey, suppkey) partials against the excluded-supplier
+         marker rows (never a broadcast — the exclusion set is
+         SF-scaled).
+      2. partkey sort-merge join onto the filtered part projection.
+      3. suppkey sort groups every surviving row of a supplier into
+         one block, so per-block drop_duplicates is GLOBALLY exact and
+         the (brand, type, size) count partials sum without a distinct
+         pass; the fixed-cardinality group table (brands x types x
+         sizes) finishes in a trivial final sort.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt)."""
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas()[["l_suppkey", "l_partkey"]]
+              .drop_duplicates())
+        m = len(df)
+        return pa.table({
+            "key": pa.array(df["l_suppkey"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "part": pa.array(df["l_partkey"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "excl": pa.array(np.zeros(m, np.int8), pa.int8()),
+        })
+
+    def excl_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["s_name"].str.endswith(exclude_name_suffix)]
+        m = len(df)
+        return pa.table({
+            "key": pa.array(df["s_suppkey"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "part": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "excl": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    def anti(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bad = set(df[df["excl"] == 1]["key"].tolist())
+        keep = df[(df["excl"] == 0) & ~df["key"].isin(bad)]
+        keep = keep.drop_duplicates(["key", "part"])
+        m = len(keep)
+        return pa.table({
+            "key": pa.array(keep["part"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "supp": pa.array(keep["key"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "brand": pa.nulls(m, pa.string()),
+            "type": pa.nulls(m, pa.string()),
+            "size": pa.array(np.zeros(m, np.int64), pa.int64()),
+        })
+
+    def p_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["p_brand"] != exclude_brand)
+                & df["p_size"].isin(sizes)]
+        m = len(df)
+        return pa.table({
+            "key": pa.array(df["p_partkey"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "supp": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "brand": pa.array(df["p_brand"].tolist(), pa.string()),
+            "type": pa.array(df["p_type"].tolist(), pa.string()),
+            "size": pa.array(df["p_size"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+        })
+
+    def part_join(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ps = df[df["side"] == 0][["key", "supp"]]
+        p = df[df["side"] == 1][["key", "brand", "type", "size"]]
+        j = pd.merge(ps, p, on="key")
+        return pa.table({
+            "key": pa.array(j["supp"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "brand": pa.array(j["brand"].tolist(), pa.string()),
+            "type": pa.array(j["type"].tolist(), pa.string()),
+            "size": pa.array(j["size"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+        })
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        """Equal suppkeys land whole per block, so drop_duplicates is
+        globally exact here and the group partials sum cleanly."""
+        df = (batch.to_pandas()
+              .drop_duplicates(["key", "brand", "type", "size"]))
+        g = (df.groupby(["brand", "type", "size"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.table({
+            "p_brand": pa.array(g["brand"].tolist(), pa.string()),
+            "p_type": pa.array(g["type"].tolist(), pa.string()),
+            "p_size": pa.array(g["size"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["p_brand", "p_type", "p_size"], sort=False)
+             ["c"].sum().reset_index())
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "p_type": pa.array(g["p_type"].tolist(), pa.string()),
+            "p_size": pa.array(g["p_size"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "supplier_cnt": pa.array(g["c"].to_numpy(dtype=np.int64),
+                                     pa.int64()),
+        })
+
+    survivors = (
+        lineitem.map_batches(li_side, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .union(supplier.map_batches(excl_side, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        .sort("key")
+        .map_batches(anti, batch_format="pyarrow", batch_size=None)
+    )
+    joined = (
+        survivors
+        .union(part.map_batches(p_side, batch_format="pyarrow",
+                                batch_size=1 << 19))
+        .sort("key")
+        .map_batches(part_join, batch_format="pyarrow",
+                     batch_size=None)
+    )
+    return (
+        joined
+        .sort("key")
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=None)
+        .sort(["p_brand", "p_type", "p_size"])
+        .map_batches(complete, batch_format="pyarrow",
+                     batch_size=None)
+    )

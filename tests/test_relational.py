@@ -40,7 +40,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_line_share",
                                   "tpch_revenue_deciles",
                                   "tpch_trade_matrix", "tpch_q6",
-                                  "tpch_segment_stats"])
+                                  "tpch_segment_stats",
+                                  "tpch_waiting_suppliers",
+                                  "tpch_part_variety"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -199,7 +201,9 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_copurchase",
                                   "tpch_line_share",
                                   "tpch_revenue_deciles",
-                                  "tpch_trade_matrix"])
+                                  "tpch_trade_matrix",
+                                  "tpch_waiting_suppliers",
+                                  "tpch_part_variety"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -285,6 +289,24 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("part", ["p_partkey", "p_brand"], 3),
             ds("supplier", ["s_suppkey", "s_name", "s_nationkey"], 2),
             nn)
+    elif name == "tpch_waiting_suppliers":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            waiting_suppliers)
+
+        res = waiting_suppliers(
+            ds("lineitem", ["l_orderkey", "l_suppkey",
+                            "l_shipdate"], 6),
+            ds("orders", ["o_orderkey", "o_orderdate"], 4),
+            ds("supplier", ["s_suppkey", "s_name"], 2))
+    elif name == "tpch_part_variety":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            supplier_part_variety)
+
+        res = supplier_part_variety(
+            ds("lineitem", ["l_partkey", "l_suppkey"], 7),
+            ds("part", ["p_partkey", "p_brand", "p_type",
+                        "p_size"], 3),
+            ds("supplier", ["s_suppkey", "s_name"], 2))
     else:
         res = revenue_by_supplier_nation(
             ds("lineitem", ["l_suppkey", "l_extendedprice",
