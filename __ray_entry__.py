@@ -1050,6 +1050,17 @@ def _q_text_stats(sf_dir: str):
     return doc_stats(_docs(sf_dir))
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN: per-subspace L2 codebooks +
+    asymmetric-distance LUT ranking (Jegou et al. 2011) — the
+    memory-bound ANN scale path.  Integer rank output; oracle unrolls
+    the per-subspace Lloyd's into chained CTEs (the kmeans trick)."""
+    from clinicaltransformerner_ray.pipelines.similarity import pq_topk
+
+    return pq_topk(_vecs(sf_dir), n_queries=8, k=10, m=4, k_sub=8,
+                   iters=3)
+
+
 def _q_dedup_semantic(sf_dir: str):
     """SemDeDup: within-kmeans-cluster exact cosine pairs.  The oracle
     chains the verified kmeans CTE (integer assignments) with the
@@ -2112,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "dedup_semantic": _q_dedup_semantic,
+        "ann_pq": _q_ann_pq,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_part_variety": _q_tpch_part_variety,
         "events_sessions_unsalted": _q_events_sessions_unsalted,
@@ -2449,6 +2461,91 @@ SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank FROM (
         PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
     FROM sims) WHERE rk <= 10
 """
+
+
+def _pq_sql(m: int = 4, k_sub: int = 8, iters: int = 3,
+            n_queries: int = 8, k: int = 10) -> str:
+    """Exact SQL replica of `similarity.pq_topk`: L2-normalize, split
+    dims into ``m`` subspaces ((i-1)//dsub on 1-based subscripts —
+    non-negative, so DuckDB ``//`` == numpy floor), per-subspace
+    Lloyd's with (d2 ASC, c ASC) argmin == np.argmin, empty codes keep
+    their centroid via LEFT JOIN COALESCE, then the asymmetric-distance
+    LUT ranking.  The output is integer ranks — exact while score
+    margins (~1e-2 on the synth) dominate float noise (the kmeans
+    precedent).  Subspace width is derived in SQL from the data
+    (max(i) // m), so the oracle tracks the embedding dim."""
+    parts = ["""
+WITH unn AS (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+norm AS (
+    SELECT vec_id, i,
+           v / sqrt(SUM(v * v) OVER (PARTITION BY vec_id)) AS v
+    FROM unn
+),
+ds AS (SELECT max(i) // {m} AS dsub FROM unn),
+subn AS (
+    SELECT vec_id, (i - 1) // (SELECT dsub FROM ds) AS s, i, v
+    FROM norm
+),
+c0 AS (
+    SELECT s, vec_id % {ks} AS c, i, AVG(v) AS w
+    FROM subn GROUP BY s, vec_id % {ks}, i
+)""".format(m=m, ks=k_sub)]
+    for t in range(iters):
+        parts.append("""
+, d{t} AS (
+    SELECT n.vec_id, c.s, c.c,
+           SUM((n.v - c.w) * (n.v - c.w)) AS d2
+    FROM norm n JOIN c{t} c ON c.i = n.i
+    GROUP BY 1, 2, 3
+), a{t} AS (
+    SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rk
+        FROM d{t}) WHERE rk = 1
+), m{t} AS (
+    SELECT a.s, a.c, n.i, AVG(n.v) AS w
+    FROM a{t} a JOIN subn n
+      ON n.vec_id = a.vec_id AND n.s = a.s
+    GROUP BY 1, 2, 3
+), c{t1} AS (
+    SELECT p.s, p.c, p.i, COALESCE(mm.w, p.w) AS w
+    FROM c{t} p LEFT JOIN m{t} mm
+      ON mm.s = p.s AND mm.c = p.c AND mm.i = p.i
+)""".format(t=t, t1=t + 1))
+    parts.append("""
+, dF AS (
+    SELECT n.vec_id, c.s, c.c,
+           SUM((n.v - c.w) * (n.v - c.w)) AS d2
+    FROM norm n JOIN c{T} c ON c.i = n.i
+    GROUP BY 1, 2, 3
+), aF AS (
+    SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rk
+        FROM dF) WHERE rk = 1
+), q AS (
+    SELECT vec_id AS qid, i, v FROM norm WHERE vec_id < {nq}
+), lut AS (
+    SELECT q.qid, c.s, c.c, SUM(q.v * c.w) AS dot
+    FROM q JOIN c{T} c ON c.i = q.i
+    GROUP BY 1, 2, 3
+), score AS (
+    SELECT a.vec_id AS nid, l.qid, SUM(l.dot) AS sc
+    FROM aF a JOIN lut l ON l.s = a.s AND l.c = a.c
+    GROUP BY 1, 2
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY sc DESC, nid ASC) AS rank
+      FROM score WHERE nid <> qid)
+WHERE rank <= {k}
+""".format(T=iters, nq=n_queries, k=k))
+    return "".join(parts)
 
 
 def _kmeans_sql(k: int = 16, iters: int = 5) -> str:
@@ -3511,6 +3608,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         """,
         "dedup_simhash": _SIMHASH_SQL,
         "kmeans": _kmeans_sql(16, 5),
+        "ann_pq": _pq_sql(4, 8, 3, 8, 10),
         # dedup_semantic: the kmeans CTE nests verbatim (its own WITH is
         # scoped inside `asn`); the pair stage replicates the verified
         # cosine shape with the added same-centroid constraint.

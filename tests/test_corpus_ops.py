@@ -38,7 +38,7 @@ SQL_CHECKED = [
     "corpus_weighted_sample", "hybrid_rerank", "dedup_containment",
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
     "token_char_trigrams", "dedup_calibration",
-    "pii_scrub", "doc_repetition", "dedup_semantic",
+    "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
 ]
 
 
@@ -1254,3 +1254,46 @@ def test_semantic_dup_pairs_subset_of_exact(ray_session):
     # centroid column is consistent with the assignment
     for r in got.itertuples():
         assert cl[r.vec_a] == r.centroid == cl[r.vec_b]
+
+
+def test_pq_retrieves_planted_clusters(ray_session):
+    """On structured data (4 tight, well-separated clusters) PQ must
+    rank every same-cluster vector above every other-cluster vector —
+    quantization noise can't cross a large inter-cluster margin.  The
+    sf0.001 embeddings are near-orthogonal noise where ANY coarse
+    quantizer scores ~random, so recall is asserted on a planted
+    fixture instead (the two-scale ORACLE parity test covers the synth
+    table)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import pq_topk
+
+    dim, per = 8, 10
+    base = np.eye(4, dim) * 10.0            # 4 distant cluster centers
+    ids, rows = [], []
+    for cl in range(4):
+        for j in range(per):
+            v = base[cl].copy()
+            v[4 + (j % 4)] += 0.1 * (j + 1)  # deterministic jitter
+            rows.append(v)
+            # id % k_sub == cluster: the vec_id % k_sub init starts
+            # cluster-pure, so Lloyd's provably keeps the 4 codes on
+            # the 4 centers (PQ codebook quality is data/init
+            # dependent by nature; this test pins retrieval, not
+            # codebook training robustness)
+            ids.append(cl + 4 * j)
+    X = np.asarray(rows)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float32())),
+    })
+    out = pq_topk(rd.from_arrow(tbl).repartition(3), n_queries=1,
+                  k=per - 1, m=2, k_sub=4, iters=3).to_pandas()
+    # query vec 0 (cluster 0): all 9 neighbors must be cluster 0,
+    # i.e. ids congruent to 0 mod 4
+    assert len(out) == per - 1
+    assert set(out["neighbor_id"]) == {4 * j for j in range(1, per)}
+    assert out["rank"].tolist() == sorted(out["rank"].tolist())
