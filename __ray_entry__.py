@@ -1122,6 +1122,17 @@ def _q_doc_repetition(sf_dir: str):
     return doc_repetition(_docs(sf_dir))
 
 
+def _q_lang_id(sf_dir: str):
+    """Profile-based language ID: corpus-trained char-trigram
+    frequency profiles, integer frequency-weighted argmax."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        lang_id_profiles)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    return lang_id_profiles(
+        read_documents(sf_dir, columns=["doc_id", "text", "lang"]))
+
+
 def _q_corpus_curate(sf_dir: str):
     """The composed training-data cleanup pass: quality gate (lang-ID +
     min token count) + keep-one exact dedup + shape columns, one
@@ -2122,6 +2133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-issued CORRECTNESS row this round ---
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
+        "lang_id": _q_lang_id,
         "dedup_semantic": _q_dedup_semantic,
         "ann_pq": _q_ann_pq,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
@@ -3951,6 +3963,34 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(coalesce(b.top_bigram_n, 0) AS BIGINT)
                        AS top_bigram_n
             FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+        """,
+        # lang_id: trigram extraction == token_char_trigrams rule;
+        # inner joins drop docs with no >= 3-char token on BOTH sides.
+        "lang_id": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS w
+                FROM documents),
+            tg AS (
+                SELECT doc_id, lang, unnest(list_transform(
+                    range(1, len(w) - 1),
+                    i -> substr(w, CAST(i AS INT), 3))) AS g
+                FROM tok WHERE len(w) >= 3),
+            prof AS (SELECT lang AS plang, g, count(*) AS n
+                     FROM tg GROUP BY 1, 2),
+            dc AS (SELECT doc_id, g, count(*) AS c
+                   FROM tg GROUP BY 1, 2),
+            sc AS (SELECT dc.doc_id, prof.plang,
+                          SUM(dc.c * prof.n) AS score
+                   FROM dc JOIN prof ON prof.g = dc.g
+                   GROUP BY 1, 2)
+            SELECT doc_id, plang AS lang_pred,
+                   CAST(score AS BIGINT) AS score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, plang ASC) AS rk FROM sc)
+            WHERE rk = 1
         """,
         "corpus_curate": """
             WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l

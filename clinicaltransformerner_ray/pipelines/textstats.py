@@ -1317,3 +1317,158 @@ def doc_repetition(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return docs.map_batches(per_block, batch_format="pyarrow")
+
+
+def lang_id_profiles(docs: rd.Dataset) -> rd.Dataset:
+    """Corpus-trained language identification (Cavnar-Trenkle-style
+    character-n-gram profiles, simplified to frequency-weighted
+    scoring): build per-language char-trigram frequency profiles from
+    the corpus's own ``lang`` labels, then classify every document by
+    ``score(doc, lang) = sum_g c_doc(g) * n_corpus(lang, g)`` — all
+    int64, so the argmax (score DESC, lang ASC) is oracle-exact.
+
+    Trigrams are per token OCCURRENCE (the `token_char_trigrams`
+    extraction rule: every length-3 substring of every >= 3-char
+    token).  Docs with no >= 3-char token produce no trigram rows and
+    are absent from the output on both engines (inner-join semantics).
+
+    Shape: ONE pass over docs emits per-block (doc_id, lang, g, c)
+    trigram counts (materialized — it feeds both the profile build and
+    the doc side, and Ray does no CSE); the trigram sort co-locates
+    each trigram's profile partials WITH its doc rows, so profiles
+    finalize and join in the same block pass; the doc_id sort
+    completes per-doc score sums and the argmax.  Two wide ops total,
+    both on high-cardinality keys.
+
+    Output: (doc_id, lang_pred, score)."""
+    import pyarrow.compute as pc
+
+    def tri_counts(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pd.Series(pc.list_flatten(toks).to_pylist(),
+                         dtype="object")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch.column("lang").to_pylist(),
+                           dtype=object)
+        frames = []
+        if len(flat):
+            max_len = int(flat.str.len().max())
+            for j in range(max(0, max_len - 2)):
+                sub = flat.str.slice(j, j + 3)
+                keep = (sub.str.len() == 3).to_numpy()
+                if not keep.any():
+                    continue
+                frames.append(pd.DataFrame({
+                    "doc_id": doc_ids[parent[keep]],
+                    "lang": langs[parent[keep]],
+                    "g": sub[keep].to_numpy(),
+                }))
+        if not frames:
+            z = pa.array([], pa.int64())
+            return pa.table({
+                "doc_id": z,
+                "lang": pa.array([], pa.string()),
+                "g": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            })
+        all_tg = pd.concat(frames, ignore_index=True)
+        grp = (all_tg.groupby(["doc_id", "lang", "g"], sort=False)
+               .size().reset_index(name="c"))
+        return pa.table({
+            "doc_id": pa.array(grp["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "lang": pa.array(grp["lang"].tolist(), pa.string()),
+            "g": pa.array(grp["g"].tolist(), pa.string()),
+            "c": pa.array(grp["c"].to_numpy(dtype=np.int64),
+                          pa.int64()),
+        })
+
+    rows = docs.map_batches(tri_counts, batch_format="pyarrow",
+                            batch_size=1 << 17).materialize()
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "g": batch.column("g"),
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "c": batch.column("c"),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+        })
+
+    def prof_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        grp = (df.groupby(["g", "lang"], sort=False)["c"].sum()
+               .reset_index())
+        m = len(grp)
+        return pa.table({
+            "g": pa.array(grp["g"].tolist(), pa.string()),
+            "doc_id": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "lang": pa.array(grp["lang"].tolist(), pa.string()),
+            "c": pa.array(grp["c"].to_numpy(dtype=np.int64),
+                          pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        """All rows of a trigram land whole here: finalize its
+        per-lang profile counts and emit per-(doc, lang) score
+        partials."""
+        df = batch.to_pandas()
+        d = df[df["side"] == 0]
+        if d.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({
+                "doc_id": z,
+                "lang": pa.array([], pa.string()),
+                "s": z,
+            })
+        p = (df[df["side"] == 1]
+             .groupby(["g", "lang"], sort=False)["c"].sum()
+             .reset_index().rename(columns={"lang": "plang",
+                                            "c": "n"}))
+        j = pd.merge(d[["g", "doc_id", "c"]], p, on="g")
+        j["s"] = j["c"].to_numpy() * j["n"].to_numpy()
+        grp = (j.groupby(["doc_id", "plang"], sort=False)["s"].sum()
+               .reset_index())
+        return pa.table({
+            "doc_id": pa.array(grp["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "lang": pa.array(grp["plang"].tolist(), pa.string()),
+            "s": pa.array(grp["s"].to_numpy(dtype=np.int64),
+                          pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "lang_pred": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+            })
+        g = (df.groupby(["doc_id", "lang"], sort=False)["s"].sum()
+             .reset_index()
+             .sort_values(["doc_id", "s", "lang"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+             .drop_duplicates("doc_id"))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "lang_pred": pa.array(g["lang"].tolist(), pa.string()),
+            "score": pa.array(g["s"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+        })
+
+    return (rows.map_batches(doc_rows, batch_format="pyarrow")
+            .union(rows.map_batches(prof_rows, batch_format="pyarrow",
+                                    batch_size=1 << 17))
+            .sort("g")
+            .map_batches(score_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("doc_id")
+            .map_batches(finish, batch_format="pyarrow",
+                         batch_size=None))

@@ -39,6 +39,7 @@ SQL_CHECKED = [
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
     "token_char_trigrams", "dedup_calibration",
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
+    "lang_id",
 ]
 
 
@@ -1297,3 +1298,31 @@ def test_pq_retrieves_planted_clusters(ray_session):
     assert len(out) == per - 1
     assert set(out["neighbor_id"]) == {4 * j for j in range(1, per)}
     assert out["rank"].tolist() == sorted(out["rank"].tolist())
+
+
+def test_lang_id_profiles_discriminates(ray_session):
+    """Disjoint-vocabulary fixture: profile scoring must recover each
+    doc's language, and a doc with no >= 3-char token is absent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        lang_id_profiles)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "hello world hello friend",
+            "bonjour monde bonjour ami tout",
+            "hello again world friend hello",
+            "monde ami bonjour tout monde",
+            "a an it",              # no >=3-char... 'an'/'it' 2 chars
+        ], pa.string()),
+        "lang": pa.array(["en", "fr", "en", "fr", "de"], pa.string()),
+    })).repartition(2)
+    out = (lang_id_profiles(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[[0, 2], "lang_pred"].tolist() == ["en", "en"]
+    assert out.loc[[1, 3], "lang_pred"].tolist() == ["fr", "fr"]
+    assert 4 not in out.index  # inner-join semantics
+    assert (out["score"] > 0).all()
