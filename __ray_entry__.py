@@ -1932,6 +1932,22 @@ def _q_tpch_rollup(sf_dir: str):
         _nation_region_map(sf_dir))
 
 
+def _q_tpch_custdist(sf_dir: str):
+    """Q13-shaped customer order-count distribution with left-join
+    zero-fill."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        customer_order_distribution)
+
+    return customer_order_distribution(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"]),
+    )
+
+
 def _q_tpch_waiting_suppliers(sf_dir: str):
     """Q21-shaped only-late-supplier-in-a-multi-supplier-order count
     (shipdate-vs-orderdate lateness; EXISTS / NOT EXISTS shape kept)."""
@@ -2138,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": _q_ann_pq,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_part_variety": _q_tpch_part_variety,
+        "tpch_custdist": _q_tpch_custdist,
         "events_sessions_unsalted": _q_events_sessions_unsalted,
         "events_asof_unsalted": _q_events_asof_unsalted,
         "events_range_join_unsalted": _q_events_range_join_unsalted,
@@ -4417,6 +4434,16 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(count(DISTINCT l_suppkey) AS BIGINT)
                        AS supplier_cnt
             FROM j GROUP BY 1, 2, 3
+        """,
+        "tpch_custdist": """
+            WITH oc AS (
+                SELECT c.c_custkey, count(o.o_custkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY 1)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM oc GROUP BY 1
         """,
         "tpch_large_orders": """
             WITH q AS (

@@ -2070,3 +2070,84 @@ def supplier_part_variety(
         .map_batches(complete, batch_format="pyarrow",
                      batch_size=None)
     )
+
+
+def customer_order_distribution(
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+) -> rd.Dataset:
+    """TPC-H Q13-shaped customer distribution: how many customers placed
+    exactly N orders, INCLUDING the zero-order customers the left join
+    contributes (the shape Q13 exists to test).
+
+    Scale shape: orders pre-count per custkey per batch (the shuffle
+    moves one partial per (custkey, batch)); the custkey sort-merge
+    block completes each customer's count with left-join zero-fill and
+    emits per-block histogram partials, so the final exchange carries
+    O(distinct counts) rows per block — the order-count domain, not the
+    customer count.
+
+    Output: (c_count, custdist)."""
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("o_custkey", sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "key": pa.array(g["o_custkey"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+            "is_cust": pa.array(np.zeros(len(g), np.int8), pa.int8()),
+        })
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = len(df)
+        return pa.table({
+            "key": pa.array(df["c_custkey"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "n": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "is_cust": pa.array(np.ones(m, np.int8), pa.int8()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        """Equal custkeys land whole per block: finish each customer's
+        order count (0 when only the customer row is present — orders
+        with no matching customer row are dropped, mirroring the left
+        join) and fold the block's histogram."""
+        df = batch.to_pandas()
+        c = df[df["is_cust"] == 1][["key"]]
+        if c.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"c_count": z, "d": z})
+        o = (df[df["is_cust"] == 0].groupby("key", sort=False)["n"]
+             .sum().reset_index())
+        j = pd.merge(c, o, on="key", how="left").fillna({"n": 0})
+        h = (j.groupby("n", sort=False).size()
+             .reset_index(name="d"))
+        return pa.table({
+            "c_count": pa.array(h["n"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "d": pa.array(h["d"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_count", sort=False)["d"].sum().reset_index()
+        return pa.table({
+            "c_count": pa.array(g["c_count"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "custdist": pa.array(g["d"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+        })
+
+    return (
+        orders.map_batches(o_side, batch_format="pyarrow",
+                           batch_size=1 << 19)
+        .union(customer.map_batches(c_side, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        .sort("key")
+        .map_batches(complete, batch_format="pyarrow", batch_size=None)
+        .sort("c_count")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_trade_matrix", "tpch_q6",
                                   "tpch_segment_stats",
                                   "tpch_waiting_suppliers",
-                                  "tpch_part_variety"])
+                                  "tpch_part_variety",
+                                  "tpch_custdist"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -203,7 +204,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_revenue_deciles",
                                   "tpch_trade_matrix",
                                   "tpch_waiting_suppliers",
-                                  "tpch_part_variety"])
+                                  "tpch_part_variety",
+                                  "tpch_custdist"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -298,6 +300,13 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
                             "l_shipdate"], 6),
             ds("orders", ["o_orderkey", "o_orderdate"], 4),
             ds("supplier", ["s_suppkey", "s_name"], 2))
+    elif name == "tpch_custdist":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            customer_order_distribution)
+
+        res = customer_order_distribution(
+            ds("orders", ["o_custkey"], 5),
+            ds("customer", ["c_custkey"], 3))
     elif name == "tpch_part_variety":
         from clinicaltransformerner_ray.pipelines.relational import (
             supplier_part_variety)
