@@ -1932,6 +1932,20 @@ def _q_tpch_rollup(sf_dir: str):
         _nation_region_map(sf_dir))
 
 
+def _q_tpch_value_conc(sf_dir: str):
+    """Q11-shaped value concentration: cells above 1/10000 of the
+    global discounted-revenue total (integer threshold compare)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        value_concentration)
+
+    return value_concentration(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey",
+                                 "l_extendedprice", "l_discount"]))
+
+
 def _q_tpch_custdist(sf_dir: str):
     """Q13-shaped customer order-count distribution with left-join
     zero-fill."""
@@ -2155,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_part_variety": _q_tpch_part_variety,
         "tpch_custdist": _q_tpch_custdist,
+        "tpch_value_conc": _q_tpch_value_conc,
         "events_sessions_unsalted": _q_events_sessions_unsalted,
         "events_asof_unsalted": _q_events_asof_unsalted,
         "events_range_join_unsalted": _q_events_range_join_unsalted,
@@ -4434,6 +4449,18 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(count(DISTINCT l_suppkey) AS BIGINT)
                        AS supplier_cnt
             FROM j GROUP BY 1, 2, 3
+        """,
+        "tpch_value_conc": """
+            WITH v AS (
+                SELECT l_suppkey, l_partkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS val
+                FROM lineitem GROUP BY 1, 2)
+            SELECT l_suppkey, l_partkey,
+                   CAST(val AS BIGINT) AS value_e4
+            FROM v
+            WHERE val * 10000 > (SELECT SUM(val) FROM v)
         """,
         "tpch_custdist": """
             WITH oc AS (

@@ -2151,3 +2151,83 @@ def customer_order_distribution(
         .sort("c_count")
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def value_concentration(
+    lineitem: rd.Dataset,
+    *,
+    fraction_denom: int = 10_000,
+) -> rd.Dataset:
+    """TPC-H Q11-shaped value concentration: (supplier, part) cells
+    whose discounted revenue exceeds ``1/fraction_denom`` of the
+    GLOBAL total — the correlated-scalar-subquery shape (HAVING >
+    SUM(...) * fraction), re-expressed without one.
+
+    Scale shape: batch-local integer partial sums per (suppkey,
+    partkey) pre-shuffle, one composite-key sort completes the cells
+    per block, and the cell table is MATERIALIZED once (it feeds both
+    the global total and the filter — Ray does no CSE).  The global
+    total folds ONE partial row per block on the driver (order-free
+    int64 sums), and the threshold broadcasts back into a stateless
+    filter map.  Threshold arithmetic is integer: keep cells with
+    ``value_e4 * fraction_denom > total`` (exactly Q11's
+    ``value > total * (1/denom)`` without the float).
+
+    Output: (l_suppkey, l_partkey, value_e4)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        part = pd.DataFrame({
+            "s": df["l_suppkey"].to_numpy(),
+            "p": df["l_partkey"].to_numpy(),
+            "v": _rev_e4(df),
+        })
+        g = (part.groupby(["s", "p"], sort=False)["v"].sum()
+             .reset_index())
+        return pa.table({
+            "l_suppkey": pa.array(g["s"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "l_partkey": pa.array(g["p"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "value_e4": pa.array(g["v"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["l_suppkey", "l_partkey"], sort=False)
+             ["value_e4"].sum().reset_index())
+        return pa.table({
+            "l_suppkey": pa.array(
+                g["l_suppkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "l_partkey": pa.array(
+                g["l_partkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "value_e4": pa.array(
+                g["value_e4"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    cells = (lineitem.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=1 << 19)
+             .sort(["l_suppkey", "l_partkey"])
+             .map_batches(complete, batch_format="pyarrow",
+                          batch_size=None)
+             .materialize())  # consumed by total fold AND filter
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            [int(batch.column("value_e4").to_pandas().sum())],
+            pa.int64())})
+
+    total = sum(r["t"] for r in cells.map_batches(
+        total_partial, batch_format="pyarrow").take_all())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = batch.column("value_e4")
+        mask = pc.greater(
+            pc.multiply(v, pa.scalar(fraction_denom, pa.int64())),
+            pa.scalar(total, pa.int64()))
+        return batch.filter(mask)
+
+    return cells.map_batches(keep, batch_format="pyarrow")

@@ -43,7 +43,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_segment_stats",
                                   "tpch_waiting_suppliers",
                                   "tpch_part_variety",
-                                  "tpch_custdist"])
+                                  "tpch_custdist",
+                                  "tpch_value_conc"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -205,7 +206,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_trade_matrix",
                                   "tpch_waiting_suppliers",
                                   "tpch_part_variety",
-                                  "tpch_custdist"])
+                                  "tpch_custdist",
+                                  "tpch_value_conc"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -300,6 +302,13 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
                             "l_shipdate"], 6),
             ds("orders", ["o_orderkey", "o_orderdate"], 4),
             ds("supplier", ["s_suppkey", "s_name"], 2))
+    elif name == "tpch_value_conc":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            value_concentration)
+
+        res = value_concentration(
+            ds("lineitem", ["l_suppkey", "l_partkey",
+                            "l_extendedprice", "l_discount"], 6))
     elif name == "tpch_custdist":
         from clinicaltransformerner_ray.pipelines.relational import (
             customer_order_distribution)
