@@ -370,6 +370,17 @@ def _q_kg_type_matrix(sf_dir: str):
     })
 
 
+def _q_kg_ktruss(sf_dir: str):
+    """3-truss peel of the co-occurrence graph: edges in >= 1 triangle,
+    recomputed on the surviving subgraph for 3 fixed rounds (the
+    LPA/kcore fixed-unroll contract)."""
+    from clinicaltransformerner_ray.pipelines.graph import ktruss
+
+    pairs = _kg(sf_dir)["triples"].map_batches(
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    return ktruss(pairs, k=3, rounds=3)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Per-ENTITY triangle counts over the co-occurrence graph: the
     string ids get a driver-side SORTED dense coding (lexicon-bounded
@@ -2170,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_part_variety": _q_tpch_part_variety,
         "tpch_custdist": _q_tpch_custdist,
         "tpch_value_conc": _q_tpch_value_conc,
+        "kg_ktruss": _q_kg_ktruss,
         "events_sessions_unsalted": _q_events_sessions_unsalted,
         "events_asof_unsalted": _q_events_asof_unsalted,
         "events_range_join_unsalted": _q_events_range_join_unsalted,
@@ -2778,6 +2790,47 @@ def _lpa_sql(cte: str, rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _ktruss_sql(cte: str, k: int = 3, rounds: int = 3) -> str:
+    """Unrolled k-truss peel: ``rounds`` chained (edge-support, filter)
+    CTE pairs over the undirected co-occurrence edges.  Support of
+    edge (a, b) = common neighbors of a and b within the CURRENT
+    survivor subgraph; edges missing from the support join have zero
+    triangles and drop out (k >= 3).  Output = the last round's
+    filtered support rows — exactly the engine's final
+    `keep_supported` block."""
+    thr = k - 2
+    parts = [cte + """
+            , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id
+                     FROM mm)
+            , co AS (
+                SELECT a.entity_id AS subj, b.entity_id AS obj
+                FROM te a JOIN te b
+                  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+                 AND a.entity_id < b.entity_id
+            ), e0 AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b
+                                   FROM co)
+    """]
+    for i in range(rounds):
+        parts.append(f"""
+            , bd{i} AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM e{i}
+                UNION ALL SELECT b, a FROM e{i})
+            , sup{i} AS MATERIALIZED (
+                SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS s
+                FROM e{i} e
+                JOIN bd{i} w1 ON w1.u = e.a
+                JOIN bd{i} w2 ON w2.u = e.b AND w2.v = w1.v
+                GROUP BY e.a, e.b)
+            , e{i + 1} AS MATERIALIZED (
+                SELECT a, b FROM sup{i} WHERE s >= {thr})
+        """)
+    parts.append(f"""
+            SELECT a AS subj, b AS obj, s AS support
+            FROM sup{rounds - 1} WHERE s >= {thr}
+    """)
+    return "".join(parts)
+
+
 def _kcore_sql(cte: str, k: int = 2, rounds: int = 12) -> str:
     """Unrolled k-core peel (the pagerank/kmeans fixed-unroll trick):
     ``rounds`` chained (degree, filter) CTE pairs over the undirected
@@ -2926,6 +2979,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "kg_degree_histogram": degree_hist_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
         "kg_kcore": _kcore_sql(cte, k=2, rounds=12),
+        "kg_ktruss": _ktruss_sql(cte, k=3, rounds=3),
         "kg_lpa": _lpa_sql(cte, rounds=4),
         "kg_triangles": cte + """
             , te AS (SELECT DISTINCT conv_id, turn_idx, entity_id

@@ -1476,3 +1476,132 @@ def _lpa_distributed(ed: rd.Dataset, *, rounds: int) -> rd.Dataset:
         })
 
     return state.map_batches(final, batch_format="pyarrow")
+
+
+def ktruss(
+    edges: rd.Dataset,
+    *,
+    k: int = 3,
+    rounds: int = 3,
+    a_col: str = "subj",
+    b_col: str = "obj",
+    node_type: pa.DataType = pa.string(),
+) -> rd.Dataset:
+    """k-truss peel over DISTINCT undirected edges (``a < b``): keep
+    edges supported by >= k-2 triangles, recompute support on the
+    surviving subgraph, ``rounds`` fixed iterations (the LPA/kcore
+    fixed-unroll contract: at a fixed point extra rounds are no-ops on
+    both engines, and before convergence both report the same
+    partially-peeled set for the same round count).
+
+    Per round, the common_neighbors wedge machinery with INNER (not
+    anti) edge semantics: both-direction rows sorted on the center ->
+    per-block wedge-pair partials; partials UNIONED with the current
+    edge rows sorted on the (x, y) composite -> per-block support sum,
+    keep edges present with support >= k-2.  Each round's survivor set
+    is materialized (iterative lineage truncation).  Integer supports
+    make the SQL unroll bit-exact.
+
+    Per-center wedge cost is deg^2 (full neighbor set, like
+    common_neighbors); pre-filter hub degrees before calling this on
+    corpus-scale graphs.
+
+    Output: (``a_col``, ``b_col``, support) for the final survivors."""
+    thr = k - 2
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch.column(a_col).cast(node_type),
+            "b": batch.column(b_col).cast(node_type),
+        })
+
+    cur = edges.map_batches(norm, batch_format="pyarrow",
+                            batch_size=1 << 19).materialize()
+
+    def both(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("a"), batch.column("b")
+        return pa.table({
+            "u": pa.concat_arrays([a.combine_chunks(),
+                                   b.combine_chunks()]),
+            "v": pa.concat_arrays([b.combine_chunks(),
+                                   a.combine_chunks()]),
+        })
+
+    def wedge_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o_x, o_y = [], []
+        for _, g in df.groupby("u", sort=False):
+            nb = np.sort(g["v"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            o_x.append(nb[i])
+            o_y.append(nb[j])
+        if o_x:
+            g = (pd.DataFrame({"x": np.concatenate(o_x),
+                               "y": np.concatenate(o_y),
+                               "n": np.int64(1)})
+                 .groupby(["x", "y"], sort=False)["n"].sum()
+                 .reset_index())
+        else:
+            g = pd.DataFrame({"x": [], "y": [], "n": []})
+        return pa.table({
+            "x": pa.array(g["x"].tolist(), node_type),
+            "y": pa.array(g["y"].tolist(), node_type),
+            "n": pa.array(np.asarray(g["n"], np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(g), np.int64), pa.int64()),
+        })
+
+    def direct(batch: pa.Table) -> pa.Table:
+        z = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.table({
+            "x": batch.column("a"), "y": batch.column("b"),
+            "n": z, "kind": z,
+        })
+
+    def keep_supported(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df.loc[df["kind"] == 0, ["x", "y"]]
+        if d.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": pa.array([], node_type),
+                             "b": pa.array([], node_type),
+                             "support": z})
+        w = (df[df["kind"] == 1].groupby(["x", "y"], sort=False)
+             ["n"].sum().reset_index())
+        g = d.merge(w, on=["x", "y"], how="left").fillna({"n": 0})
+        g = g[g["n"] >= thr]
+        return pa.table({
+            "a": pa.array(g["x"].tolist(), node_type),
+            "b": pa.array(g["y"].tolist(), node_type),
+            "support": pa.array(g["n"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+        })
+
+    last = None
+    for r in range(rounds):
+        sup = (cur.map_batches(both, batch_format="pyarrow",
+                               batch_size=1 << 19)
+               .sort("u")
+               .map_batches(wedge_partials, batch_format="pyarrow",
+                            batch_size=None))
+        last = (sup.union(cur.map_batches(direct,
+                                          batch_format="pyarrow"))
+                .sort(["x", "y"])
+                .map_batches(keep_supported, batch_format="pyarrow",
+                             batch_size=None)
+                .materialize())
+        if r < rounds - 1:
+            cur = last.map_batches(
+                lambda t: pa.table({"a": t.column("a"),
+                                    "b": t.column("b")}),
+                batch_format="pyarrow").materialize()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            a_col: batch.column("a"),
+            b_col: batch.column("b"),
+            "support": batch.column("support"),
+        })
+
+    return last.map_batches(rename, batch_format="pyarrow")

@@ -110,3 +110,43 @@ def test_lpa_distributed_bitwise_matches_broadcast(ray_session):
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["community"].nunique() < len(a)  # labels actually spread
+
+
+def test_ktruss_matches_bruteforce(ray_session):
+    """Fixed-round k-truss vs a plain-Python peel on the formula
+    graph, for k=3 and k=4."""
+    from clinicaltransformerner_ray.pipelines.graph import ktruss
+
+    # K5 clique (edge support 3: survives k<=5) + a triangle fan off
+    # node A00 (support 1: peeled at k=4, kept at k=3) + a dangling
+    # chain (support 0: always peeled)
+    clique = [f"A{i:02d}" for i in range(5)]
+    E = sorted(
+        {(a, b) for i, a in enumerate(clique)
+         for b in clique[i + 1:]}
+        | {("A00", "B01"), ("A00", "B02"), ("B01", "B02")}  # fan tri
+        | {("B02", "C01"), ("C01", "C02")})                 # chain
+    assert all(a < b for a, b in E)
+
+    def brute(k, rounds):
+        cur = set(E)
+        sup = {}
+        for _ in range(rounds):
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {(a, b): len(adj[a] & adj[b]) for a, b in cur}
+            cur = {e for e, s in sup.items() if s >= k - 2}
+        return {(a, b): sup[(a, b)] for a, b in cur}
+
+    edges = rd.from_arrow(pa.table({
+        "subj": pa.array([a for a, _ in E], pa.string()),
+        "obj": pa.array([b for _, b in E], pa.string()),
+    })).repartition(4)
+    for k in (3, 4):
+        want = brute(k, 3)
+        got = ktruss(edges, k=k, rounds=3).to_pandas()
+        assert {(r.subj, r.obj): r.support
+                for r in got.itertuples()} == want, k
+    assert brute(4, 3) != brute(3, 3)  # k actually bites
