@@ -1133,6 +1133,16 @@ def _q_doc_repetition(sf_dir: str):
     return doc_repetition(_docs(sf_dir))
 
 
+def _q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter membership against the synthetic eval split: the
+    memory-bounded twin of dedup_decontaminate (false positives
+    deterministic and identical in the SQL replica)."""
+    from clinicaltransformerner_ray.pipelines.sketches import (
+        bloom_membership)
+
+    return bloom_membership(_docs(sf_dir), ref_mod=10)
+
+
 def _q_lang_id(sf_dir: str):
     """Profile-based language ID: corpus-trained char-trigram
     frequency profiles, integer frequency-weighted argmax."""
@@ -2175,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_semantic": _q_dedup_semantic,
         "ann_pq": _q_ann_pq,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
@@ -4049,6 +4060,31 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(coalesce(b.top_bigram_n, 0) AS BIGINT)
                        AS top_bigram_n
             FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+        """,
+        "bloom_decontaminate": """
+            WITH ref AS (SELECT coalesce(text, '') AS t
+                         FROM documents WHERE doc_id % 10 = 0),
+            bits AS (
+                SELECT DISTINCT CAST(md5_number_upper(t || '#0')
+                    % 65536 AS BIGINT) AS b FROM ref
+                UNION SELECT CAST(md5_number_upper(t || '#1')
+                    % 65536 AS BIGINT) FROM ref
+                UNION SELECT CAST(md5_number_upper(t || '#2')
+                    % 65536 AS BIGINT) FROM ref),
+            p AS (SELECT doc_id,
+                CAST(md5_number_upper(coalesce(text, '') || '#0')
+                     % 65536 AS BIGINT) AS p0,
+                CAST(md5_number_upper(coalesce(text, '') || '#1')
+                     % 65536 AS BIGINT) AS p1,
+                CAST(md5_number_upper(coalesce(text, '') || '#2')
+                     % 65536 AS BIGINT) AS p2
+                FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN p0 IN (SELECT b FROM bits)
+                              AND p1 IN (SELECT b FROM bits)
+                              AND p2 IN (SELECT b FROM bits)
+                        THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM p
         """,
         # lang_id: trigram extraction == token_char_trigrams rule;
         # inner joins drop docs with no >= 3-char token on BOTH sides.

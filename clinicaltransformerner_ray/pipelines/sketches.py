@@ -303,3 +303,77 @@ def kmv_distinct_users(events: rd.Dataset, *, k: int = 64) -> pa.Table:
                           pa.int64()),
         "est_users": pa.array([est], pa.int64()),
     })
+
+
+#: Bloom geometry: 2^16 bits x 3 md5-derived hash functions — at the
+#: synth's eval-split cardinality the false-positive rate is < 1e-6,
+#: but any false positive is DETERMINISTIC and identical in the SQL
+#: replica (both sides derive positions from md5_number_upper).
+BLOOM_BITS = 1 << 16
+BLOOM_K = 3
+
+
+def bloom_membership(
+    docs: rd.Dataset,
+    *,
+    ref_mod: int = 10,
+) -> rd.Dataset:
+    """Bloom-filter decontamination: build a Bloom filter over the
+    reference split's text hashes (docs with ``doc_id % ref_mod == 0``
+    — the synthetic eval split), then probe EVERY document.  The
+    memory-bounded twin of the exact `dedup_decontaminate` anti-join:
+    the filter is ``BLOOM_BITS`` bits regardless of reference size, so
+    the reference side never shuffles — the classic sketch trade
+    (false positives possible, false negatives impossible).
+
+    Bit positions are md5-derived (`dedup._hash64(text + '#' + j)` %
+    BLOOM_BITS — the md5_number_upper parity rule), so the SQL replica
+    computes the identical filter and the identical probe answers,
+    false positives included.
+
+    Shape: one pass over the reference split emits per-block DISTINCT
+    bit positions (<= BLOOM_BITS rows each); the driver folds them
+    into a bitset (bounded by the sketch geometry, never the data) and
+    broadcasts it into a stateless probe map.  Zero shuffles.
+
+    Output: (doc_id, flagged) with flagged 1 iff all K positions are
+    set."""
+    import ray
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def positions(texts: list[str]) -> np.ndarray:
+        """(n, BLOOM_K) md5-derived bit positions."""
+        out = np.empty((len(texts), BLOOM_K), np.int64)
+        for j in range(BLOOM_K):
+            out[:, j] = (_hash64([f"{t}#{j}" for t in texts])
+                         % np.uint64(BLOOM_BITS)).astype(np.int64)
+        return out
+
+    def ref_bits(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["doc_id"] % ref_mod == 0]
+        if df.empty:
+            return pa.table({"b": pa.array([], pa.int64())})
+        pos = positions(df["text"].fillna("").tolist())
+        return pa.table({
+            "b": pa.array(np.unique(pos.ravel()), pa.int64())})
+
+    bits = np.zeros(BLOOM_BITS, bool)
+    for row in docs.map_batches(ref_bits, batch_format="pyarrow",
+                                batch_size=1 << 17).take_all():
+        bits[row["b"]] = True  # bounded by sketch geometry
+    ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits_ = ray.get(ref)
+        df = batch.to_pandas()
+        pos = positions(df["text"].fillna("").tolist())
+        flagged = bits_[pos].all(axis=1).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "flagged": pa.array(flagged, pa.int64()),
+        })
+
+    return docs.map_batches(probe, batch_format="pyarrow")

@@ -39,7 +39,7 @@ SQL_CHECKED = [
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
     "token_char_trigrams", "dedup_calibration",
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
-    "lang_id",
+    "lang_id", "bloom_decontaminate",
 ]
 
 
@@ -1326,3 +1326,18 @@ def test_lang_id_profiles_discriminates(ray_session):
     assert out.loc[[1, 3], "lang_pred"].tolist() == ["fr", "fr"]
     assert 4 not in out.index  # inner-join semantics
     assert (out["score"] > 0).all()
+
+
+def test_bloom_membership_no_false_negatives(ray_session):
+    """Every reference-split doc must flag itself (no false negatives —
+    the Bloom guarantee); a text absent from the reference may flag
+    only via an md5 collision, deterministic across runs."""
+    import __ray_entry__ as E
+
+    df = E.queries()["bloom_decontaminate"](SF).to_pandas()
+    assert len(df) == 500
+    ref = df["doc_id"] % 10 == 0
+    assert (df.loc[ref, "flagged"] == 1).all()
+    # exact duplicates of a reference text also flag: cross-check the
+    # flag rate is sane (not everything flags)
+    assert df["flagged"].sum() < len(df)
