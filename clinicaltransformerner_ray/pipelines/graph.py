@@ -1486,6 +1486,7 @@ def ktruss(
     a_col: str = "subj",
     b_col: str = "obj",
     node_type: pa.DataType = pa.string(),
+    broadcast_edges_max: int = 1 << 22,
 ) -> rd.Dataset:
     """k-truss peel over DISTINCT undirected edges (``a < b``): keep
     edges supported by >= k-2 triangles, recompute support on the
@@ -1494,13 +1495,17 @@ def ktruss(
     both engines, and before convergence both report the same
     partially-peeled set for the same round count).
 
-    Per round, the common_neighbors wedge machinery with INNER (not
-    anti) edge semantics: both-direction rows sorted on the center ->
-    per-block wedge-pair partials; partials UNIONED with the current
-    edge rows sorted on the (x, y) composite -> per-block support sum,
-    keep edges present with support >= k-2.  Each round's survivor set
-    is materialized (iterative lineage truncation).  Integer supports
-    make the SQL unroll bit-exact.
+    Two auto-selected paths with BIT-IDENTICAL outputs (integer
+    supports — the _triangles_broadcast precedent): at or below
+    ``broadcast_edges_max`` edges the peel runs on the driver (six
+    wide ops per call are pure overhead on a lexicon-bounded graph);
+    above it, per round, the common_neighbors wedge machinery with
+    INNER (not anti) edge semantics: both-direction rows sorted on the
+    center -> per-block wedge-pair partials; partials UNIONED with the
+    current edge rows sorted on the (x, y) composite -> per-block
+    support sum, keep edges present with support >= k-2.  Each round's
+    survivor set is materialized (iterative lineage truncation).
+    Integer supports make the SQL unroll bit-exact.
 
     Per-center wedge cost is deg^2 (full neighbor set, like
     common_neighbors); pre-filter hub degrees before calling this on
@@ -1517,6 +1522,26 @@ def ktruss(
 
     cur = edges.map_batches(norm, batch_format="pyarrow",
                             batch_size=1 << 19).materialize()
+    if cur.count() <= broadcast_edges_max:
+        # lexicon-bounded graph (the _triangles_broadcast contract):
+        # six wide ops per call are pure overhead when the edges fit
+        # on the driver — run the identical integer peel locally.
+        pdf = cur.to_pandas()
+        cur_set = list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+        sup: dict = {}
+        for _ in range(rounds):
+            adj: dict = {}
+            for a, b in cur_set:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {(a, b): len(adj[a] & adj[b]) for a, b in cur_set}
+            cur_set = [e for e, s_ in sup.items() if s_ >= thr]
+        cur_set.sort()
+        return rd.from_arrow(pa.table({
+            a_col: pa.array([a for a, _ in cur_set], node_type),
+            b_col: pa.array([b for _, b in cur_set], node_type),
+            "support": pa.array([sup[e] for e in cur_set], pa.int64()),
+        }))
 
     def both(batch: pa.Table) -> pa.Table:
         a, b = batch.column("a"), batch.column("b")

@@ -146,7 +146,11 @@ def test_ktruss_matches_bruteforce(ray_session):
     })).repartition(4)
     for k in (3, 4):
         want = brute(k, 3)
-        got = ktruss(edges, k=k, rounds=3).to_pandas()
+        got = ktruss(edges, k=k, rounds=3).to_pandas()  # broadcast
         assert {(r.subj, r.obj): r.support
                 for r in got.itertuples()} == want, k
+        dist = ktruss(edges, k=k, rounds=3,
+                      broadcast_edges_max=0).to_pandas()  # distributed
+        assert {(r.subj, r.obj): r.support
+                for r in dist.itertuples()} == want, k
     assert brute(4, 3) != brute(3, 3)  # k actually bites
