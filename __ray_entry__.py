@@ -834,6 +834,17 @@ def _q_dedup_triangles(sf_dir: str):
         out_col="doc_id")
 
 
+def _q_dedup_substring(sf_dir: str):
+    """Exact duplicated-substring coverage per doc (Lee et al. 2022
+    signal): tokens inside a word-3-gram that also occurs in another
+    document, with overlapping duplicated n-grams merged into covered
+    spans (positional postings, two sorts, no all-pairs join)."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        substring_dup_coverage)
+
+    return substring_dup_coverage(_docs(sf_dir), n=3)
+
+
 def _q_corpus_novelty(sf_dir: str):
     """Per-doc shingle novelty: fraction of a doc's distinct 3-gram
     shingles first owned (min doc_id) by the doc itself — boilerplate
@@ -2182,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked before round 4 (driver budget ran out
         # at entry 50 in r03): these go first so every one of them gets a
         # driver-issued CORRECTNESS row this round ---
+        "dedup_substring": _q_dedup_substring,
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
@@ -3576,6 +3588,46 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY text
+        """,
+        # dedup_substring: same split/short-doc shingle conventions as
+        # _JACCARD_PAIRS_CTE, but POSITIONAL postings (every occurrence,
+        # not list_distinct) and an interval-union window for coverage.
+        # Integer-exact; `//` floors on the non-negative domain only.
+        "dedup_substring": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            sp AS (
+                SELECT doc_id, len(l) AS n_tokens, unnest(CASE
+                    WHEN len(l) < 3 THEN
+                        [{'pos': 1, 's': array_to_string(l, ' ')}]
+                    ELSE list_transform(range(1, len(l) - 1),
+                         i -> {'pos': i, 's': l[i]||' '||l[i+1]||' '||l[i+2]})
+                    END, recursive := true)
+                FROM d),
+            multi AS (SELECT s FROM sp GROUP BY s
+                      HAVING count(DISTINCT doc_id) >= 2),
+            gaps AS (
+                SELECT doc_id,
+                       least(3, coalesce(
+                           lead(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) - pos,
+                           n_tokens - pos + 1)) AS c
+                FROM sp WHERE s IN (SELECT s FROM multi)),
+            cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup,
+                           CAST(sum(c) AS BIGINT) AS covered_tokens
+                    FROM gaps GROUP BY doc_id),
+            stats AS (SELECT doc_id,
+                             CAST(len(string_split(text, ' '))
+                                  AS BIGINT) AS n_tokens,
+                             CAST(greatest(len(string_split(text, ' ')) - 2,
+                                           1) AS BIGINT) AS n_shingles
+                      FROM documents)
+            SELECT s.doc_id, s.n_tokens, s.n_shingles,
+                   coalesce(c.n_dup, 0) AS n_dup,
+                   coalesce(c.covered_tokens, 0) AS covered_tokens,
+                   coalesce(c.covered_tokens, 0) * 10000 // s.n_tokens
+                       AS dup_bp
+            FROM stats s LEFT JOIN cov c USING (doc_id)
         """,
         "dedup_ngram_jaccard": "WITH " + _JACCARD_PAIRS_CTE + """
             , scored AS (

@@ -1258,3 +1258,173 @@ def semantic_dup_pairs(
     return (replicated.sort("bucket")
             .map_batches(bucket_pairs, batch_format="pyarrow",
                          batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# 11. exact duplicated-substring coverage (Lee et al. 2022 signal)
+
+def substring_dup_coverage(docs: rd.Dataset, *, n: int = 3) -> rd.Dataset:
+    """Per-document DUPLICATED-SUBSTRING coverage: how many of a doc's
+    tokens sit inside a word-``n``-gram that also appears in at least
+    one OTHER document (the exact-substring dedup signal of
+    "Deduplicating Training Data Makes Language Models Better" —
+    positions, not just set membership, so overlapping duplicated
+    n-grams merge into covered spans).
+
+    Distributed shape (two sorts, no all-pairs join):
+      1. positional postings ``(shingle, doc_id, pos)`` — every
+         position, NOT deduped (vectorized: one Arrow split + flat
+         numpy string concat per batch, no per-doc Python loop);
+      2. sort on shingle — a shingle's owners land whole per block, so
+         multi-document shingles (count of DISTINCT doc_id >= 2) are
+         decided block-locally; only duplicated positions survive;
+      3. union with one stats row per doc, sort on doc_id, and a
+         vectorized per-block interval-union pass turns sorted dup
+         positions into covered-token counts (interval [p, p+n-1]
+         clipped to the doc; a short doc's single whole-text shingle
+         covers all its tokens).
+
+    Token/shingle conventions mirror the Jaccard-family SQL CTE:
+    ``n_tokens = len(string_split(text, ' '))`` and docs shorter than
+    ``n`` tokens contribute ONE whole-text shingle at position 1.
+    All outputs are exact integers; ``dup_bp = covered * 10^4 //
+    n_tokens`` (non-negative floor, n_tokens >= 1 always).
+
+    Output: (doc_id, n_tokens, n_shingles, n_dup, covered_tokens,
+    dup_bp)."""
+    import pyarrow.compute as pc
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text"), "")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(texts, " ")
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(toks.combine_chunks().flatten().to_pylist(),
+                          dtype=object)
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        # long docs: shingle at every i where i+n-1 stays in the doc
+        if len(flat) >= n:
+            valid = parent[:len(parent) - n + 1] == parent[n - 1:]
+            sh = flat[:len(flat) - n + 1].copy()
+            for j in range(1, n):
+                sh = sh + " "
+                sh = sh + flat[j:len(flat) - n + 1 + j]
+            sel = np.flatnonzero(valid)
+            long_doc = np.repeat(ids, np.maximum(counts - n + 1, 0))
+            long_pos = sel - starts[parent[sel]] + 1
+            long_sh = sh[sel]
+        else:
+            long_doc = np.empty(0, np.int64)
+            long_pos = np.empty(0, np.int64)
+            long_sh = np.empty(0, object)
+        # short docs (< n tokens): one whole-text shingle at pos 1
+        short = np.flatnonzero(counts < n)
+        short_sh = np.asarray(
+            [t.as_py() for t in texts.take(pa.array(short))], object
+        ) if len(short) else np.empty(0, object)
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([long_doc, ids[short]]), pa.int64()),
+            "pos": pa.array(
+                np.concatenate([long_pos, np.ones(len(short), np.int64)]),
+                pa.int64()),
+            "shingle": pa.array(
+                np.concatenate([long_sh, short_sh]), pa.string()),
+        })
+
+    def mark_dup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_shingles": pa.array([], pa.int64()),
+            })
+        nd = (df.groupby("shingle", sort=False)["doc_id"]
+              .transform("nunique"))
+        keep = df[nd >= 2]
+        return pa.table({
+            "doc_id": pa.array(keep["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "pos": pa.array(keep["pos"].to_numpy(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(keep), np.int64), pa.int64()),
+            "n_tokens": pa.array(np.zeros(len(keep), np.int64),
+                                 pa.int64()),
+            "n_shingles": pa.array(np.zeros(len(keep), np.int64),
+                                   pa.int64()),
+        })
+
+    def stats_rows(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text"), "")
+        nt = pc.list_value_length(
+            pc.split_pattern(texts, " ")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_shingles": pa.array(np.maximum(nt - n + 1, 1), pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_shingles": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+            "covered_tokens": pa.array([], pa.int64()),
+            "dup_bp": pa.array([], pa.int64()),
+        })
+        df = batch.to_pandas()
+        if df.empty:
+            return empty
+        st = df[df["kind"] == 0]
+        doc = st["doc_id"].to_numpy(np.int64)
+        order = np.argsort(doc, kind="stable")
+        doc, ntk = doc[order], st["n_tokens"].to_numpy(np.int64)[order]
+        nsh = st["n_shingles"].to_numpy(np.int64)[order]
+        du = df[df["kind"] == 1]
+        d_id = du["doc_id"].to_numpy(np.int64)
+        d_pos = du["pos"].to_numpy(np.int64)
+        o2 = np.lexsort((d_pos, d_id))
+        d_id, d_pos = d_id[o2], d_pos[o2]
+        # interval union over sorted positions: each dup position p
+        # contributes min(n, next_p - p) within its doc; the last one
+        # min(n, n_tokens - p + 1)
+        d_nt = ntk[np.searchsorted(doc, d_id)]
+        nxt = np.empty(len(d_pos), np.int64)
+        if len(d_pos):
+            nxt[:-1] = np.where(d_id[:-1] == d_id[1:],
+                                d_pos[1:] - d_pos[:-1],
+                                d_nt[:-1] - d_pos[:-1] + 1)
+            nxt[-1] = d_nt[-1] - d_pos[-1] + 1
+        contrib = np.minimum(n, nxt)
+        cov = np.zeros(len(doc), np.int64)
+        cnt = np.zeros(len(doc), np.int64)
+        at = np.searchsorted(doc, d_id)
+        np.add.at(cov, at, contrib)
+        np.add.at(cnt, at, 1)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "n_tokens": pa.array(ntk, pa.int64()),
+            "n_shingles": pa.array(nsh, pa.int64()),
+            "n_dup": pa.array(cnt, pa.int64()),
+            "covered_tokens": pa.array(cov, pa.int64()),
+            "dup_bp": pa.array(cov * 10_000 // ntk, pa.int64()),
+        })
+
+    dup_pos = (docs.map_batches(postings, batch_format="pyarrow")
+               .sort("shingle")
+               .map_batches(mark_dup, batch_format="pyarrow",
+                            batch_size=None))
+    stats = docs.map_batches(stats_rows, batch_format="pyarrow")
+    return (stats.union(dup_pos)
+            .sort("doc_id")
+            .map_batches(complete, batch_format="pyarrow",
+                         batch_size=None))

@@ -39,7 +39,7 @@ SQL_CHECKED = [
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
     "token_char_trigrams", "dedup_calibration",
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
-    "lang_id", "bloom_decontaminate",
+    "lang_id", "bloom_decontaminate", "dedup_substring",
 ]
 
 
@@ -1341,3 +1341,33 @@ def test_bloom_membership_no_false_negatives(ray_session):
     # exact duplicates of a reference text also flag: cross-check the
     # flag rate is sane (not everything flags)
     assert df["flagged"].sum() < len(df)
+
+
+def test_substring_coverage_planted(ray_session):
+    """Overlapping duplicated 3-grams merge into covered SPANS: two docs
+    share a 5-token run (3 dup shingles -> 5 covered tokens, not 9), a
+    third doc shares nothing, and a short doc pair (< 3 tokens) is
+    whole-text dup-covered."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        substring_dup_coverage)
+
+    shared = "alpha beta gamma delta epsilon"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            shared + " zeta eta",          # dup run at pos 1..5
+            "one two " + shared,           # dup run at pos 3..7
+            "lonely words with no overlap at all",
+            "hi there",                    # short pair: whole-text
+            "hi there",
+        ]),
+    })
+    out = (substring_dup_coverage(rd.from_arrow(tbl), n=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_dup"].tolist() == [3, 3, 0, 1, 1]
+    assert out["covered_tokens"].tolist() == [5, 5, 0, 2, 2]
+    assert out["n_tokens"].tolist() == [7, 7, 7, 2, 2]
+    assert out.loc[3, "dup_bp"] == 10_000
