@@ -1136,6 +1136,41 @@ def _q_pii_scrub(sf_dir: str):
     return pii_redact(enriched)
 
 
+def _q_c4_filters(sf_dir: str):
+    """C4-style quality gates: the synth corpus is clean lowercase
+    words, so the query first ENRICHES docs with deterministic
+    doc_id-derived trigger content (lorem-ipsum for id%3==0, a
+    curly-brace code fragment for id%4==0, click-here boilerplate for
+    id%5==0, a terminal period for id%2==0, a 25-char token for
+    id%11==0 — the oracle builds identical text), then runs the real
+    vectorized gate kernels end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.textstats import quality_gates
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(batch.column("text"), "").to_numpy(
+            zero_copy_only=False).astype(object)
+        text = np.where(ids % 3 == 0, text + " lorem ipsum dolor sit",
+                        text)
+        text = np.where(ids % 4 == 0, text + " function() { return js }",
+                        text)
+        text = np.where(ids % 5 == 0, text + " click here to unsubscribe",
+                        text)
+        text = np.where(ids % 11 == 0, text + " " + "x" * 25, text)
+        text = np.where(ids % 2 == 0, text + ".", text)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(text.tolist(), pa.string()),
+        })
+
+    return quality_gates(
+        _docs(sf_dir).map_batches(enrich, batch_format="pyarrow"))
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (exact integers)."""
     from clinicaltransformerner_ray.pipelines.textstats import (
@@ -2194,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # at entry 50 in r03): these go first so every one of them gets a
         # driver-issued CORRECTNESS row this round ---
         "dedup_substring": _q_dedup_substring,
+        "c4_filters": _q_c4_filters,
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
@@ -4019,6 +4055,46 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS mean_tok_len,
                    CASE WHEN n_stop > 0 THEN 'en' ELSE 'unk' END AS lang_pred
             FROM c
+        """,
+        # c4_filters: enrichment expression mirrors _q_c4_filters.enrich
+        # exactly; gates are pure string predicates (both engines see
+        # identical bytes), max token length via list_aggregate('max').
+        "c4_filters": r"""
+            WITH enr AS (
+                SELECT doc_id, coalesce(text, '')
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' lorem ipsum dolor sit' ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                       THEN ' function() { return js }' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                       THEN ' click here to unsubscribe' ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                       THEN ' ' || repeat('x', 25) ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS t
+                FROM documents),
+            sig AS (
+                SELECT doc_id,
+                       CAST(len(string_split(t, ' ')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(coalesce(list_aggregate(
+                           list_transform(string_split(t, ' '),
+                                          x -> len(x)), 'max'), 0)
+                           AS BIGINT) AS max_tok_len,
+                       CAST(CASE WHEN regexp_matches(t, '[.!?]$')
+                            THEN 1 ELSE 0 END AS BIGINT) AS ends_terminal,
+                       CAST(CASE WHEN contains(t, 'lorem ipsum')
+                            THEN 1 ELSE 0 END AS BIGINT) AS flag_0,
+                       CAST(CASE WHEN contains(t, '{')
+                            THEN 1 ELSE 0 END AS BIGINT) AS flag_1,
+                       CAST(CASE WHEN contains(t, 'click here')
+                            THEN 1 ELSE 0 END AS BIGINT) AS flag_2
+                FROM enr)
+            SELECT doc_id, n_tokens, max_tok_len, ends_terminal,
+                   flag_0, flag_1, flag_2,
+                   CAST(CASE WHEN flag_0 = 0 AND flag_1 = 0 AND flag_2 = 0
+                             AND n_tokens >= 5 AND max_tok_len <= 20
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM sig
         """,
         # pii_scrub: enrichment expression mirrors _q_pii_scrub.enrich
         # exactly; the four regexp stages chain IN ORDER (email, phone,

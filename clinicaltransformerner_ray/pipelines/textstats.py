@@ -1472,3 +1472,60 @@ def lang_id_profiles(docs: rd.Dataset) -> rd.Dataset:
             .sort("doc_id")
             .map_batches(finish, batch_format="pyarrow",
                          batch_size=None))
+
+
+def quality_gates(
+    docs: rd.Dataset,
+    *,
+    min_tokens: int = 5,
+    max_tok_len: int = 20,
+    bad_substrings: tuple[str, ...] = ("lorem ipsum", "{", "click here"),
+) -> rd.Dataset:
+    """C4-style document quality gates (Raffel et al. 2020 §2.2) as
+    exact integer signals plus a combined ``keep`` flag:
+
+      n_tokens        split-on-space token count
+      max_tok_len     longest token in characters (code/URL blobs gate)
+      ends_terminal   1 iff the doc ends in ``. ! ?`` (C4 applies this
+                      per LINE; the documents table has no line
+                      structure, so it is reported as a signal, not
+                      gated)
+      flag_<i>        1 iff ``bad_substrings[i]`` occurs (C4 drops
+                      pages containing "lorem ipsum", a curly brace,
+                      or policy boilerplate)
+      keep            1 iff no flag fires, n_tokens >= min_tokens and
+                      max_tok_len <= max_tok_len
+
+    Pure projection: Arrow substring/regex kernels plus one flatten for
+    the per-doc max token length — zero shuffles, streams at any scale.
+    """
+    import pyarrow.compute as pc
+
+    def gates(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat_len = pc.utf8_length(pc.list_flatten(toks)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        mx = np.zeros(len(counts), np.int64)
+        np.maximum.at(mx, parent, flat_len)
+        ends = pc.cast(pc.match_substring_regex(text, r"[.!?]$"),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        cols: dict = {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "max_tok_len": pa.array(mx, pa.int64()),
+            "ends_terminal": pa.array(ends, pa.int64()),
+        }
+        bad = np.zeros(len(counts), bool)
+        for i, s in enumerate(bad_substrings):
+            f = pc.match_substring(text, s).to_numpy(zero_copy_only=False)
+            cols[f"flag_{i}"] = pa.array(f.astype(np.int64), pa.int64())
+            bad |= f
+        keep = (~bad) & (counts >= min_tokens) & (mx <= max_tok_len)
+        cols["keep"] = pa.array(keep.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(gates, batch_format="pyarrow")

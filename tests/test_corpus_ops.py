@@ -39,7 +39,7 @@ SQL_CHECKED = [
     "corpus_shard_plan", "corpus_novelty", "ann_mips",
     "token_char_trigrams", "dedup_calibration",
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
-    "lang_id", "bloom_decontaminate", "dedup_substring",
+    "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
 ]
 
 
@@ -1371,3 +1371,32 @@ def test_substring_coverage_planted(ray_session):
     assert out["covered_tokens"].tolist() == [5, 5, 0, 2, 2]
     assert out["n_tokens"].tolist() == [7, 7, 7, 2, 2]
     assert out.loc[3, "dup_bp"] == 10_000
+
+
+def test_quality_gates_semantics(ray_session):
+    """Each C4 gate fires on exactly its trigger; clean docs keep=1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import quality_gates
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            "a perfectly normal document with enough tokens here.",
+            "contains lorem ipsum filler so it must be dropped",
+            "code fragment { inside } the page",
+            "short doc",                              # < 5 tokens
+            "has a veryveryveryverylongtokenxxxxx inside it okay",
+            "please click here to win a prize now",
+        ]),
+    })
+    out = (quality_gates(rd.from_arrow(tbl), min_tokens=5,
+                         max_tok_len=20)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["keep"].tolist() == [1, 0, 0, 0, 0, 0]
+    assert out["ends_terminal"].tolist() == [1, 0, 0, 0, 0, 0]
+    assert out["flag_0"].tolist() == [0, 1, 0, 0, 0, 0]
+    assert out["flag_1"].tolist() == [0, 0, 1, 0, 0, 0]
+    assert out["flag_2"].tolist() == [0, 0, 0, 0, 0, 1]
+    assert out.loc[4, "max_tok_len"] == 30
