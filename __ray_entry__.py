@@ -1032,6 +1032,19 @@ def _q_ann_ivf(sf_dir: str):
     return knn_ivf(_vecs(sf_dir), n_queries=8, k=10)
 
 
+def _q_ann_recall(sf_dir: str):
+    """recall@10 of the IVF index vs brute-force ground truth — the
+    retrieval-quality harness every ANN deployment tunes against.
+    Distributed tag/union/sort composition of the two oracle-checked
+    top-k kernels; exact integer overlap counts."""
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        knn_bruteforce, knn_ivf, topk_recall)
+
+    vecs = _vecs(sf_dir)
+    return topk_recall(knn_bruteforce(vecs, n_queries=8, k=10),
+                       knn_ivf(vecs, n_queries=8, k=10), k=10)
+
+
 def _q_ann_lsh(sf_dir: str):
     """LSH-bucketed ANN (hamming-ball multiprobe over md5-derived
     sign-bit codes).  Fully oracle-checked — the integer-quantized
@@ -2230,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-issued CORRECTNESS row this round ---
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
+        "ann_recall": _q_ann_recall,
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
@@ -2524,6 +2538,39 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 # bucket argmax, top-4 probe centroids per query, and the (sim DESC,
 # neighbor ASC) top-10 rank.  Approximate relative to brute force, but
 # bitwise reproducible.
+_ANN_TOPK_SQL = """
+            WITH unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
+                      FROM unn GROUP BY vec_id),
+            q AS (SELECT * FROM unn WHERE vec_id < 8),
+            dots AS (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       sum(q.v*d.v) AS dot
+                FROM q JOIN unn d ON q.i = d.i AND q.vec_id <> d.vec_id
+                GROUP BY 1, 2
+            ),
+            sims AS (
+                SELECT query_id, neighbor_id,
+                       dot / (nq.nn * nd.nn) AS sim
+                FROM dots
+                JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nd ON nd.vec_id = neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+"""
+
+
 _IVF_SQL = """
 WITH unn AS (
     SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -4006,36 +4053,25 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                            ORDER BY dot DESC, neighbor_id ASC) AS rank
                 FROM dots) WHERE rank <= 10
         """,
-        "ann_topk": """
-            WITH unn AS (
-                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-                       generate_subscripts(embedding, 1) AS i
-                FROM embeddings
-            ),
-            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
-                      FROM unn GROUP BY vec_id),
-            q AS (SELECT * FROM unn WHERE vec_id < 8),
-            dots AS (
-                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-                       sum(q.v*d.v) AS dot
-                FROM q JOIN unn d ON q.i = d.i AND q.vec_id <> d.vec_id
-                GROUP BY 1, 2
-            ),
-            sims AS (
-                SELECT query_id, neighbor_id,
-                       dot / (nq.nn * nd.nn) AS sim
-                FROM dots
-                JOIN norms nq ON nq.vec_id = query_id
-                JOIN norms nd ON nd.vec_id = neighbor_id
-            ),
-            ranked AS (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                           ORDER BY sim DESC, neighbor_id ASC) AS rank
-                FROM sims
-            )
-            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-            FROM ranked WHERE rank <= 10
+        "ann_topk": _ANN_TOPK_SQL,
+        # ann_recall: nested-CTE composition of the two oracle-checked
+        # retrieval kernels (brute-force top-k and IVF top-k); the
+        # overlap count and recall_bp are exact integers.
+        "ann_recall": f"""
+            WITH exact_tk AS ({_ANN_TOPK_SQL}),
+            approx_tk AS ({_IVF_SQL}),
+            qs AS (SELECT query_id FROM exact_tk
+                   UNION SELECT query_id FROM approx_tk),
+            ov AS (
+                SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_common
+                FROM exact_tk e JOIN approx_tk a
+                  ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+                GROUP BY 1)
+            SELECT q.query_id,
+                   coalesce(o.n_common, 0) AS n_common,
+                   coalesce(o.n_common, 0) * 10000 // 10 AS recall_bp
+            FROM qs q LEFT JOIN ov o USING (query_id)
         """,
         "text_stats": """
             WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS l

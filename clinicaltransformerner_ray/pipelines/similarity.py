@@ -764,3 +764,65 @@ def pq_topk(
 
     partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
     return _merge_topk(partials, k)
+
+
+def topk_recall(exact: rd.Dataset, approx: rd.Dataset,
+                *, k: int = 10) -> rd.Dataset:
+    """Retrieval-quality harness: per-query overlap between an EXACT
+    top-``k`` result and an APPROXIMATE one (recall@k — the number
+    every ANN index is tuned against).  Both inputs carry
+    (query_id, neighbor_id, ...) rows.
+
+    Distributed composition, not a driver join: tag each side, union,
+    ONE sort on query_id (groups land whole per block), and a
+    vectorized per-block pass counts neighbors present on both sides.
+    Inputs are top-k tables (n_queries x k rows), so the shuffle is
+    inherently tiny no matter the corpus size behind them.
+
+    Output: (query_id, n_common, recall_bp) with recall_bp =
+    n_common * 10^4 // k (exact integers)."""
+
+    def tag(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "query_id": pa.array(
+                    batch.column("query_id").to_numpy(
+                        zero_copy_only=False).astype(np.int64),
+                    pa.int64()),
+                "neighbor_id": pa.array(
+                    batch.column("neighbor_id").to_numpy(
+                        zero_copy_only=False).astype(np.int64),
+                    pa.int64()),
+                "kind": pa.array(
+                    np.full(batch.num_rows, kind, np.int64), pa.int64()),
+            })
+        return f
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "recall_bp": pa.array([], pa.int64()),
+        })
+        df = batch.to_pandas()
+        if df.empty:
+            return empty
+        g = (df.groupby(["query_id", "neighbor_id"], sort=False)["kind"]
+             .nunique().reset_index(name="sides"))
+        both = (g[g["sides"] == 2].groupby("query_id", sort=False)
+                .size())
+        qs = np.sort(df["query_id"].unique()).astype(np.int64)
+        n_common = both.reindex(qs, fill_value=0).to_numpy(np.int64)
+        return pa.table({
+            "query_id": pa.array(qs, pa.int64()),
+            "n_common": pa.array(n_common, pa.int64()),
+            "recall_bp": pa.array(n_common * 10_000 // k, pa.int64()),
+        })
+
+    tagged = (exact.select_columns(["query_id", "neighbor_id"])
+              .map_batches(tag(1), batch_format="pyarrow")
+              .union(approx.select_columns(["query_id", "neighbor_id"])
+                     .map_batches(tag(2), batch_format="pyarrow")))
+    return (tagged.sort("query_id")
+            .map_batches(overlap, batch_format="pyarrow",
+                         batch_size=None))

@@ -40,6 +40,7 @@ SQL_CHECKED = [
     "token_char_trigrams", "dedup_calibration",
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
+    "ann_recall",
 ]
 
 
@@ -1400,3 +1401,26 @@ def test_quality_gates_semantics(ray_session):
     assert out["flag_1"].tolist() == [0, 0, 1, 0, 0, 0]
     assert out["flag_2"].tolist() == [0, 0, 0, 0, 0, 1]
     assert out.loc[4, "max_tok_len"] == 30
+
+
+def test_topk_recall_counts_overlap(ray_session):
+    """Hand-built exact/approx top-k tables: overlap counted per query,
+    queries missing from one side still emit a row (n_common=0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import topk_recall
+
+    exact = pa.table({
+        "query_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "neighbor_id": pa.array([10, 11, 12, 20, 21, 22], pa.int64()),
+    })
+    approx = pa.table({
+        "query_id": pa.array([1, 1, 1, 3, 3, 3], pa.int64()),
+        "neighbor_id": pa.array([10, 12, 99, 30, 31, 32], pa.int64()),
+    })
+    out = (topk_recall(rd.from_arrow(exact), rd.from_arrow(approx), k=3)
+           .to_pandas().sort_values("query_id").reset_index(drop=True))
+    assert out["query_id"].tolist() == [1, 2, 3]
+    assert out["n_common"].tolist() == [2, 0, 0]
+    assert out["recall_bp"].tolist() == [6666, 0, 0]
