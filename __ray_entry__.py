@@ -2026,6 +2026,23 @@ def _q_tpch_value_conc(sf_dir: str):
                                  "l_extendedprice", "l_discount"]))
 
 
+def _q_tpch_small_qty(sf_dir: str):
+    """Q17-shaped correlated per-part threshold: revenue of lines with
+    quantity under 20% of their part's average, per brand."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        small_qty_revenue)
+
+    return small_qty_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice"]),
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand"]),
+    )
+
+
 def _q_tpch_custdist(sf_dir: str):
     """Q13-shaped customer order-count distribution with left-join
     zero-fill."""
@@ -2244,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
         "ann_recall": _q_ann_recall,
+        "tpch_small_qty": _q_tpch_small_qty,
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
@@ -4715,6 +4733,29 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(val AS BIGINT) AS value_e4
             FROM v
             WHERE val * 10000 > (SELECT SUM(val) FROM v)
+        """,
+        # tpch_small_qty: integer-exact Q17 — the 0.2*avg threshold is
+        # the scaled comparison 5 * q100 * n < sum_q100 on both sides
+        # (non-negative domain, so // floors identically).
+        "tpch_small_qty": """
+            WITH li AS (SELECT l_partkey AS k,
+                               CAST(round(l_quantity * 100) AS BIGINT)
+                                   AS q100,
+                               CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) AS cents
+                        FROM lineitem),
+            st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(q100) AS BIGINT) AS sumq
+                   FROM li GROUP BY k),
+            qual AS (
+                SELECT p.p_brand, li.cents
+                FROM li JOIN st USING (k)
+                JOIN part p ON p.p_partkey = li.k
+                WHERE 5 * li.q100 * st.n < st.sumq)
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(sum(cents) // 7 AS BIGINT) AS avg_yearly_c7
+            FROM qual GROUP BY p_brand
         """,
         "tpch_custdist": """
             WITH oc AS (

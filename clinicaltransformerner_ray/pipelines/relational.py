@@ -2231,3 +2231,124 @@ def value_concentration(
         return batch.filter(mask)
 
     return cells.map_batches(keep, batch_format="pyarrow")
+
+
+def small_qty_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+) -> rd.Dataset:
+    """TPC-H Q17-shaped CORRELATED-threshold filter: revenue of lines
+    whose quantity is below 20% of their part's average quantity,
+    rolled up per brand (cf. reference-free small-order promotion
+    analysis).  The per-group threshold is the shape Q17 exercises —
+    a self-aggregate joined back against its own detail rows.
+
+    Distributed shape: ONE sort on l_partkey.  Detail lines, batch-
+    local per-part partials (n, sum_q100) and the part-dim brand rows
+    all carry the same key, so the range partitioner co-locates a
+    part's full evidence in one block; the per-block pass folds the
+    partials, applies the integer-exact threshold
+    ``5 * q100 * n < sum_q100`` (== quantity < 0.2 * avg, scaled by
+    100) and emits tiny per-brand partials.  A second sort on the
+    handful of brand partials completes.
+
+    Domain: quantities are non-negative (TPC-H shape), so the integer
+    comparison and the ``// 7`` floor agree with the SQL oracle.
+
+    Output: (p_brand, n_lines, total_cents, avg_yearly_c7)."""
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = df["l_partkey"].to_numpy(np.int64)
+        q100 = _round_half_away(df["l_quantity"].to_numpy() * 100)
+        cents = _round_half_away(df["l_extendedprice"].to_numpy() * 100)
+        # batch-local per-part partials ride along with the lines
+        g = pd.DataFrame({"k": k, "n": 1, "sumq": q100}).groupby(
+            "k", sort=False).sum().reset_index()
+        return pa.table({
+            "key": pa.array(np.concatenate([k, g["k"].to_numpy(np.int64)]),
+                            pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.ones(len(k), np.int64),
+                 np.zeros(len(g), np.int64)]), pa.int64()),
+            "a": pa.array(np.concatenate(
+                [q100, g["n"].to_numpy(np.int64)]), pa.int64()),
+            "b": pa.array(np.concatenate(
+                [cents, g["sumq"].to_numpy(np.int64)]), pa.int64()),
+            "s": pa.array([""] * (len(k) + len(g)), pa.string()),
+        })
+
+    def p_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = df["p_partkey"].to_numpy(np.int64)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "kind": pa.array(np.full(len(k), 2, np.int64), pa.int64()),
+            "a": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            "b": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            "s": pa.array(df["p_brand"].tolist(), pa.string()),
+        })
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "n_lines": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+        })
+        df = batch.to_pandas()
+        lines = df[df["kind"] == 1]
+        if lines.empty:
+            return empty
+        st = (df[df["kind"] == 0].groupby("key", sort=False)
+              .agg(n=("a", "sum"), sumq=("b", "sum")))
+        brand = df[df["kind"] == 2].set_index("key")["s"]
+        n = st["n"].reindex(lines["key"]).to_numpy(np.int64)
+        sumq = st["sumq"].reindex(lines["key"]).to_numpy(np.int64)
+        mask = 5 * lines["a"].to_numpy(np.int64) * n < sumq
+        qual = lines[mask]
+        if qual.empty:
+            return empty
+        g = (pd.DataFrame({
+            "p_brand": brand.reindex(qual["key"]).to_numpy(object),
+            "cents": qual["b"].to_numpy(np.int64),
+        }).groupby("p_brand", sort=False)
+            .agg(n_lines=("cents", "size"), total_cents=("cents", "sum"))
+            .reset_index())
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "n_lines": pa.array(g["n_lines"].to_numpy(np.int64),
+                                pa.int64()),
+            "total_cents": pa.array(g["total_cents"].to_numpy(np.int64),
+                                    pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "n_lines": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "avg_yearly_c7": pa.array([], pa.int64()),
+            })
+        g = (df.groupby("p_brand", sort=False)
+             .agg(n_lines=("n_lines", "sum"),
+                  total_cents=("total_cents", "sum")).reset_index())
+        tc = g["total_cents"].to_numpy(np.int64)
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"].tolist(), pa.string()),
+            "n_lines": pa.array(g["n_lines"].to_numpy(np.int64),
+                                pa.int64()),
+            "total_cents": pa.array(tc, pa.int64()),
+            "avg_yearly_c7": pa.array(tc // 7, pa.int64()),
+        })
+
+    tagged = (lineitem.map_batches(li_rows, batch_format="pyarrow",
+                                   batch_size=None)
+              .union(part.map_batches(p_rows, batch_format="pyarrow")))
+    return (tagged.sort("key")
+            .map_batches(per_part, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("p_brand")
+            .map_batches(finish, batch_format="pyarrow",
+                         batch_size=None))

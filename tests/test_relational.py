@@ -44,7 +44,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_waiting_suppliers",
                                   "tpch_part_variety",
                                   "tpch_custdist",
-                                  "tpch_value_conc"])
+                                  "tpch_value_conc",
+                                  "tpch_small_qty"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -207,7 +208,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_waiting_suppliers",
                                   "tpch_part_variety",
                                   "tpch_custdist",
-                                  "tpch_value_conc"])
+                                  "tpch_value_conc",
+                                  "tpch_small_qty"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -325,6 +327,14 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("part", ["p_partkey", "p_brand", "p_type",
                         "p_size"], 3),
             ds("supplier", ["s_suppkey", "s_name"], 2))
+    elif name == "tpch_small_qty":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            small_qty_revenue)
+
+        res = small_qty_revenue(
+            ds("lineitem", ["l_partkey", "l_quantity",
+                            "l_extendedprice"], 6),
+            ds("part", ["p_partkey", "p_brand"], 3))
     else:
         res = revenue_by_supplier_nation(
             ds("lineitem", ["l_suppkey", "l_extendedprice",
