@@ -1149,6 +1149,34 @@ def _q_pii_scrub(sf_dir: str):
     return pii_redact(enriched)
 
 
+def _q_token_counts_bpe(sf_dir: str):
+    """Per-doc token budget under a GPT-2-ish RE2 pre-tokenizer next to
+    whitespace tokens and chars; enriched with doc_id-derived mixed-case
+    + digit + punctuation content so the regex classes all fire."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        bpe_token_counts)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(batch.column("text"), "").to_numpy(
+            zero_copy_only=False).astype(object)
+        ids_s = ids.astype(str).astype(object)
+        text = np.where(ids % 2 == 0, text + " It's rev" + ids_s, text)
+        text = np.where(ids % 3 == 0, text + " costs $" + ids_s + ".50!",
+                        text)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(text.tolist(), pa.string()),
+        })
+
+    return bpe_token_counts(
+        _docs(sf_dir).map_batches(enrich, batch_format="pyarrow"))
+
+
 def _q_c4_filters(sf_dir: str):
     """C4-style quality gates: the synth corpus is clean lowercase
     words, so the query first ENRICHES docs with deterministic
@@ -2262,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filters": _q_c4_filters,
         "ann_recall": _q_ann_recall,
         "tpch_small_qty": _q_tpch_small_qty,
+        "token_counts_bpe": _q_token_counts_bpe,
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
@@ -4109,6 +4138,30 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS mean_tok_len,
                    CASE WHEN n_stop > 0 THEN 'en' ELSE 'unk' END AS lang_pred
             FROM c
+        """,
+        # token_counts_bpe: enrichment mirrors _q_token_counts_bpe.enrich;
+        # the pre-tokenizer pattern is RE2 in both engines so match
+        # counts agree byte-for-byte (see BPE_TOKEN_RE).
+        "token_counts_bpe": r"""
+            WITH enr AS (
+                SELECT doc_id, coalesce(text, '')
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN ' It''s rev' || CAST(doc_id AS VARCHAR)
+                     ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' costs $' || CAST(doc_id AS VARCHAR)
+                            || '.50!'
+                     ELSE '' END AS t
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(t, ' ')) AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(t,
+                       '''(?:s|t|re|ve|m|ll|d)'
+                       || '| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                       AS BIGINT) AS n_bpe_tokens
+            FROM enr
         """,
         # c4_filters: enrichment expression mirrors _q_c4_filters.enrich
         # exactly; gates are pure string predicates (both engines see

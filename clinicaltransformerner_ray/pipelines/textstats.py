@@ -1529,3 +1529,39 @@ def quality_gates(
         return pa.table(cols)
 
     return docs.map_batches(gates, batch_format="pyarrow")
+
+
+#: GPT-2-style pre-tokenizer, simplified to RE2 (no lookahead): common
+#: contractions, space-prefixed letter runs, digit runs, punctuation
+#: runs.  Both pyarrow and DuckDB compile RE2, so match counts agree
+#: byte-for-byte (the pii_redact precedent).
+BPE_TOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+                r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")
+
+
+def bpe_token_counts(docs: rd.Dataset) -> rd.Dataset:
+    """Token-budget estimation: per-doc token counts under a GPT-2-ish
+    regex pre-tokenizer (`BPE_TOKEN_RE`) next to the whitespace count
+    and character length — the number every training-data pipeline
+    needs before packing sequences or pricing a corpus in tokens.
+
+    Pure projection (one vectorized RE2 scan per batch, zero
+    shuffles); BPE merges only ever SPLIT pre-tokens further, so
+    ``n_bpe_tokens`` is an exact lower bound on the real BPE count.
+
+    Output: (doc_id, n_chars, n_ws_tokens, n_bpe_tokens)."""
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_ws_tokens": pc.cast(
+                pc.list_value_length(pc.split_pattern(text, " ")),
+                pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64()),
+        })
+
+    return docs.map_batches(count, batch_format="pyarrow")

@@ -40,7 +40,7 @@ SQL_CHECKED = [
     "token_char_trigrams", "dedup_calibration",
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
-    "ann_recall",
+    "ann_recall", "token_counts_bpe",
 ]
 
 
@@ -1424,3 +1424,23 @@ def test_topk_recall_counts_overlap(ray_session):
     assert out["query_id"].tolist() == [1, 2, 3]
     assert out["n_common"].tolist() == [2, 0, 0]
     assert out["recall_bp"].tolist() == [6666, 0, 0]
+
+
+def test_bpe_token_counts_semantics(ray_session):
+    """The RE2 pre-tokenizer splits contractions, digit runs and
+    punctuation runs the way a BPE pre-tokenizer would."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        bpe_token_counts)
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        # "It's over 9000!!" -> It / 's / over / 9000 / !!
+        "text": pa.array(["It's over 9000!!", "plain words here"]),
+    })
+    out = (bpe_token_counts(rd.from_arrow(tbl))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_bpe_tokens"].tolist() == [5, 3]
+    assert out["n_ws_tokens"].tolist() == [3, 3]
