@@ -139,3 +139,21 @@ def format_bio(sentences: rd.Dataset, *, with_offsets: bool = False) -> rd.Datas
 
     return sentences.sort(["doc_id", "sent_idx"]).map_batches(
         per_block, batch_format="pyarrow", batch_size=None)
+
+
+#: reference default file name per split (`data_utils.py:58-71`)
+SPLIT_FILES = {"train": "train.txt", "dev": "dev.txt", "test": "test.txt"}
+
+
+def read_split(data_dir: str, split: str, *, file_name: str | None = None,
+               do_lower: bool = False) -> rd.Dataset:
+    """S4 split-name resolution, mirroring the reference's
+    ``get_{train,dev,test}_examples`` (`data_utils.py:58-71`): resolve
+    ``<data_dir>/<split>.txt`` unless ``file_name`` overrides, read in
+    'train' task mode for train/dev and 'test' mode for test (labels
+    forced to 'O', `data_utils.py:69-70`)."""
+    if split not in SPLIT_FILES:
+        raise ValueError(f"unknown split {split!r}; "
+                         f"expected one of {sorted(SPLIT_FILES)}")
+    path = os.path.join(data_dir, file_name or SPLIT_FILES[split])
+    return read_bio(path, test_mode=(split == "test"), do_lower=do_lower)

@@ -247,3 +247,24 @@ def test_do_lower_and_label_gap_and_copier(ray_session, tmp_path):
     assert copy_source_texts(str(src), str(dst)) == 2
     assert (dst / "n1.txt").read_text() == "hello"
     assert not (dst / "skip.ann").exists()
+
+
+def test_read_split_name_resolution(ray_session, tmp_path):
+    """S4 getters: <dir>/<split>.txt defaults, file_name override, and
+    test-mode label masking — mirrors data_utils.py:58-71."""
+    import pytest as _pytest
+
+    from clinicaltransformerner_ray.sources.bio_text import read_split
+
+    (tmp_path / "train.txt").write_text("tok B-x\n\n")
+    (tmp_path / "test.txt").write_text("tok B-x\n\n")
+    (tmp_path / "alt.txt").write_text("alt B-y\n\n")
+
+    tr = read_split(str(tmp_path), "train").take_all()
+    assert tr[0]["labels"] == ["B-x"]
+    te = read_split(str(tmp_path), "test").take_all()
+    assert te[0]["labels"] == ["O"]          # test task mode
+    al = read_split(str(tmp_path), "dev", file_name="alt.txt").take_all()
+    assert al[0]["tokens"] == ["alt"]
+    with _pytest.raises(ValueError):
+        read_split(str(tmp_path), "validation")
