@@ -105,10 +105,12 @@ class BiaffineTagger:
         for s, e, tid in true_sub_spans:
             if e < L and s <= e:
                 logits[s, e, tid] = 8.0
-        # the reference decodes argmax over log_softmax (task_utils.py:22-33)
-        x = logits - logits.max(axis=-1, keepdims=True)
-        lsm = x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
-        pred = lsm.argmax(axis=-1)  # (L, L)
+        # the reference decodes argmax over log_softmax
+        # (task_utils.py:22-33); log_softmax subtracts the same scalar
+        # from every class of a cell, so argmax(log_softmax(logits)) ==
+        # argmax(logits) — decode on raw logits and skip the exp/log
+        # over the full L x L x C grid (the per-turn hot op)
+        pred = logits.argmax(axis=-1)  # (L, L)
         mask = np.triu(np.ones((L, L), dtype=bool))  # valid s <= e cells
         mask[0, :] = mask[:, 0] = False              # [CLS] row/col invalid
         cells = np.argwhere(np.where(mask, pred, 0))
