@@ -2071,6 +2071,22 @@ def _q_tpch_small_qty(sf_dir: str):
     )
 
 
+def _q_tpch_top_supplier(sf_dir: str):
+    """Q15-shaped global-max selection: supplier(s) whose windowed
+    revenue equals the corpus maximum (revenue view + = max join)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import top_supplier
+
+    return top_supplier(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]),
+    )
+
+
 def _q_tpch_custdist(sf_dir: str):
     """Q13-shaped customer order-count distribution with left-join
     zero-fill."""
@@ -2291,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall,
         "tpch_small_qty": _q_tpch_small_qty,
         "token_counts_bpe": _q_token_counts_bpe,
+        "tpch_top_supplier": _q_tpch_top_supplier,
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
@@ -4786,6 +4803,28 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(val AS BIGINT) AS value_e4
             FROM v
             WHERE val * 10000 > (SELECT SUM(val) FROM v)
+        """,
+        # tpch_top_supplier: Q15's revenue view + = max(total) selection;
+        # revenue is exact integer rev_e4, so the max and the equality
+        # filter are hash-exact (ties all emitted, no arbitrary pick).
+        "tpch_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS k,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1),
+            mx AS (SELECT max(total_e4) AS m FROM rev)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   r.total_e4 AS total_revenue_e4
+            FROM rev r
+            JOIN supplier s ON s.s_suppkey = r.k, mx
+            WHERE r.total_e4 = mx.m
         """,
         # tpch_small_qty: integer-exact Q17 — the 0.2*avg threshold is
         # the scaled comparison 5 * q100 * n < sum_q100 on both sides

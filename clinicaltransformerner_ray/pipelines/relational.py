@@ -2352,3 +2352,116 @@ def small_qty_revenue(
             .sort("p_brand")
             .map_batches(finish, batch_format="pyarrow",
                          batch_size=None))
+
+
+def top_supplier(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> rd.Dataset:
+    """TPC-H Q15-shaped GLOBAL-MAX selection: the supplier(s) whose
+    windowed revenue equals the corpus-wide maximum — a groupwise
+    aggregate, a global max over it, and an equality join back (Q15's
+    revenue view + its correlated ``= max(total_revenue)``).
+
+    Scale shape: per-supplier revenue partials combine batch-locally,
+    ONE sort on suppkey completes exact totals in-block (materialized
+    — the totals feed BOTH the max fold and the filter, and Ray does
+    no CSE); the global max folds O(blocks) per-block maxima on the
+    driver (bounded), and the winners filter + supplier-name join run
+    in a final sorted co-partition pass over totals ∪ supplier rows.
+    Revenue is the exact integer rev_e4 = cents * (100 - disc_pct).
+
+    Output: (s_suppkey, s_name, total_revenue_e4) — every supplier
+    tied at the maximum (deterministic, no arbitrary tie-break)."""
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "rev" not in df.columns:
+            ts = df["l_shipdate"].astype("int64").to_numpy()
+            df = df[(ts >= lo) & (ts < hi)]
+            cents = _round_half_away(df["l_extendedprice"].to_numpy()
+                                     * 100)
+            disc = _round_half_away(df["l_discount"].to_numpy() * 100)
+            df = pd.DataFrame({
+                "k": df["l_suppkey"].to_numpy(np.int64),
+                "rev": cents * (100 - disc),
+            })
+        g = df.groupby("k", sort=False)["rev"].sum().reset_index()
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+        })
+
+    totals = (lineitem.map_batches(rev_partials, batch_format="pyarrow",
+                                   batch_size=None)
+              .sort("k")
+              .map_batches(rev_partials, batch_format="pyarrow",
+                           batch_size=None)
+              .materialize())
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([int(df["rev"].max())],
+                                       pa.int64())})
+
+    maxima = totals.map_batches(block_max, batch_format="pyarrow",
+                                batch_size=None).take_all()
+    if not maxima:
+        return pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_e4": pa.array([], pa.int64()),
+        })
+    m = max(r["m"] for r in maxima)
+
+    def t_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["rev"] == m]
+        return pa.table({
+            "k": pa.array(df["k"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(df["rev"].to_numpy(np.int64), pa.int64()),
+            "name": pa.array([""] * len(df), pa.string()),
+            "kind": pa.array(np.zeros(len(df), np.int64), pa.int64()),
+        })
+
+    def s_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "k": pa.array(df["s_suppkey"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(np.zeros(len(df), np.int64), pa.int64()),
+            "name": pa.array(df["s_name"].tolist(), pa.string()),
+            "kind": pa.array(np.ones(len(df), np.int64), pa.int64()),
+        })
+
+    def join_name(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_e4": pa.array([], pa.int64()),
+        })
+        df = batch.to_pandas()
+        w = df[df["kind"] == 0]
+        if w.empty:
+            return empty
+        names = df[df["kind"] == 1].set_index("k")["name"]
+        return pa.table({
+            "s_suppkey": pa.array(w["k"].to_numpy(np.int64), pa.int64()),
+            "s_name": pa.array(names.reindex(w["k"]).tolist(),
+                               pa.string()),
+            "total_revenue_e4": pa.array(w["rev"].to_numpy(np.int64),
+                                         pa.int64()),
+        })
+
+    tagged = (totals.map_batches(t_rows, batch_format="pyarrow",
+                                 batch_size=None)
+              .union(supplier.map_batches(s_rows,
+                                          batch_format="pyarrow")))
+    return (tagged.sort("k")
+            .map_batches(join_name, batch_format="pyarrow",
+                         batch_size=None))

@@ -45,7 +45,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_part_variety",
                                   "tpch_custdist",
                                   "tpch_value_conc",
-                                  "tpch_small_qty"])
+                                  "tpch_small_qty",
+                                  "tpch_top_supplier"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -209,7 +210,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_part_variety",
                                   "tpch_custdist",
                                   "tpch_value_conc",
-                                  "tpch_small_qty"])
+                                  "tpch_small_qty",
+                                  "tpch_top_supplier"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -335,6 +337,14 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("lineitem", ["l_partkey", "l_quantity",
                             "l_extendedprice"], 6),
             ds("part", ["p_partkey", "p_brand"], 3))
+    elif name == "tpch_top_supplier":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            top_supplier)
+
+        res = top_supplier(
+            ds("lineitem", ["l_suppkey", "l_extendedprice",
+                            "l_discount", "l_shipdate"], 6),
+            ds("supplier", ["s_suppkey", "s_name"], 2))
     else:
         res = revenue_by_supplier_nation(
             ds("lineitem", ["l_suppkey", "l_extendedprice",
