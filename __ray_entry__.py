@@ -2087,6 +2087,31 @@ def _q_tpch_top_supplier(sf_dir: str):
     )
 
 
+def _q_tpch_market_share(sf_dir: str):
+    """Q8-shaped national market share: per order year, the revenue
+    fraction sold into ASIA that NATION_3's suppliers provided —
+    trade_matrix's 3-hop chain with the year carried and a
+    share-of-total output (exact integer pair + share_bp)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, market_share)
+
+    return market_share(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        _nation_region_map(sf_dir),
+    )
+
+
 def _q_tpch_custdist(sf_dir: str):
     """Q13-shaped customer order-count distribution with left-join
     zero-fill."""
@@ -2308,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_small_qty": _q_tpch_small_qty,
         "token_counts_bpe": _q_token_counts_bpe,
         "tpch_top_supplier": _q_tpch_top_supplier,
+        "tpch_market_share": _q_tpch_market_share,
         "pii_scrub": _q_pii_scrub,
         "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
@@ -4803,6 +4829,38 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(val AS BIGINT) AS value_e4
             FROM v
             WHERE val * 10000 > (SELECT SUM(val) FROM v)
+        """,
+        # tpch_market_share: Q8 with integer share — numerator/denominator
+        # kept as exact rev_e4 ints, share_bp floored on the non-negative
+        # domain; years with no ASIA revenue absent on both sides.
+        "tpch_market_share": """
+            WITH rev AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev_e4
+                FROM lineitem),
+            f AS (
+                SELECT year(o.o_orderdate) AS yr,
+                       CASE WHEN n.n_name = 'NATION_3' THEN 1 ELSE 0 END
+                           AS is_t,
+                       r.rev_e4
+                FROM rev r
+                JOIN supplier s ON s.s_suppkey = r.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN orders o ON o.o_orderkey = r.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN region rg ON rg.r_regionkey = cn.n_regionkey
+                WHERE rg.r_name = 'ASIA')
+            SELECT CAST(yr AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN is_t = 1 THEN rev_e4 ELSE 0 END)
+                        AS BIGINT) AS nation_rev_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+                   CAST(sum(CASE WHEN is_t = 1 THEN rev_e4 ELSE 0 END)
+                        * 10000 // greatest(sum(rev_e4), 1) AS BIGINT)
+                       AS share_bp
+            FROM f GROUP BY yr
         """,
         # tpch_top_supplier: Q15's revenue view + = max(total) selection;
         # revenue is exact integer rev_e4, so the max and the equality

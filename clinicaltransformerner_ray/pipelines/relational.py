@@ -2465,3 +2465,147 @@ def top_supplier(
     return (tagged.sort("k")
             .map_batches(join_name, batch_format="pyarrow",
                          batch_size=None))
+
+
+def market_share(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    nation_map: dict[int, tuple[str, str]],
+    *,
+    target_nation: str = "NATION_3",
+    region: str = "ASIA",
+) -> pa.Table:
+    """TPC-H Q8-shaped national MARKET SHARE: per order year, the
+    fraction of revenue sold into ``region`` that was supplied by
+    ``target_nation`` — the two-sided dimension chain (supplier nation
+    at the fact side, customer region as the filter) with a
+    share-of-total output.
+
+    Scale shape: trade_matrix's 3-hop co-partition chain (suppkey →
+    orderkey → custkey) with the ORDER YEAR carried from hop 2; each
+    hop pre-aggregates so the shuffled rows shrink toward the
+    (year, is_target) partials; the driver folds O(years x 2 x blocks)
+    rows (promo precedent).  Only the fixed 25-nation map rides the
+    closure.  Share is the exact integer pair (nation_rev_e4,
+    total_rev_e4) plus share_bp = nation*10^4 // total (non-negative).
+
+    Output: pa.Table (o_year, nation_rev_e4, total_rev_e4, share_bp)."""
+    tgt = {k for k, (n, _) in nation_map.items() if n == target_nation}
+    in_region = {k for k, (_, r) in nation_map.items() if r == region}
+
+    def _sup(key, kind, rev, p1, p2) -> pa.Table:
+        m = len(key)
+        return pa.table({
+            "key": pa.array(np.asarray(key, np.int64), pa.int64()),
+            "kind": pa.array([kind] * m, pa.string()),
+            "rev_e4": pa.array(np.asarray(rev, np.int64), pa.int64()),
+            "p1": pa.array(np.asarray(p1, np.int64), pa.int64()),
+            "p2": pa.array(np.asarray(p2, np.int64), pa.int64()),
+        })
+
+    def l_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        part = pd.DataFrame({
+            "key": df["l_suppkey"].to_numpy(np.int64),
+            "okey": df["l_orderkey"].to_numpy(np.int64),
+            "rev_e4": _rev_e4(df),
+        })
+        g = (part.groupby(["key", "okey"], sort=False)["rev_e4"]
+             .sum().reset_index())
+        return _sup(g["key"], "l", g["rev_e4"], g["okey"],
+                    np.zeros(len(g), np.int64))
+
+    def s_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        is_t = np.isin(df["s_nationkey"].to_numpy(np.int64),
+                       list(tgt)).astype(np.int64)
+        return _sup(df["s_suppkey"], "s", z, z, is_t)
+
+    def hop1(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df[df["kind"] == "s"]
+        ln = df[df["kind"] == "l"]
+        if ln.empty:
+            return _sup([], "1", [], [], [])
+        j = pd.merge(ln[["key", "p1", "rev_e4"]],
+                     s[["key", "p2"]].rename(columns={"p2": "is_t"}),
+                     on="key")
+        # re-key on orderkey; carry is_target
+        g = (j.groupby(["p1", "is_t"], sort=False)["rev_e4"]
+             .sum().reset_index())
+        return _sup(g["p1"], "1", g["rev_e4"],
+                    g["is_t"], np.zeros(len(g), np.int64))
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["o_orderkey"].to_numpy(np.int64), "o", z,
+                    df["o_orderdate"].dt.year.to_numpy(np.int64),
+                    df["o_custkey"].to_numpy(np.int64))
+
+    def hop2(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o = df[df["kind"] == "o"]
+        f = df[df["kind"] == "1"]
+        if f.empty:
+            return _sup([], "2", [], [], [])
+        j = pd.merge(
+            f[["key", "p1", "rev_e4"]].rename(columns={"p1": "is_t"}),
+            o[["key", "p1", "p2"]].rename(columns={"p1": "yr",
+                                                   "p2": "ck"}),
+            on="key")
+        # re-key on custkey; pack (year, is_target) into p1/p2
+        g = (j.groupby(["ck", "yr", "is_t"], sort=False)["rev_e4"]
+             .sum().reset_index())
+        return _sup(g["ck"], "2", g["rev_e4"], g["yr"], g["is_t"])
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = np.isin(df["c_nationkey"].to_numpy(np.int64),
+                       list(in_region))
+        df = df[keep]
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["c_custkey"].to_numpy(np.int64), "c", z, z, z)
+
+    def hop3(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        c = df[df["kind"] == "c"]
+        f = df[df["kind"] == "2"]
+        if f.empty:
+            return _sup([], "3", [], [], [])
+        j = f[f["key"].isin(set(c["key"]))]
+        g = (j.groupby(["p1", "p2"], sort=False)["rev_e4"]
+             .sum().reset_index())
+        return _sup(np.zeros(len(g), np.int64), "3", g["rev_e4"],
+                    g["p1"], g["p2"])
+
+    h1 = (lineitem.map_batches(l_side, batch_format="pyarrow",
+                               batch_size=None)
+          .union(supplier.map_batches(s_side, batch_format="pyarrow"))
+          .sort("key")
+          .map_batches(hop1, batch_format="pyarrow", batch_size=None))
+    h2 = (h1.union(orders.map_batches(o_side, batch_format="pyarrow"))
+          .sort("key")
+          .map_batches(hop2, batch_format="pyarrow", batch_size=None))
+    h3 = (h2.union(customer.map_batches(c_side, batch_format="pyarrow"))
+          .sort("key")
+          .map_batches(hop3, batch_format="pyarrow", batch_size=None))
+
+    acc: dict[tuple[int, int], int] = {}
+    for r in h3.take_all():
+        k = (r["p1"], r["p2"])
+        acc[k] = acc.get(k, 0) + r["rev_e4"]
+    years = sorted({y for y, _ in acc})
+    nat = np.asarray([acc.get((y, 1), 0) for y in years], np.int64)
+    tot = np.asarray([acc.get((y, 0), 0) + acc.get((y, 1), 0)
+                      for y in years], np.int64)
+    return pa.table({
+        "o_year": pa.array(np.asarray(years, np.int64), pa.int64()),
+        "nation_rev_e4": pa.array(nat, pa.int64()),
+        "total_rev_e4": pa.array(tot, pa.int64()),
+        "share_bp": pa.array(nat * 10_000 // np.maximum(tot, 1),
+                             pa.int64()),
+    })

@@ -46,7 +46,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_custdist",
                                   "tpch_value_conc",
                                   "tpch_small_qty",
-                                  "tpch_top_supplier"])
+                                  "tpch_top_supplier",
+                                  "tpch_market_share"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -211,7 +212,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_custdist",
                                   "tpch_value_conc",
                                   "tpch_small_qty",
-                                  "tpch_top_supplier"])
+                                  "tpch_top_supplier",
+                                  "tpch_market_share"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -345,6 +347,17 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("lineitem", ["l_suppkey", "l_extendedprice",
                             "l_discount", "l_shipdate"], 6),
             ds("supplier", ["s_suppkey", "s_name"], 2))
+    elif name == "tpch_market_share":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            _nation_region_map, market_share)
+
+        res = market_share(
+            ds("lineitem", ["l_orderkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"], 6),
+            ds("supplier", ["s_suppkey", "s_nationkey"], 2),
+            ds("orders", ["o_orderkey", "o_custkey", "o_orderdate"], 4),
+            ds("customer", ["c_custkey", "c_nationkey"], 3),
+            _nation_region_map(SF))
     else:
         res = revenue_by_supplier_nation(
             ds("lineitem", ["l_suppkey", "l_extendedprice",
