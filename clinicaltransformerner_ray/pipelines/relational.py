@@ -2413,11 +2413,11 @@ def top_supplier(
     maxima = totals.map_batches(block_max, batch_format="pyarrow",
                                 batch_size=None).take_all()
     if not maxima:
-        return pa.table({
+        return rd.from_arrow(pa.table({
             "s_suppkey": pa.array([], pa.int64()),
             "s_name": pa.array([], pa.string()),
             "total_revenue_e4": pa.array([], pa.int64()),
-        })
+        }))
     m = max(r["m"] for r in maxima)
 
     def t_rows(batch: pa.Table) -> pa.Table:
@@ -2450,6 +2450,12 @@ def top_supplier(
         if w.empty:
             return empty
         names = df[df["kind"] == 1].set_index("k")["name"]
+        # inner-join semantics: a winner suppkey with no supplier-dim
+        # row is dropped (matches the oracle's INNER JOIN; reindex
+        # would otherwise yield NaN and pa.array(..., string) raises)
+        w = w[w["k"].isin(names.index)]
+        if w.empty:
+            return empty
         return pa.table({
             "s_suppkey": pa.array(w["k"].to_numpy(np.int64), pa.int64()),
             "s_name": pa.array(names.reindex(w["k"]).tolist(),
@@ -2483,10 +2489,15 @@ def market_share(
     at the fact side, customer region as the filter) with a
     share-of-total output.
 
-    Scale shape: trade_matrix's 3-hop co-partition chain (suppkey →
-    orderkey → custkey) with the ORDER YEAR carried from hop 2; each
-    hop pre-aggregates so the shuffled rows shrink toward the
-    (year, is_target) partials; the driver folds O(years x 2 x blocks)
+    Scale shape: 3-hop co-partition chain ordered MOST-SELECTIVE
+    FIRST (r04 judge finding): hop 1 joins orders⋈customer on custkey
+    with the region filter applied at the customer scan, emitting only
+    region-qualified (orderkey, year) rows (~1/|regions| of orders);
+    hop 2 joins the pre-aggregated lineitem (suppkey, orderkey) grain
+    against that small qualified set on orderkey — the ONLY sort that
+    carries full-lineitem volume — and re-aggregates to (suppkey,
+    year); hop 3 joins supplier on suppkey over partials bounded by
+    |suppliers| × |years|.  The driver folds O(years x 2 x blocks)
     rows (promo precedent).  Only the fixed 25-nation map rides the
     closure.  Share is the exact integer pair (nation_rev_e4,
     total_rev_e4) plus share_bp = nation*10^4 // total (non-negative).
@@ -2505,16 +2516,61 @@ def market_share(
             "p2": pa.array(np.asarray(p2, np.int64), pa.int64()),
         })
 
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = np.isin(df["c_nationkey"].to_numpy(np.int64),
+                       list(in_region))
+        df = df[keep]
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["c_custkey"].to_numpy(np.int64), "c", z, z, z)
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        yr = pd.to_datetime(df["o_orderdate"]).dt.year
+        return _sup(df["o_custkey"].to_numpy(np.int64), "o", z,
+                    df["o_orderkey"].to_numpy(np.int64),
+                    yr.to_numpy(np.int64))
+
+    def hop1(batch: pa.Table) -> pa.Table:
+        # custkey-sorted block: region-qualified orders only
+        df = batch.to_pandas()
+        c = df[df["kind"] == "c"]
+        o = df[df["kind"] == "o"]
+        if o.empty:
+            return _sup([], "1", [], [], [])
+        j = o[o["key"].isin(set(c["key"]))]
+        # re-key on orderkey; carry year
+        return _sup(j["p1"], "1",
+                    np.zeros(len(j), np.int64),
+                    j["p2"], np.zeros(len(j), np.int64))
+
     def l_side(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         part = pd.DataFrame({
-            "key": df["l_suppkey"].to_numpy(np.int64),
-            "okey": df["l_orderkey"].to_numpy(np.int64),
+            "key": df["l_orderkey"].to_numpy(np.int64),
+            "sk": df["l_suppkey"].to_numpy(np.int64),
             "rev_e4": _rev_e4(df),
         })
-        g = (part.groupby(["key", "okey"], sort=False)["rev_e4"]
+        g = (part.groupby(["key", "sk"], sort=False)["rev_e4"]
              .sum().reset_index())
-        return _sup(g["key"], "l", g["rev_e4"], g["okey"],
+        return _sup(g["key"], "l", g["rev_e4"], g["sk"],
+                    np.zeros(len(g), np.int64))
+
+    def hop2(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        q = df[df["kind"] == "1"]
+        ln = df[df["kind"] == "l"]
+        if ln.empty or q.empty:
+            return _sup([], "2", [], [], [])
+        j = pd.merge(ln[["key", "p1", "rev_e4"]]
+                     .rename(columns={"p1": "sk"}),
+                     q[["key", "p1"]].rename(columns={"p1": "yr"}),
+                     on="key")
+        # re-key on suppkey; carry year
+        g = (j.groupby(["sk", "yr"], sort=False)["rev_e4"]
+             .sum().reset_index())
+        return _sup(g["sk"], "2", g["rev_e4"], g["yr"],
                     np.zeros(len(g), np.int64))
 
     def s_side(batch: pa.Table) -> pa.Table:
@@ -2524,73 +2580,32 @@ def market_share(
                        list(tgt)).astype(np.int64)
         return _sup(df["s_suppkey"], "s", z, z, is_t)
 
-    def hop1(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        s = df[df["kind"] == "s"]
-        ln = df[df["kind"] == "l"]
-        if ln.empty:
-            return _sup([], "1", [], [], [])
-        j = pd.merge(ln[["key", "p1", "rev_e4"]],
-                     s[["key", "p2"]].rename(columns={"p2": "is_t"}),
-                     on="key")
-        # re-key on orderkey; carry is_target
-        g = (j.groupby(["p1", "is_t"], sort=False)["rev_e4"]
-             .sum().reset_index())
-        return _sup(g["p1"], "1", g["rev_e4"],
-                    g["is_t"], np.zeros(len(g), np.int64))
-
-    def o_side(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        z = np.zeros(len(df), np.int64)
-        return _sup(df["o_orderkey"].to_numpy(np.int64), "o", z,
-                    df["o_orderdate"].dt.year.to_numpy(np.int64),
-                    df["o_custkey"].to_numpy(np.int64))
-
-    def hop2(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        o = df[df["kind"] == "o"]
-        f = df[df["kind"] == "1"]
-        if f.empty:
-            return _sup([], "2", [], [], [])
-        j = pd.merge(
-            f[["key", "p1", "rev_e4"]].rename(columns={"p1": "is_t"}),
-            o[["key", "p1", "p2"]].rename(columns={"p1": "yr",
-                                                   "p2": "ck"}),
-            on="key")
-        # re-key on custkey; pack (year, is_target) into p1/p2
-        g = (j.groupby(["ck", "yr", "is_t"], sort=False)["rev_e4"]
-             .sum().reset_index())
-        return _sup(g["ck"], "2", g["rev_e4"], g["yr"], g["is_t"])
-
-    def c_side(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        keep = np.isin(df["c_nationkey"].to_numpy(np.int64),
-                       list(in_region))
-        df = df[keep]
-        z = np.zeros(len(df), np.int64)
-        return _sup(df["c_custkey"].to_numpy(np.int64), "c", z, z, z)
-
     def hop3(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        c = df[df["kind"] == "c"]
+        s = df[df["kind"] == "s"]
         f = df[df["kind"] == "2"]
         if f.empty:
             return _sup([], "3", [], [], [])
-        j = f[f["key"].isin(set(c["key"]))]
-        g = (j.groupby(["p1", "p2"], sort=False)["rev_e4"]
+        j = pd.merge(f[["key", "p1", "rev_e4"]]
+                     .rename(columns={"p1": "yr"}),
+                     s[["key", "p2"]].rename(columns={"p2": "is_t"}),
+                     on="key")
+        g = (j.groupby(["yr", "is_t"], sort=False)["rev_e4"]
              .sum().reset_index())
         return _sup(np.zeros(len(g), np.int64), "3", g["rev_e4"],
-                    g["p1"], g["p2"])
+                    g["yr"], g["is_t"])
 
-    h1 = (lineitem.map_batches(l_side, batch_format="pyarrow",
-                               batch_size=None)
-          .union(supplier.map_batches(s_side, batch_format="pyarrow"))
+    h1 = (orders.map_batches(o_side, batch_format="pyarrow",
+                             batch_size=None)
+          .union(customer.map_batches(c_side, batch_format="pyarrow"))
           .sort("key")
           .map_batches(hop1, batch_format="pyarrow", batch_size=None))
-    h2 = (h1.union(orders.map_batches(o_side, batch_format="pyarrow"))
+    h2 = (h1.union(lineitem.map_batches(l_side, batch_format="pyarrow",
+                                        batch_size=None))
           .sort("key")
           .map_batches(hop2, batch_format="pyarrow", batch_size=None))
-    h3 = (h2.union(customer.map_batches(c_side, batch_format="pyarrow"))
+    h3 = (h2.union(supplier.map_batches(s_side,
+                                        batch_format="pyarrow"))
           .sort("key")
           .map_batches(hop3, batch_format="pyarrow", batch_size=None))
 
