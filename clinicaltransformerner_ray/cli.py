@@ -165,6 +165,44 @@ def cmd_eval(args) -> None:
     print(json.dumps(res, sort_keys=True))
 
 
+def cmd_multimodal(args) -> None:
+    """Shell surface for the binary-media actor-pool stages (the
+    reference's users live on the shell —
+    `run_transformer_batch_prediction.sh` precedent):
+
+      multimodal --op features  # decode -> feature vectors
+      multimodal --op resize --out-w 8 --out-h 8
+      multimodal --op frames --frame-ms 25 --hop-ms 10
+
+    Input is the synthesized media table over documents.parquet (real
+    WAV/BMP/PPM payloads, pure-Python codecs); output is partitioned
+    parquet under --output-dir."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.stages.multimodal import (
+        extract_media_features, resize_images, sample_audio_frames,
+        synth_media_table)
+
+    docs = pq.read_table(os.path.join(args.sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    media = rd.from_arrow(synth_media_table(docs))
+    if args.op == "resize":
+        out = resize_images(media, out_w=args.out_w, out_h=args.out_h,
+                            batch_size=args.batch_size,
+                            concurrency=args.concurrency)
+    elif args.op == "frames":
+        out = sample_audio_frames(media, frame_ms=args.frame_ms,
+                                  hop_ms=args.hop_ms,
+                                  batch_size=args.batch_size,
+                                  concurrency=args.concurrency)
+    else:
+        out = extract_media_features(media, batch_size=args.batch_size,
+                                     concurrency=args.concurrency)
+    out.write_parquet(args.output_dir)
+    print(f"multimodal: op={args.op} -> {args.output_dir}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="clinicaltransformerner_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -212,6 +250,29 @@ def build_parser() -> argparse.ArgumentParser:
                     help="brat: also score relations (track2 full eval)")
     ev.add_argument("--num-cpus", type=int, default=None)
     ev.set_defaults(fn=cmd_eval)
+
+    mm = sub.add_parser(
+        "multimodal",
+        help="binary-media actor-pool stages: decode features, image "
+             "resize, audio frame sampling -> parquet")
+    mm.add_argument("--sf-dir", required=True)
+    mm.add_argument("--output-dir", required=True)
+    mm.add_argument("--op", choices=["features", "resize", "frames"],
+                    default="features")
+    mm.add_argument("--out-w", type=int, default=16,
+                    help="resize: output width (pixels)")
+    mm.add_argument("--out-h", type=int, default=16,
+                    help="resize: output height (pixels)")
+    mm.add_argument("--frame-ms", type=int, default=25,
+                    help="frames: window length in ms")
+    mm.add_argument("--hop-ms", type=int, default=10,
+                    help="frames: hop between windows in ms")
+    mm.add_argument("--batch-size", type=int, default=64,
+                    help="payload rows per actor batch (heap-bounded)")
+    mm.add_argument("--concurrency", type=int, default=4,
+                    help="decode actor pool size")
+    mm.add_argument("--num-cpus", type=int, default=None)
+    mm.set_defaults(fn=cmd_multimodal)
     return p
 
 

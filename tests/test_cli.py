@@ -141,3 +141,35 @@ def test_cli_eval_brat_golden_counters(ray_session, tmp_path, capsys):
                      "--gold", str(g), "--pred", str(s),
                      "--exclude", "test"], capsys)
     assert res["tp"] + res["fn"] == 3  # only problem/drug gold spans left
+
+
+def test_cli_multimodal_ops(ray_session, tmp_path):
+    """`multimodal --op {features,resize,frames}` runs the binary-media
+    actor pools from the shell and writes parquet with the stage's
+    schema; the resize/frames knobs reach the actors."""
+    feats = str(tmp_path / "feats")
+    _run(["multimodal", "--sf-dir", SF, "--output-dir", feats,
+          "--op", "features", "--batch-size", "32",
+          "--concurrency", "2"])
+    t = pq.read_table(feats)
+    assert t.num_rows > 0
+    assert {"media_id", "feature", "decode_ok"} <= set(t.schema.names)
+
+    rsz = str(tmp_path / "resized")
+    _run(["multimodal", "--sf-dir", SF, "--output-dir", rsz,
+          "--op", "resize", "--out-w", "4", "--out-h", "4"])
+    import pyarrow.compute as pc
+    r = pq.read_table(rsz)
+    imgs = r.filter(pc.and_(pc.equal(r.column("media_type"), "image"),
+                            r.column("decode_ok"))).to_pydict()
+    assert imgs["meta_width"] and set(imgs["meta_width"]) == {4}
+    assert set(imgs["meta_height"]) == {4}
+
+    frm = str(tmp_path / "frames")
+    _run(["multimodal", "--sf-dir", SF, "--output-dir", frm,
+          "--op", "frames", "--frame-ms", "50", "--hop-ms", "25"])
+    f = pq.read_table(frm).to_pydict()
+    assert f["media_id"], "no audio frames emitted"
+    # 25 ms hop -> frame starts are multiples of 25
+    starts = [s for s, i in zip(f["start_ms"], f["frame_idx"]) if i >= 0]
+    assert all(s % 25 == 0 for s in starts)
