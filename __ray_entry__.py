@@ -864,6 +864,18 @@ def _q_dedup_calibration(sf_dir: str):
     return minhash_calibration(_docs(sf_dir), threshold=0.8)
 
 
+def _q_dedup_report(sf_dir: str):
+    """Shared-pairs dedup analytics: the shingle posting join runs
+    ONCE and containment + clustering coefficients + MinHash
+    calibration derive from the materialized pair-stats / pair-graph
+    tables (long-format all-integer rows) — the production shape for
+    the trio the independent per-metric queries re-compute."""
+    from clinicaltransformerner_ray.pipelines.dedup import dedup_report
+
+    return dedup_report(_docs(sf_dir), n=3, jaccard_threshold=0.8,
+                        containment_threshold=0.9)
+
+
 def _q_dedup_containment(sf_dir: str):
     """Near-subset pairs: smaller shingle set >= 90% contained in the
     other — the doc-inside-doc duplication Jaccard misses."""
@@ -2379,6 +2391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "tpch_market_share": _q_tpch_market_share,
         "tpch_top_supplier": _q_tpch_top_supplier,
+        # --- new this round ---
+        "dedup_report": _q_dedup_report,
         # --- driver-green in earlier rounds (re-checked if budget allows) ---
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
@@ -3176,7 +3190,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
             FROM degs GROUP BY degree
         """)
-    return {
+    sql = {
         "kg_degrees": degrees_sql,
         "kg_degree_histogram": degree_hist_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),
@@ -5524,3 +5538,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             GROUP BY nm.n_name
         """,
     }
+    # dedup_report: nested-CTE composition of the three verified
+    # per-metric oracles (whole statements nest as CTE bodies,
+    # CLAUDE.md round-4 rule 2) projected to the long-format
+    # all-integer schema the Ray side emits
+    sql["dedup_report"] = (
+        "WITH cont AS (" + sql["dedup_containment"] + "),\n"
+        "ccoef AS (" + sql["dedup_clustering_coeff"] + "),\n"
+        "cal AS (" + sql["dedup_calibration"] + ")\n"
+        "SELECT * FROM (\n"
+        "  SELECT 'containment' AS section, doc_a AS k1, doc_b AS k2,\n"
+        "         n_common AS v1, size_a AS v2, size_b AS v3 FROM cont\n"
+        "  UNION ALL\n"
+        "  SELECT 'clustering', doc_id, CAST(0 AS BIGINT),\n"
+        "         n_triangles, degree, coeff_bp FROM ccoef\n"
+        "  UNION ALL\n"
+        "  SELECT 'calibration', est_64, CAST(0 AS BIGINT),\n"
+        "         n_candidates, n_confirmed, CAST(0 AS BIGINT) FROM cal\n"
+        ") ORDER BY section, k1, k2"
+    )
+    return sql

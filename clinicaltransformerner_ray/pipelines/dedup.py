@@ -102,15 +102,20 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 # 2. exact n-gram Jaccard pairs (posting-list join)
 
-def ngram_jaccard_pairs(
+def ngram_pair_stats(
     docs: rd.Dataset,
     *,
     n: int = 3,
-    threshold: float = 0.8,
     max_df: int | None = None,
-    mode: str = "jaccard",
 ) -> rd.Dataset:
-    """All document pairs with word-``n``-gram Jaccard >= ``threshold``.
+    """The SHARED intermediate of the whole n-gram dedup family: per
+    co-occurring document pair, the exact intersection size and both
+    distinct-shingle set sizes ``(a, b, i, fsa, fsb)``.  Jaccard,
+    containment, the near-dup graph analytics and the calibration
+    harness are all one cheap projection away from this table —
+    materialize it ONCE per corpus run and derive every report from it
+    (:func:`dedup_report`) instead of re-running the posting join per
+    metric.
 
     Distributed exact algorithm: explode distinct shingles into postings
     ``(shingle, doc_id, set_size)``, co-locate by shingle (one sort),
@@ -199,12 +204,25 @@ def ngram_jaccard_pairs(
                 fsb=("sb", "min")).reset_index()
         return from_pandas_clean(g, preserve_index=False)
 
-    agg = (
+    return (
         pairs.map_batches(pair_combine, batch_format="pyarrow",
                           batch_size=1 << 19)
         .sort(["a", "b"])
         .map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
     )
+
+
+def pairs_from_stats(
+    stats: rd.Dataset,
+    *,
+    threshold: float,
+    mode: str = "jaccard",
+) -> rd.Dataset:
+    """Project a :func:`ngram_pair_stats` table to thresholded near-dup
+    pairs: ``jaccard`` = i / (sa + sb - i), ``containment`` =
+    i / min(sa, sb).  Pure per-block map — no shuffle, so deriving
+    several reports from one materialized stats table costs only this
+    projection each."""
 
     def finalize(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -230,7 +248,25 @@ def ngram_jaccard_pairs(
             preserve_index=False,
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return stats.map_batches(finalize, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    mode: str = "jaccard",
+) -> rd.Dataset:
+    """All document pairs with word-``n``-gram Jaccard >= ``threshold``
+    (or containment, with ``mode="containment"``) — the posting-join
+    pair stats (:func:`ngram_pair_stats`, where the algorithm and the
+    ``max_df`` hot-shingle caveat are documented) followed by the
+    thresholding projection (:func:`pairs_from_stats`)."""
+    return pairs_from_stats(
+        ngram_pair_stats(docs, n=n, max_df=max_df),
+        threshold=threshold, mode=mode)
 
 
 def ngram_containment_pairs(
@@ -1067,6 +1103,7 @@ def minhash_calibration(
     docs: rd.Dataset,
     *,
     threshold: float = 0.5,
+    exact_pairs: rd.Dataset | None = None,
 ) -> pa.Table:
     """Calibration report for the APPROXIMATE dedup path: MinHash+LSH
     candidate pairs bucketed by their signature estimate (est_64 =
@@ -1133,8 +1170,12 @@ def minhash_calibration(
 
     mh = minhash_lsh_pairs(docs, threshold=threshold).map_batches(
         mh_rows, batch_format="pyarrow")
-    ex = ngram_jaccard_pairs(docs, threshold=threshold).map_batches(
-        ex_rows, batch_format="pyarrow")
+    # exact_pairs: a precomputed (materialized) exact Jaccard pair set
+    # at the SAME threshold — dedup_report's shared-pairs path; the
+    # default recomputes it for driver-contract independence
+    if exact_pairs is None:
+        exact_pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+    ex = exact_pairs.map_batches(ex_rows, batch_format="pyarrow")
     parts = (mh.union(ex)
              .sort(["a", "b"])
              .map_batches(mark, batch_format="pyarrow",
@@ -1428,3 +1469,79 @@ def substring_dup_coverage(docs: rd.Dataset, *, n: int = 3) -> rd.Dataset:
             .sort("doc_id")
             .map_batches(complete, batch_format="pyarrow",
                          batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# 11. Shared-pairs dedup report (VERDICT r04 item 5)
+
+def dedup_report(
+    docs: rd.Dataset,
+    *,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.9,
+) -> rd.Dataset:
+    """ONE corpus pass for the whole dedup analytics trio: the shingle
+    posting join runs ONCE (:func:`ngram_pair_stats`, materialized —
+    it feeds two projections and Ray does no CSE), the thresholded
+    Jaccard pair graph is materialized once more (it feeds BOTH the
+    clustering coefficients and the calibration confirm side), and
+    containment + clustering + calibration are derived from those
+    shared tables.  The per-metric query entries re-run the join each
+    because the driver contract requires independent queries; a
+    production run uses this.
+
+    Output (long format, all-integer): one row per finding with a
+    ``section`` discriminator —
+      section='containment': k1=doc_a, k2=doc_b,
+          v1=n_common, v2=size_a, v3=size_b
+      section='clustering':  k1=doc_id, k2=0,
+          v1=n_triangles, v2=degree, v3=coeff_bp
+      section='calibration': k1=est_64, k2=0,
+          v1=n_candidates, v2=n_confirmed, v3=0
+    sorted by (section, k1, k2) for deterministic comparison."""
+    from clinicaltransformerner_ray.pipelines.graph import (
+        clustering_coefficients)
+
+    stats = ngram_pair_stats(docs, n=n).materialize()
+    jacc = pairs_from_stats(
+        stats, threshold=jaccard_threshold).materialize()
+    cont = pairs_from_stats(stats, threshold=containment_threshold,
+                            mode="containment")
+    cc = clustering_coefficients(jacc, out_col="doc_id")
+    cal = minhash_calibration(docs, threshold=jaccard_threshold,
+                              exact_pairs=jacc)
+
+    def _long(section: str, cols: tuple[str, str | None, str, str,
+                                        str | None]):
+        k1c, k2c, v1c, v2c, v3c = cols
+
+        def f(batch: pa.Table) -> pa.Table:
+            m = batch.num_rows
+            zero = pa.array(np.zeros(m, np.int64), pa.int64())
+            return pa.table({
+                "section": pa.array([section] * m, pa.string()),
+                "k1": batch.column(k1c).cast(pa.int64()),
+                "k2": (batch.column(k2c).cast(pa.int64())
+                       if k2c else zero),
+                "v1": batch.column(v1c).cast(pa.int64()),
+                "v2": batch.column(v2c).cast(pa.int64()),
+                "v3": (batch.column(v3c).cast(pa.int64())
+                       if v3c else zero),
+            })
+
+        return f
+
+    cont_rows = cont.map_batches(
+        _long("containment",
+              ("doc_a", "doc_b", "n_common", "size_a", "size_b")),
+        batch_format="pyarrow")
+    cc_rows = cc.map_batches(
+        _long("clustering",
+              ("doc_id", None, "n_triangles", "degree", "coeff_bp")),
+        batch_format="pyarrow")
+    cal_rows = rd.from_arrow(
+        _long("calibration",
+              ("est_64", None, "n_candidates", "n_confirmed", None))(cal))
+    return (cont_rows.union(cc_rows).union(cal_rows)
+            .sort(["section", "k1", "k2"]))

@@ -40,7 +40,7 @@ SQL_CHECKED = [
     "token_char_trigrams", "dedup_calibration",
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
-    "ann_recall", "token_counts_bpe",
+    "ann_recall", "token_counts_bpe", "dedup_report",
 ]
 
 
@@ -1444,3 +1444,45 @@ def test_bpe_token_counts_semantics(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["n_bpe_tokens"].tolist() == [5, 3]
     assert out["n_ws_tokens"].tolist() == [3, 3]
+
+
+def test_dedup_report_sections_match_standalone(ray_session):
+    """dedup_report's shared-pairs path must reproduce the three
+    standalone kernels row-for-row: same posting join, computed once."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        dedup_report, minhash_calibration, ngram_containment_pairs,
+        ngram_jaccard_pairs)
+    from clinicaltransformerner_ray.pipelines.graph import (
+        clustering_coefficients)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    docs = read_documents(SF).materialize()
+    rep = dedup_report(docs, n=3, jaccard_threshold=0.8,
+                       containment_threshold=0.9).to_pandas()
+    by = dict(tuple(rep.groupby("section")))
+
+    cont = ngram_containment_pairs(docs, n=3, threshold=0.9).to_pandas()
+    got = by.get("containment",
+                 rep.iloc[0:0])[["k1", "k2", "v1", "v2", "v3"]]
+    want = cont[["doc_a", "doc_b", "n_common", "size_a", "size_b"]]
+    assert (got.to_numpy(dtype="int64").tolist()
+            == want.sort_values(["doc_a", "doc_b"])
+                   .to_numpy(dtype="int64").tolist())
+
+    cc = clustering_coefficients(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.8),
+        out_col="doc_id").to_pandas()
+    got = by.get("clustering", rep.iloc[0:0])[["k1", "v1", "v2", "v3"]]
+    want = cc[["doc_id", "n_triangles", "degree", "coeff_bp"]]
+    assert (got.to_numpy(dtype="int64").tolist()
+            == want.sort_values("doc_id")
+                   .to_numpy(dtype="int64").tolist())
+
+    cal = minhash_calibration(docs, threshold=0.8).to_pandas()
+    got = by.get("calibration", rep.iloc[0:0])[["k1", "v1", "v2"]]
+    want = cal[["est_64", "n_candidates", "n_confirmed"]]
+    assert (got.to_numpy(dtype="int64").tolist()
+            == want.sort_values("est_64")
+                   .to_numpy(dtype="int64").tolist())
