@@ -134,3 +134,52 @@ def test_real_forward_subbatching_matches_single_call(tmp_path):
     b = MentionTagger(ALIASES, model_dir=ckpt, noise_mod=0,
                       max_seq_length=32, forward_window_batch=64)
     assert a(_batch()).equals(b(_batch()))
+
+
+@pytest.mark.parametrize("family", ["bert", "roberta", "xlnet", "albert"])
+def test_real_forward_all_framing_families(tmp_path, family):
+    """VERDICT r04 item 7: the real forward must compose with every
+    framing strategy — including XLNet's PRE-pad layout (leading pad,
+    trailing <sep><cls>, 4 shifts) — because `_decode_turn` selects by
+    per-position guards, not by slice offset.  The tiny checkpoint's
+    vocab carries the xlnet special tokens so framing uses real ids."""
+    pytest.importorskip("torch")
+    import transformers
+
+    from clinicaltransformerner_ray.labels import build_label_vocab
+
+    label2idx = build_label_vocab(["drug", "symptom"])
+    id2label = {v: k for k, v in label2idx.items()}
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "<cls>", "<sep>", "<pad>", "<s>", "</s>",
+             "patient", "took", "aspirin", "for", "fever",
+             "resolved", "after", "##in", "asp", "fe", "##ver"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n")
+    tok = transformers.BertTokenizer(str(vocab_file), do_lower_case=True)
+    cfg = transformers.BertConfig(
+        vocab_size=len(vocab), hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=64,
+        id2label=id2label, label2id=label2idx,
+    )
+    import torch
+
+    torch.manual_seed(7)
+    model = transformers.BertForTokenClassification(cfg)
+    ckpt = tmp_path / "ckpt"
+    model.save_pretrained(ckpt)
+    tok.save_pretrained(ckpt)
+
+    tagger = MentionTagger(ALIASES, model_dir=str(ckpt), noise_mod=0,
+                           max_seq_length=16, family=family,
+                           forward_window_batch=2)
+    out = tagger(_batch())
+    assert out.schema.names == ["conv_id", "turn_idx", "ment_id",
+                                "surface", "surface_norm", "start",
+                                "end", "type"]
+    # deterministic, and window sub-batching must not change output
+    wide = MentionTagger(ALIASES, model_dir=str(ckpt), noise_mod=0,
+                         max_seq_length=16, family=family,
+                         forward_window_batch=64)
+    assert out.equals(wide(_batch()))
