@@ -53,6 +53,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from clinicaltransformerner_ray.pipelines.events import _round_half_away
@@ -2482,6 +2483,7 @@ def market_share(
     *,
     target_nation: str = "NATION_3",
     region: str = "ASIA",
+    broadcast_keys_max: int = 1 << 22,
 ) -> pa.Table:
     """TPC-H Q8-shaped national MARKET SHARE: per order year, the
     fraction of revenue sold into ``region`` that was supplied by
@@ -2489,22 +2491,107 @@ def market_share(
     at the fact side, customer region as the filter) with a
     share-of-total output.
 
-    Scale shape: 3-hop co-partition chain ordered MOST-SELECTIVE
-    FIRST (r04 judge finding): hop 1 joins orders⋈customer on custkey
-    with the region filter applied at the customer scan, emitting only
-    region-qualified (orderkey, year) rows (~1/|regions| of orders);
-    hop 2 joins the pre-aggregated lineitem (suppkey, orderkey) grain
-    against that small qualified set on orderkey — the ONLY sort that
-    carries full-lineitem volume — and re-aggregates to (suppkey,
-    year); hop 3 joins supplier on suppkey over partials bounded by
-    |suppliers| × |years|.  The driver folds O(years x 2 x blocks)
-    rows (promo precedent).  Only the fixed 25-nation map rides the
-    closure.  Share is the exact integer pair (nation_rev_e4,
-    total_rev_e4) plus share_bp = nation*10^4 // total (non-negative).
+    Scale shape, auto-selected by ``broadcast_keys_max`` (the
+    ``broadcast_edges_max`` precedent): when the region-qualified
+    order set and the supplier dim fit the cap, the dimension chain
+    BROADCASTS — region custkeys and target suppkeys are fetched by
+    distributed filters (tiny survivors, the load_queries pattern),
+    the qualified (orderkey → year) map ships once via ``ray.put``,
+    and the whole query is ONE streaming pass over lineitem with
+    per-block (year, is_target) partials folded on the driver: ZERO
+    wide ops (each chained sort costs seconds of fixed scheduling at
+    any scale, measured r05).  Above the cap it falls back to the
+    3-hop co-partition sort chain ordered MOST-SELECTIVE FIRST (r04
+    judge finding): orders⋈customer(region) on custkey, then
+    lineitem⋈qualified on orderkey (the only full-volume sort), then
+    the supplier hop.  Share is the exact integer pair
+    (nation_rev_e4, total_rev_e4) plus share_bp = nation*10^4 //
+    total (non-negative); identical arithmetic on both paths.
 
     Output: pa.Table (o_year, nation_rev_e4, total_rev_e4, share_bp)."""
     tgt = {k for k, (n, _) in nation_map.items() if n == target_nation}
     in_region = {k for k, (_, r) in nation_map.items() if r == region}
+
+    def _collect_keys(ds: rd.Dataset, key_col: str, filt_col: str,
+                      keep: set[int]) -> np.ndarray | None:
+        """Distributed dim filter (``filt_col`` in ``keep``) -> driver
+        fetch of the (tiny) surviving ``key_col`` values, sorted;
+        None when the survivors exceed the cap."""
+        def f(batch: pa.Table) -> pa.Table:
+            m = np.isin(
+                batch.column(filt_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64), list(keep))
+            return batch.select([key_col]).filter(pa.array(m))
+
+        parts = ds.map_batches(f, batch_format="pyarrow").take_all()
+        if len(parts) > broadcast_keys_max:
+            return None
+        return np.sort(np.asarray([r[key_col] for r in parts],
+                                  np.int64))
+
+    ck = _collect_keys(customer, "c_custkey", "c_nationkey", in_region)
+    # supplier filter keeps TARGET-nation suppliers only; everything
+    # else contributes to the denominator with is_target=0
+    sk = (_collect_keys(supplier, "s_suppkey", "s_nationkey", tgt)
+          if ck is not None else None)
+    if ck is not None and sk is not None:
+
+        def o_qual(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            c = df["o_custkey"].to_numpy(np.int64)
+            pos = np.searchsorted(ck, c)
+            m = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == c)
+            df = df[m]
+            yr = pd.to_datetime(df["o_orderdate"]).dt.year
+            return pa.table({
+                "okey": pa.array(df["o_orderkey"].to_numpy(np.int64),
+                                 pa.int64()),
+                "yr": pa.array(yr.to_numpy(np.int64), pa.int64()),
+            })
+
+        qual = orders.map_batches(o_qual,
+                                  batch_format="pyarrow").take_all()
+        if len(qual) <= broadcast_keys_max:
+            ok = np.asarray([r["okey"] for r in qual], np.int64)
+            yv = np.asarray([r["yr"] for r in qual], np.int64)
+            order_ix = np.argsort(ok, kind="stable")
+            ok, yv = ok[order_ix], yv[order_ix]
+            shipped = ray.put((ok, yv, sk))
+
+            def l_fold(batch: pa.Table) -> pa.Table:
+                o_keys, o_years, t_supp = ray.get(shipped)
+                df = batch.to_pandas()
+                k = df["l_orderkey"].to_numpy(np.int64)
+                pos = np.searchsorted(o_keys, k)
+                m = ((pos < len(o_keys))
+                     & (o_keys[np.minimum(pos, len(o_keys) - 1)] == k))
+                df = df[m]
+                years = o_years[pos[m]]
+                s = df["l_suppkey"].to_numpy(np.int64)
+                spos = np.searchsorted(t_supp, s)
+                is_t = ((spos < len(t_supp))
+                        & (t_supp[np.minimum(spos, len(t_supp) - 1)]
+                           == s)).astype(np.int64)
+                g = (pd.DataFrame({"yr": years, "is_t": is_t,
+                                   "rev_e4": _rev_e4(df)})
+                     .groupby(["yr", "is_t"], sort=False)["rev_e4"]
+                     .sum().reset_index())
+                return pa.table({
+                    "p1": pa.array(g["yr"].to_numpy(np.int64),
+                                   pa.int64()),
+                    "p2": pa.array(g["is_t"].to_numpy(np.int64),
+                                   pa.int64()),
+                    "rev_e4": pa.array(g["rev_e4"].to_numpy(np.int64),
+                                       pa.int64()),
+                })
+
+            parts = lineitem.map_batches(
+                l_fold, batch_format="pyarrow").take_all()
+            acc: dict[tuple[int, int], int] = {}
+            for r in parts:  # O(years x 2 x blocks) — tiny
+                key = (r["p1"], r["p2"])
+                acc[key] = acc.get(key, 0) + r["rev_e4"]
+            return _market_share_finish(acc)
 
     def _sup(key, kind, rev, p1, p2) -> pa.Table:
         m = len(key)
@@ -2613,6 +2700,12 @@ def market_share(
     for r in h3.take_all():
         k = (r["p1"], r["p2"])
         acc[k] = acc.get(k, 0) + r["rev_e4"]
+    return _market_share_finish(acc)
+
+
+def _market_share_finish(acc: dict[tuple[int, int], int]) -> pa.Table:
+    """Fold the (year, is_target) -> rev_e4 partials into the Q8
+    output; shared by the broadcast and sorted market_share paths."""
     years = sorted({y for y, _ in acc})
     nat = np.asarray([acc.get((y, 1), 0) for y in years], np.int64)
     tot = np.asarray([acc.get((y, 0), 0) + acc.get((y, 1), 0)

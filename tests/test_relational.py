@@ -504,3 +504,34 @@ def test_idle_rich_customers_semantics(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r.c_mktsegment, r.n_custs, r.sum_acctbal_cents) == ("B", 1, 300)
+
+
+def test_market_share_broadcast_matches_sorted_path(ray_session):
+    """Forced-path bit-parity (the graph-family precedent): the
+    zero-sort broadcast path (dims under broadcast_keys_max) and the
+    3-hop co-partition sort chain must produce identical tables."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, market_share)
+
+    def args():
+        def ds(table, cols, parts):
+            t = pq.read_table(f"{SF}/{table}.parquet", columns=cols)
+            return rd.from_arrow(t).repartition(parts)
+
+        return [
+            ds("lineitem", ["l_orderkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"], 6),
+            ds("supplier", ["s_suppkey", "s_nationkey"], 2),
+            ds("orders", ["o_orderkey", "o_custkey", "o_orderdate"], 4),
+            ds("customer", ["c_custkey", "c_nationkey"], 3),
+        ]
+
+    nm = _nation_region_map(SF)
+    bcast = market_share(*args(), nation_map=nm)
+    sorted_path = market_share(*args(), nation_map=nm,
+                               broadcast_keys_max=0)
+    assert bcast.equals(sorted_path)
+    assert bcast.num_rows > 0
