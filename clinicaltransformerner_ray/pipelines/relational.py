@@ -2539,9 +2539,7 @@ def market_share(
         def o_qual(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
             c = df["o_custkey"].to_numpy(np.int64)
-            pos = np.searchsorted(ck, c)
-            m = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == c)
-            df = df[m]
+            df = df[_in_sorted(ck, c)]
             yr = pd.to_datetime(df["o_orderdate"]).dt.year
             return pa.table({
                 "okey": pa.array(df["o_orderkey"].to_numpy(np.int64),
@@ -2562,16 +2560,12 @@ def market_share(
                 o_keys, o_years, t_supp = ray.get(shipped)
                 df = batch.to_pandas()
                 k = df["l_orderkey"].to_numpy(np.int64)
-                pos = np.searchsorted(o_keys, k)
-                m = ((pos < len(o_keys))
-                     & (o_keys[np.minimum(pos, len(o_keys) - 1)] == k))
+                m = _in_sorted(o_keys, k)
                 df = df[m]
-                years = o_years[pos[m]]
+                years = o_years[np.searchsorted(o_keys, k)[m]] \
+                    if len(o_keys) else np.empty(0, np.int64)
                 s = df["l_suppkey"].to_numpy(np.int64)
-                spos = np.searchsorted(t_supp, s)
-                is_t = ((spos < len(t_supp))
-                        & (t_supp[np.minimum(spos, len(t_supp) - 1)]
-                           == s)).astype(np.int64)
+                is_t = _in_sorted(t_supp, s).astype(np.int64)
                 g = (pd.DataFrame({"yr": years, "is_t": is_t,
                                    "rev_e4": _rev_e4(df)})
                      .groupby(["yr", "is_t"], sort=False)["rev_e4"]
@@ -2701,6 +2695,18 @@ def market_share(
         k = (r["p1"], r["p2"])
         acc[k] = acc.get(k, 0) + r["rev_e4"]
     return _market_share_finish(acc)
+
+
+def _in_sorted(sorted_keys: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in a SORTED key array
+    (searchsorted probe); empty key sets yield all-False instead of a
+    negative-index crash."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_keys, values)
+    return ((pos < len(sorted_keys))
+            & (sorted_keys[np.minimum(pos, len(sorted_keys) - 1)]
+               == values))
 
 
 def _market_share_finish(acc: dict[tuple[int, int], int]) -> pa.Table:

@@ -535,3 +535,29 @@ def test_market_share_broadcast_matches_sorted_path(ray_session):
                                broadcast_keys_max=0)
     assert bcast.equals(sorted_path)
     assert bcast.num_rows > 0
+
+
+def test_market_share_empty_region(ray_session):
+    """A region with no customers must yield an empty (not crashing)
+    result on the broadcast path — empty key sets short-circuit the
+    sorted-membership probes."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, market_share)
+
+    def ds(table, cols, parts):
+        t = pq.read_table(f"{SF}/{table}.parquet", columns=cols)
+        return rd.from_arrow(t).repartition(parts)
+
+    out = market_share(
+        ds("lineitem", ["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"], 3),
+        ds("supplier", ["s_suppkey", "s_nationkey"], 2),
+        ds("orders", ["o_orderkey", "o_custkey", "o_orderdate"], 2),
+        ds("customer", ["c_custkey", "c_nationkey"], 2),
+        _nation_region_map(SF), region="NO_SUCH_REGION")
+    assert out.num_rows == 0
+    assert out.schema.names == ["o_year", "nation_rev_e4",
+                                "total_rev_e4", "share_bp"]
