@@ -304,6 +304,21 @@ def _q_kg_entity_daily(sf_dir: str):
         read_turns(sf_dir, columns=["conv_id", "turn_idx", "ts"]))
 
 
+def _q_kg_report(sf_dir: str):
+    """Shared-upstream temporal analytics: ONE flagship pass feeds
+    both the per-entity timeline and the per-(entity, day) drill-down
+    (long-format union) — the production composition of the pair the
+    independent kg_mention_timeline / kg_entity_daily entries
+    re-compute."""
+    from clinicaltransformerner_ray.pipelines.kg import kg_report
+    from clinicaltransformerner_ray.sources.turns import read_turns
+
+    return kg_report(
+        _kg(sf_dir)["linked"],
+        read_turns(sf_dir,
+                   columns=["conv_id", "turn_idx", "ts"]).materialize())
+
+
 def _q_kg_near_cooccur(sf_dir: str):
     """Windowed co-occurrence (0 < gap <= 2 turns): the proximity
     generalization of co_occurs/follows, emitted via per-block
@@ -2393,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_supplier": _q_tpch_top_supplier,
         # --- new this round ---
         "dedup_report": _q_dedup_report,
+        "kg_report": _q_kg_report,
         # --- driver-green in earlier rounds (re-checked if budget allows) ---
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
@@ -5538,6 +5554,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             GROUP BY nm.n_name
         """,
     }
+    # kg_report: nested-CTE composition of the two verified temporal
+    # oracles (timeline + daily) in the same long format the Ray
+    # union emits
+    sql["kg_report"] = (
+        "WITH tl AS (" + sql["kg_mention_timeline"] + "),\n"
+        "dl AS (" + sql["kg_entity_daily"] + ")\n"
+        "SELECT * FROM (\n"
+        "  SELECT 'timeline' AS section, entity_id,\n"
+        "         CAST(0 AS BIGINT) AS day, n_mentions AS v1,\n"
+        "         n_turns AS v2, n_convs AS v3, first_us AS v4,\n"
+        "         last_us AS v5, span_us AS v6 FROM tl\n"
+        "  UNION ALL\n"
+        "  SELECT 'daily', entity_id, day, n_mentions, n_turns,\n"
+        "         CAST(0 AS BIGINT), CAST(0 AS BIGINT),\n"
+        "         CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dl\n"
+        ") ORDER BY section, entity_id, day"
+    )
     # dedup_report: nested-CTE composition of the three verified
     # per-metric oracles (whole statements nest as CTE bodies,
     # CLAUDE.md round-4 rule 2) projected to the long-format

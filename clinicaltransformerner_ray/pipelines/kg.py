@@ -734,27 +734,18 @@ def association_stats(
                                batch_size=COMBINE_BATCH)
 
 
-def mention_timeline(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
-    """Per-entity temporal profile: total mentions, distinct mention
-    turns / conversations, and first / last mention timestamps (epoch
-    microseconds) plus the active span.
+def mention_ts_join(linked: rd.Dataset,
+                    turns_ts: rd.Dataset) -> rd.Dataset:
+    """The mentions⋈turns timestamp sort-merge join SHARED by
+    :func:`mention_timeline` and :func:`entity_daily` (and computed
+    once by :func:`kg_report`): mention rows pre-aggregate
+    batch-locally to (conv_id, turn_idx, entity_id, cnt) partials,
+    turn rows project to (conv_id, turn_idx, us); ONE sort on the
+    high-cardinality composite co-locates each partial with its
+    unique turn row (Ray's range partitioner never splits equal
+    keys), and a per-block pandas inner merge attaches us.
 
-    The tagger drops non-key turn columns, so the timestamp comes back
-    via a sort-merge join: mention rows pre-aggregate batch-locally to
-    (conv_id, turn_idx, entity_id, cnt) partials (shrinking what the
-    shuffle moves), turn rows project to (conv_id, turn_idx, us); ONE
-    sort on the high-cardinality composite (conv_id, turn_idx)
-    co-locates each partial with its unique turn row (Ray's range
-    partitioner never splits equal keys across blocks), a per-block
-    pandas merge attaches us, then ONE sort on entity_id + block-local
-    completion computes the distinct counts and min/max exactly.
-
-    All outputs are exact integers (epoch micros, counts), so the
-    DuckDB oracle matches bitwise.  Reference analog: the mention
-    table join back to note metadata for temporal reporting
-    (ClinicalTransformerNER emits per-document TSV/BRAT mention rows
-    keyed by source file; time profiling is downstream of that join).
-    """
+    Output: (entity_id, conv_id, turn_idx, cnt, us)."""
 
     def ment_partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
@@ -798,6 +789,38 @@ def mention_timeline(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
             "us": pa.array(j["tus"].to_numpy(dtype=np.int64), pa.int64()),
         })
 
+    partials = linked.map_batches(
+        ment_partial, batch_format="pyarrow", batch_size=COMBINE_BATCH)
+    tt = turns_ts.map_batches(turn_rows, batch_format="pyarrow")
+    return (partials.union(tt)
+            .sort(["conv_id", "turn_idx"])
+            .map_batches(attach_ts, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def mention_timeline(linked: rd.Dataset, turns_ts: rd.Dataset,
+                     *, joined: rd.Dataset | None = None) -> rd.Dataset:
+    """Per-entity temporal profile: total mentions, distinct mention
+    turns / conversations, and first / last mention timestamps (epoch
+    microseconds) plus the active span.
+
+    The tagger drops non-key turn columns, so the timestamp comes back
+    via a sort-merge join: mention rows pre-aggregate batch-locally to
+    (conv_id, turn_idx, entity_id, cnt) partials (shrinking what the
+    shuffle moves), turn rows project to (conv_id, turn_idx, us); ONE
+    sort on the high-cardinality composite (conv_id, turn_idx)
+    co-locates each partial with its unique turn row (Ray's range
+    partitioner never splits equal keys across blocks), a per-block
+    pandas merge attaches us, then ONE sort on entity_id + block-local
+    completion computes the distinct counts and min/max exactly.
+
+    All outputs are exact integers (epoch micros, counts), so the
+    DuckDB oracle matches bitwise.  Reference analog: the mention
+    table join back to note metadata for temporal reporting
+    (ClinicalTransformerNER emits per-document TSV/BRAT mention rows
+    keyed by source file; time profiling is downstream of that join).
+    """
+
     def complete(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         if df.empty:
@@ -836,13 +859,9 @@ def mention_timeline(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
                 pa.int64()),
         })
 
-    partials = linked.map_batches(
-        ment_partial, batch_format="pyarrow", batch_size=COMBINE_BATCH)
-    tt = turns_ts.map_batches(turn_rows, batch_format="pyarrow")
-    return (partials.union(tt)
-            .sort(["conv_id", "turn_idx"])
-            .map_batches(attach_ts, batch_format="pyarrow", batch_size=None)
-            .sort("entity_id")
+    j = joined if joined is not None else \
+        mention_ts_join(linked, turns_ts)
+    return (j.sort("entity_id")
             .map_batches(complete, batch_format="pyarrow", batch_size=None))
 
 
@@ -990,7 +1009,8 @@ def near_cooccurrence(
                          batch_size=None))
 
 
-def entity_daily(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
+def entity_daily(linked: rd.Dataset, turns_ts: rd.Dataset,
+                 *, joined: rd.Dataset | None = None) -> rd.Dataset:
     """Per-(entity, day) mention activity — the temporal drill-down of
     :func:`mention_timeline` (same mentions⋈turns sort-merge ts join;
     see there for the join exactness argument), completed per
@@ -1005,49 +1025,17 @@ def entity_daily(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
     Output: (entity_id, day, n_mentions, n_turns)."""
     DAY_US = 86_400_000_000
 
-    def ment_partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
-        g = (df.groupby(["conv_id", "turn_idx", "entity_id"], sort=False)
-             .size().reset_index(name="cnt"))
-        n = len(g)
+    def with_day(batch: pa.Table) -> pa.Table:
+        us = batch.column("us").to_numpy(zero_copy_only=False)
+        tidx = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        conv = batch.column("conv_id").to_pylist()
         return pa.table({
-            "conv_id": pa.array(g["conv_id"].tolist(), pa.string()),
-            "turn_idx": pa.array(
-                g["turn_idx"].to_numpy(dtype=np.int64), pa.int64()),
-            "entity_id": pa.array(g["entity_id"].tolist(), pa.string()),
-            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64),
-                            pa.int64()),
-            "us": pa.array(np.zeros(n, np.int64), pa.int64()),
-            "side": pa.array(np.ones(n, np.int8), pa.int8()),
-        })
-
-    def turn_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "conv_id": batch.column("conv_id"),
-            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
-            "entity_id": pa.array([""] * n, pa.string()),
-            "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
-            "us": batch.column("ts").cast(pa.int64()),
-            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
-        })
-
-    def attach_day(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        m = df[df["side"] == 1]
-        t = df[df["side"] == 0]
-        j = m.merge(
-            t[["conv_id", "turn_idx", "us"]].rename(columns={"us": "tus"}),
-            on=["conv_id", "turn_idx"], how="inner")
-        return pa.table({
-            "entity_id": pa.array(j["entity_id"].tolist(), pa.string()),
-            "day": pa.array(
-                j["tus"].to_numpy(dtype=np.int64) // DAY_US, pa.int64()),
+            "entity_id": batch.column("entity_id"),
+            "day": pa.array(us.astype(np.int64) // DAY_US, pa.int64()),
             "tk": pa.array(
-                (j["conv_id"] + "#" + j["turn_idx"].astype(str)).tolist(),
+                [c + "#" + str(int(t)) for c, t in zip(conv, tidx)],
                 pa.string()),
-            "cnt": pa.array(j["cnt"].to_numpy(dtype=np.int64),
-                            pa.int64()),
+            "cnt": batch.column("cnt"),
         })
 
     def complete(batch: pa.Table) -> pa.Table:
@@ -1072,13 +1060,64 @@ def entity_daily(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
                 g["n_turns"].to_numpy(dtype=np.int64), pa.int64()),
         })
 
-    partials = linked.map_batches(
-        ment_partial, batch_format="pyarrow", batch_size=COMBINE_BATCH)
-    tt = turns_ts.map_batches(turn_rows, batch_format="pyarrow")
-    return (partials.union(tt)
-            .sort(["conv_id", "turn_idx"])
-            .map_batches(attach_day, batch_format="pyarrow",
-                         batch_size=None)
+    j = joined if joined is not None else \
+        mention_ts_join(linked, turns_ts)
+    return (j.map_batches(with_day, batch_format="pyarrow")
             .sort(["entity_id", "day"])
             .map_batches(complete, batch_format="pyarrow",
                          batch_size=None))
+
+
+def kg_report(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
+    """ONE flagship pass for the temporal analytics pair: the linked
+    mention table (already cached by ``kg_pipeline``'s object-store /
+    parquet-checkpoint auto-select, so the tagger runs ONCE) feeds
+    BOTH :func:`mention_timeline` and :func:`entity_daily`; their
+    outputs union into a long-format all-integer report (the
+    ``dedup_report`` pattern — the standalone query entries re-run
+    the flagship each because the driver contract requires
+    independent queries; a production run uses this).
+
+    The mentions⋈turns ts join itself also runs ONCE
+    (:func:`mention_ts_join`, materialized here — it feeds both
+    completions and Ray does no CSE).
+
+    Output rows, sorted by (section, entity_id, day):
+      section='timeline': day=0, v1=n_mentions, v2=n_turns,
+          v3=n_convs, v4=first_us, v5=last_us, v6=span_us
+      section='daily':    day=epoch day, v1=n_mentions, v2=n_turns,
+          v3..v6=0."""
+    joined = mention_ts_join(linked, turns_ts).materialize()
+    tl = mention_timeline(linked, turns_ts, joined=joined)
+    dl = entity_daily(linked, turns_ts, joined=joined)
+
+    def tl_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        zero = pa.array(np.zeros(m, np.int64), pa.int64())
+        return pa.table({
+            "section": pa.array(["timeline"] * m, pa.string()),
+            "entity_id": batch.column("entity_id").cast(pa.string()),
+            "day": zero,
+            "v1": batch.column("n_mentions").cast(pa.int64()),
+            "v2": batch.column("n_turns").cast(pa.int64()),
+            "v3": batch.column("n_convs").cast(pa.int64()),
+            "v4": batch.column("first_us").cast(pa.int64()),
+            "v5": batch.column("last_us").cast(pa.int64()),
+            "v6": batch.column("span_us").cast(pa.int64()),
+        })
+
+    def dl_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        zero = pa.array(np.zeros(m, np.int64), pa.int64())
+        return pa.table({
+            "section": pa.array(["daily"] * m, pa.string()),
+            "entity_id": batch.column("entity_id").cast(pa.string()),
+            "day": batch.column("day").cast(pa.int64()),
+            "v1": batch.column("n_mentions").cast(pa.int64()),
+            "v2": batch.column("n_turns").cast(pa.int64()),
+            "v3": zero, "v4": zero, "v5": zero, "v6": zero,
+        })
+
+    return (tl.map_batches(tl_rows, batch_format="pyarrow")
+            .union(dl.map_batches(dl_rows, batch_format="pyarrow"))
+            .sort(["section", "entity_id", "day"]))

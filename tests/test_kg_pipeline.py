@@ -583,3 +583,33 @@ def test_label_propagation_matches_sequential_replica(ray_session):
     got = dict(zip(out["entity_id"], out["community"]))
     assert got == lab
     assert len(set(lab.values())) > 1  # non-degenerate fixture
+
+
+def test_kg_report_matches_standalone_pair(ray_session):
+    """kg_report's shared-join path must reproduce mention_timeline and
+    entity_daily row-for-row (one flagship pass, one ts join)."""
+    from clinicaltransformerner_ray.pipelines.kg import (
+        entity_daily, kg_pipeline, kg_report, mention_timeline)
+    from clinicaltransformerner_ray.sources.turns import read_turns
+
+    linked = kg_pipeline(SF)["linked"]
+    tts = read_turns(SF, columns=["conv_id", "turn_idx", "ts"]).materialize()
+    rep = kg_report(linked, tts).to_pandas()
+    by = dict(tuple(rep.groupby("section")))
+
+    tl = mention_timeline(linked, tts).to_pandas().sort_values(
+        "entity_id").reset_index(drop=True)
+    got = by["timeline"].sort_values("entity_id")
+    assert got["entity_id"].tolist() == tl["entity_id"].tolist()
+    assert (got[["v1", "v2", "v3", "v4", "v5", "v6"]]
+            .to_numpy(dtype="int64").tolist()
+            == tl[["n_mentions", "n_turns", "n_convs", "first_us",
+                   "last_us", "span_us"]].to_numpy(dtype="int64").tolist())
+
+    dl = entity_daily(linked, tts).to_pandas().sort_values(
+        ["entity_id", "day"]).reset_index(drop=True)
+    got = by["daily"].sort_values(["entity_id", "day"])
+    assert got["entity_id"].tolist() == dl["entity_id"].tolist()
+    assert (got[["day", "v1", "v2"]].to_numpy(dtype="int64").tolist()
+            == dl[["day", "n_mentions", "n_turns"]]
+            .to_numpy(dtype="int64").tolist())
