@@ -2768,10 +2768,16 @@ WITH unn AS (
            generate_subscripts(embedding, 1) AS i
     FROM embeddings
 ),
-norm AS (
+norm0 AS (
     SELECT vec_id, i,
            v / sqrt(SUM(v * v) OVER (PARTITION BY vec_id)) AS v
     FROM unn
+),
+norm AS (
+    -- r05 determinism quantization (knn_lsh precedent): exact-integer
+    -- values make every centroid sum exactly associative on BOTH
+    -- engines (floor(v * 2^20), exact float64 product both sides)
+    SELECT vec_id, i, floor(v * 1048576.0) AS v FROM norm0
 ),
 ds AS (SELECT max(i) // {m} AS dsub FROM unn),
 subn AS (

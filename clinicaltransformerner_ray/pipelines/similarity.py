@@ -645,7 +645,20 @@ def pq_topk(
     as score margins dominate float noise (the synth's margins are
     ~1e-2 vs noise ~1e-14; asserted at two scales).
 
+    DETERMINISM (r05): normalized values are quantized to
+    ``floor(v * 2^20)`` (the knn_lsh precedent) BEFORE any
+    accumulation, so every centroid partial sum is a sum of exact
+    integers in float64 — exactly associative below 2^53, hence
+    invariant to Ray's run-to-run block splits.  Without this, 1-ulp
+    drift in a block-order float sum could flip a near-tie code
+    assignment on the synth's unseparated subspaces and amplify
+    through the Lloyd's iterations (observed once as a transient
+    ann_pq hash mismatch in a 140-query sim).  Distances use an
+    explicit per-centroid loop rather than one BLAS matmul so each
+    row's reduction is batch-size-invariant.
+
     Output: (query_id, neighbor_id, rank) with rank 1-based."""
+    SCALE = float(1 << 20)
     qids, Q = load_queries(vecs, n_queries)
     dim = Q.shape[1]
     if dim % m:
@@ -658,6 +671,7 @@ def pq_topk(
     # --- train: C[s] is (k_sub, dsub); init = vec_id % k_sub means ---
     def init_partial(batch: pa.Table) -> pa.Table:
         ids, X = _batch_matrix(batch)
+        X = np.floor(X * SCALE)  # exact ints: order-free partials
         assign = ids % k_sub
         out_s, out_c, out_v, out_n = [], [], [], []
         for c in range(k_sub):
@@ -695,11 +709,13 @@ def pq_topk(
         code on ties (np.argmin) — replicated by the SQL's
         (d2 ASC, c ASC) row_number."""
         out = np.empty((len(X), m), np.int64)
+        d2 = np.empty((len(X), k_sub))
         for s in range(m):
             Xs = sub_view(X, s)
-            d2 = ((Xs * Xs).sum(axis=1)[:, None]
-                  - 2.0 * (Xs @ C_[s].T)
-                  + (C_[s] * C_[s]).sum(axis=1)[None, :])
+            for c in range(k_sub):
+                diff = Xs - C_[s][c]
+                # row-local fixed-length reduction: batch-size-invariant
+                d2[:, c] = (diff * diff).sum(axis=1)
             out[:, s] = np.argmin(d2, axis=1)
         return out
 
@@ -709,6 +725,7 @@ def pq_topk(
         def step_partial(batch: pa.Table) -> pa.Table:
             C_ = ray.get(ref)
             ids, X = _batch_matrix(batch)
+            X = np.floor(X * SCALE)
             codes = codes_of(X, C_)
             out_s, out_c, out_v, out_n = [], [], [], []
             for s in range(m):
@@ -734,11 +751,12 @@ def pq_topk(
         C = newC
 
     # --- encode + ADC score + batch-local top-k ---
-    cref = ray.put((C, qids, Q))
+    cref = ray.put((C, qids, np.floor(Q * SCALE)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         C_, qids_, Q_ = ray.get(cref)
         ids, X = _batch_matrix(batch)
+        X = np.floor(X * SCALE)
         codes = codes_of(X, C_)
         # LUT[s]: (nq, k_sub) dots; score = sum_s LUT[s][:, code_s]
         scores = np.zeros((len(X), len(qids_)))

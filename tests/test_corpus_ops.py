@@ -1486,3 +1486,30 @@ def test_dedup_report_sections_match_standalone(ray_session):
     assert (got.to_numpy(dtype="int64").tolist()
             == want.sort_values("est_64")
                    .to_numpy(dtype="int64").tolist())
+
+
+def test_pq_block_split_invariant(ray_session):
+    """Regression (r05): ann_pq once produced a transient hash
+    mismatch because Lloyd's centroid partials were block-order float
+    sums — Ray's block splits vary run to run, 1-ulp drift flipped a
+    near-tie code and the iterations amplified it.  With the
+    floor(v*2^20) quantization every partial is a sum of exact
+    integers, so ANY partitioning must give bitwise-identical
+    rankings."""
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import pq_topk
+
+    tbl = pq_.read_table(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    outs = []
+    for parts in (1, 3, 7, 16):
+        out = (pq_topk(rd.from_arrow(tbl).repartition(parts),
+                       n_queries=4, k=5)
+               .to_pandas().sort_values(["query_id", "rank"])
+               .reset_index(drop=True))
+        outs.append(out)
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
