@@ -2406,9 +2406,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "tpch_market_share": _q_tpch_market_share,
         "tpch_top_supplier": _q_tpch_top_supplier,
-        # --- new this round ---
+        # --- new this round (ann_pq re-listed: its kernel gained the
+        # r05 determinism quantization, so it should be re-checked) ---
         "dedup_report": _q_dedup_report,
         "kg_report": _q_kg_report,
+        "ann_pq": _q_ann_pq,
         # --- driver-green in earlier rounds (re-checked if budget allows) ---
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
@@ -2420,7 +2422,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_semantic": _q_dedup_semantic,
-        "ann_pq": _q_ann_pq,
         "tpch_waiting_suppliers": _q_tpch_waiting_suppliers,
         "tpch_part_variety": _q_tpch_part_variety,
         "tpch_custdist": _q_tpch_custdist,
