@@ -2351,6 +2351,82 @@ def _q_kg_mentions_biaffine(sf_dir: str):
     return mention_counts(detect_mentions_biaffine(turns, alias_rows))
 
 
+def _train_sentences(sf_dir: str):
+    """Shared upstream for the T6/A6 queries: turns -> per-turn BIO
+    label rows straight off the tagger pool (`tag_turn_labels`, one
+    actor-pool pass, zero wide ops — bit-identical to the
+    detect_mentions + labels_from_mentions re-join, tested), renamed to
+    the trainer's (doc_id, sent_idx, tokens, labels) schema."""
+    from clinicaltransformerner_ray.pipelines.kg import tag_turn_labels
+    from clinicaltransformerner_ray.sources.turns import (
+        load_alias_rows, read_turns)
+
+    alias_rows = load_alias_rows(sf_dir)
+    turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    sents = tag_turn_labels(turns, alias_rows).rename_columns(
+        {"conv_id": "doc_id", "turn_idx": "sent_idx"})
+    types = sorted({r["type"] for r in alias_rows})
+    return sents, types
+
+
+def _q_train_stats(sf_dir: str):
+    """T6's distributed stage: the ONE streaming pass collecting exact
+    integer sufficient statistics ``(key, n)`` for the emission-GLM
+    trainer (`pipelines/train.py::collect_stats`) over the turns-derived
+    BIO sentences.  Everything is md5-derived and integer, so the whole
+    stage — greedy tagging, BIO projection, token/micro hashing, the
+    sparse fold — is oracle-checked bit for bit."""
+    from clinicaltransformerner_ray.labels import build_label_vocab
+    from clinicaltransformerner_ray.pipelines.train import stats_table
+
+    sents, types = _train_sentences(sf_dir)
+    return stats_table(sents, build_label_vocab(types),
+                       n_buckets=512, n_micro=4)
+
+
+def _q_train_emission(sf_dir: str):
+    """T6+A6 end to end (rows-only: AdamW float weights are not
+    SQL-expressible): deterministic conv-hash train/dev split, the full
+    epochs × steps loop with warmup + clipping over the distributed
+    statistics, dev-selected best checkpoint — returns the per-eval
+    history (epoch, step, score, improved)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.pipelines.train import (
+        _hash64, train)
+
+    sents, types = _train_sentences(sf_dir)
+    sents = sents.materialize()  # two consumers (train + dev filters)
+
+    def side(is_dev: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(ids.astype(str), return_inverse=True)
+            dev = np.asarray(
+                [_hash64(c) % 20 == 0 for c in uniq], dtype=bool)[inv]
+            return batch.filter(pa.array(dev if is_dev else ~dev))
+        return f
+
+    res = train(
+        sents.map_batches(side(False), batch_format="pyarrow"),
+        sents.map_batches(side(True), batch_format="pyarrow"),
+        entity_types=types, n_buckets=512,
+        num_train_epochs=3, steps_per_epoch=2, learning_rate=0.5)
+    return pa.table({
+        "epoch": pa.array([h["epoch"] for h in res.history], pa.int64()),
+        "global_step": pa.array(
+            [h["global_step"] for h in res.history], pa.int64()),
+        "score_ppm": pa.array(
+            [int(round(h["score"] * 1_000_000)) for h in res.history],
+            pa.int64()),
+        "improved": pa.array(
+            [bool(h["improved"]) for h in res.history], pa.bool_()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-5 driver priority: every never-driver-checked
@@ -2411,6 +2487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": _q_dedup_report,
         "kg_report": _q_kg_report,
         "ann_pq": _q_ann_pq,
+        "train_stats": _q_train_stats,
+        "train_emission_rowsonly": _q_train_emission,
         # --- driver-green in earlier rounds (re-checked if budget allows) ---
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
@@ -3585,6 +3663,70 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM numbered
             GROUP BY conv_id, turn_idx
         """,
+        # T6 sufficient statistics: positional BIO labels in SQL (token
+        # char starts by prefix-sum over the split of the normalized
+        # text; a token is in a mention iff its start lies in the
+        # mention's [s, e) char span, B- iff it IS the start), then the
+        # trainer's exact key arithmetic — micro = md5(conv||\x1f||turn)
+        # % 4, bucket = md5(tok) % 512, label ids in build_label_vocab
+        # order (O=3; type k of the sorted alias types -> B=4+2k,
+        # I=5+2k).  All md5_number_upper/integers — bit-exact.
+        "train_stats": span_cte + """
+            , tk0 AS (
+                SELECT conv_id, turn_idx,
+                       unnest(list_transform(
+                           range(1, len(string_split(ntext, ' ')) + 1),
+                           i -> {'pos': i, 'tok': string_split(ntext, ' ')[i]}),
+                           recursive := true)
+                FROM t
+            ), tks AS (
+                SELECT * FROM (
+                    SELECT conv_id, turn_idx, pos, tok,
+                           CAST(coalesce(sum(len(tok)) OVER (
+                               PARTITION BY conv_id, turn_idx ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                               + pos - 1 AS BIGINT) AS cstart
+                    FROM tk0)
+                WHERE tok <> ''
+            ), ment AS (
+                SELECT conv_id, turn_idx, type,
+                       CAST(i - 1 AS BIGINT) AS s,
+                       CAST(i - 1 + len(alias) AS BIGINT) AS e
+                FROM occ
+            ), lab AS (
+                SELECT k.conv_id, k.turn_idx, k.tok,
+                       coalesce(max(CASE WHEN k.cstart = m.s
+                                         THEN 'B-' || m.type
+                                         ELSE 'I-' || m.type END),
+                                'O') AS label
+                FROM tks k LEFT JOIN ment m
+                  ON k.conv_id = m.conv_id AND k.turn_idx = m.turn_idx
+                 AND k.cstart >= m.s AND k.cstart < m.e
+                GROUP BY k.conv_id, k.turn_idx, k.pos, k.tok
+            ), ty AS (
+                SELECT type,
+                       CAST(row_number() OVER (ORDER BY type) - 1
+                            AS BIGINT) AS tidx
+                FROM (SELECT DISTINCT type FROM read_parquet('{aliases}'))
+            ), nl AS (
+                SELECT CAST(4 + 2 * count(*) AS BIGINT) AS n_labels FROM ty
+            )
+            SELECT CAST(
+                       ((md5_number_upper(l.conv_id || chr(31)
+                                          || CAST(l.turn_idx AS VARCHAR)) % 4)
+                        * 512
+                        + md5_number_upper(l.tok) % 512) * nl.n_labels
+                       + CASE WHEN l.label = 'O' THEN 3
+                              ELSE 4 + 2 * ty.tidx
+                                   + CASE WHEN l.label LIKE 'I-%'
+                                          THEN 1 ELSE 0 END END
+                       AS BIGINT) AS key,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lab l
+            LEFT JOIN ty ON ty.type = substr(l.label, 3), nl
+            GROUP BY 1
+        """.replace("{aliases}", p["aliases"]),
         "events_windowed": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    CAST(count(*) AS BIGINT) AS n_events,

@@ -165,6 +165,50 @@ def cmd_eval(args) -> None:
     print(json.dumps(res, sort_keys=True))
 
 
+def cmd_train(args) -> None:
+    """Shell training surface (reference `run_transformer_ner.sh` /
+    `run_transformer_ner.py` arg shapes): read train/dev BIO splits,
+    run the distributed sufficient-statistics training loop
+    (`pipelines/train.py`, T6), select on dev (A6), write
+    ``label2idx.json`` + retained ``checkpoint_{step}.bin`` under
+    ``--new-model-dir``.  Prints one JSON summary line."""
+    import json
+
+    from clinicaltransformerner_ray.pipelines.train import (
+        entity_types_from_sentences, train)
+    from clinicaltransformerner_ray.sources.bio_text import read_split
+
+    train_ds = read_split(args.data_dir, "train", do_lower=args.do_lower)
+    dev_ds = read_split(args.data_dir, "dev", do_lower=args.do_lower)
+    types = entity_types_from_sentences(train_ds)
+    res = train(
+        train_ds, dev_ds,
+        entity_types=types,
+        n_buckets=args.n_buckets,
+        num_train_epochs=args.num_train_epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        learning_rate=args.learning_rate,
+        warmup_ratio=args.warmup_ratio,
+        train_steps=args.train_steps,
+        early_stop=args.early_stop,
+        adversarial=args.adversarial_training_method
+        if args.adversarial_training else None,
+        model_selection_scoring=args.model_selection_scoring,
+        model_dir=args.new_model_dir,
+        max_num_checkpoints=args.max_num_checkpoints,
+    )
+    print(json.dumps({
+        "best_score": res.best_score,
+        "best_step": res.best_step,
+        "global_step": res.global_step,
+        "stopped_early": res.stopped_early,
+        "epochs_run": len({h["epoch"] for h in res.history}),
+        "entity_types": types,
+        "model_dir": args.new_model_dir,
+    }, sort_keys=True))
+
+
 def cmd_multimodal(args) -> None:
     """Shell surface for the binary-media actor-pool stages (the
     reference's users live on the shell —
@@ -250,6 +294,31 @@ def build_parser() -> argparse.ArgumentParser:
                     help="brat: also score relations (track2 full eval)")
     ev.add_argument("--num-cpus", type=int, default=None)
     ev.set_defaults(fn=cmd_eval)
+
+    tr = sub.add_parser(
+        "train",
+        help="train the emission model on BIO splits (distributed "
+             "sufficient statistics + dev model selection)")
+    tr.add_argument("--data-dir", required=True,
+                    help="directory holding train.txt and dev.txt")
+    tr.add_argument("--new-model-dir", required=True)
+    tr.add_argument("--n-buckets", type=int, default=4096)
+    tr.add_argument("--num-train-epochs", type=int, default=10)
+    tr.add_argument("--steps-per-epoch", type=int, default=1)
+    tr.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    tr.add_argument("--learning-rate", type=float, default=0.5)
+    tr.add_argument("--warmup-ratio", type=float, default=0.1)
+    tr.add_argument("--train-steps", type=int, default=0)
+    tr.add_argument("--early-stop", type=int, default=0)
+    tr.add_argument("--adversarial-training", action="store_true")
+    tr.add_argument("--adversarial-training-method",
+                    choices=["fgm", "pgd"], default="fgm")
+    tr.add_argument("--model-selection-scoring",
+                    default="strict-f_score-1")
+    tr.add_argument("--max-num-checkpoints", type=int, default=3)
+    tr.add_argument("--do-lower", action="store_true")
+    tr.add_argument("--num-cpus", type=int, default=None)
+    tr.set_defaults(fn=cmd_train)
 
     mm = sub.add_parser(
         "multimodal",

@@ -86,6 +86,7 @@ def detect_mentions(
     quarantine_dir: str | None = None,
     model_dir: str | None = None,
     num_gpus: float = 0.0,
+    emit: str = "mentions",
 ) -> rd.Dataset:
     """turns -> mentions via the tagger actor pool. Alias rows ship once
     per actor through a ray.put broadcast ref.  ``decode="crf"`` selects
@@ -134,6 +135,7 @@ def detect_mentions(
             "decode": decode,
             "quarantine_dir": quarantine_dir,
             "model_dir": model_dir,
+            "emit": emit,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -141,6 +143,17 @@ def detect_mentions(
         num_cpus=1,
         **extra,
     )
+
+
+def tag_turn_labels(turns: rd.Dataset, alias_rows: list[dict],
+                    **kw) -> rd.Dataset:
+    """Training-data assembly surface (T6): per-turn
+    ``(conv_id, turn_idx, tokens, labels)`` rows straight off the tagger
+    actor pool — the same windowed decode as :func:`detect_mentions`
+    with the span projection skipped, so corpus labeling is ONE
+    actor-pool pass with zero wide ops (vs mention detection + a
+    union/sort re-join through ``labels_from_mentions``)."""
+    return detect_mentions(turns, alias_rows, emit="labels", **kw)
 
 
 def detect_mentions_biaffine(

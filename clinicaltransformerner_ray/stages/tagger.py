@@ -83,6 +83,15 @@ MENTION_SCHEMA = pa.schema([
     ("type", pa.string()),
 ])
 
+#: ``emit="labels"`` output: one row per turn with the decoded BIO
+#: label sequence (the training-data assembly surface, T6).
+LABELS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int64()),
+    ("tokens", pa.list_(pa.string())),
+    ("labels", pa.list_(pa.string())),
+])
+
 
 def read_quarantine(quarantine_dir: str):
     """Load the quarantine side table written by MentionTagger actors
@@ -144,7 +153,15 @@ class MentionTagger:
         model_dir: str | None = None,
         device: str = "cpu",
         forward_window_batch: int = 64,
+        emit: str = "mentions",
     ):
+        # emit="labels": per-turn (tokens, BIO labels) rows instead of
+        # the span table — the fix_bio'd y_pred round-trips exactly to
+        # spans_to_bio(tag2entity_turn(y_pred)), so this is the same
+        # decode with the mention projection skipped (zero extra wide
+        # ops for training-data assembly, pipelines/train.py)
+        assert emit in ("mentions", "labels"), emit
+        self.emit = emit
         alias_rows = _maybe_get(alias_rows_ref)
         self.lexicon = Lexicon(
             (tuple(r["alias"].split(" ")), r["type"], r["entity_id"]) for r in alias_rows
@@ -342,8 +359,9 @@ class MentionTagger:
         )
         return tokens, offsets, wins, guards_mat, first, target, mask_mat
 
-    def _decode_turn(self, feat, preds: np.ndarray):
-        """preds: this turn's (n_windows, L) predicted label ids."""
+    def _predict_bio(self, feat, preds: np.ndarray) -> list[str]:
+        """preds: this turn's (n_windows, L) predicted label ids ->
+        the repaired per-word BIO sequence."""
         tokens, offsets, wins, guards_mat, first, _target, _mask = feat
         if self.fast_decode:
             sel = (guards_mat > 0) & first
@@ -354,10 +372,28 @@ class MentionTagger:
                                     guards_mat.tolist(), self.idx2label,
                                     skip_masked=self.family.pre_pad)
         y_pred = fix_system_labels(y_pred, self.system_labels)
-        y_pred = fix_bio(y_pred)
+        return fix_bio(y_pred)
+
+    def _decode_turn(self, feat, preds: np.ndarray):
+        tokens, offsets = feat[0], feat[1]
+        y_pred = self._predict_bio(feat, preds)
         spans = tag2entity_turn(tokens, offsets, y_pred)
         return [(surf, normalize_surface(surf), s, e, t)
                 for surf, s, e, t in spans]
+
+    @staticmethod
+    def _labels_table(rows: list[tuple], empties: list[tuple]) -> pa.Table:
+        """emit="labels" output builder — explicit types so empty blocks
+        never infer a `null` column (CLAUDE.md round-3 rule 3)."""
+        all_rows = rows + [(cid, ti, [], []) for cid, ti in empties]
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in all_rows], pa.string()),
+            "turn_idx": pa.array([int(r[1]) for r in all_rows], pa.int64()),
+            "tokens": pa.array([r[2] for r in all_rows],
+                               pa.list_(pa.string())),
+            "labels": pa.array([r[3] for r in all_rows],
+                               pa.list_(pa.string())),
+        }, schema=LABELS_SCHEMA)
 
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -371,6 +407,7 @@ class MentionTagger:
         # overhead-dominated per call, so batching is a ~5x win)
         feats = []
         failures: list[tuple] = []
+        empties: list[tuple] = []
         for cid, ti, text in zip(conv, tidx, texts):
             try:
                 feat = self._featurize_turn(text or "")
@@ -381,8 +418,12 @@ class MentionTagger:
                 continue
             if feat is not None:
                 feats.append((cid, ti, feat))
+            elif self.emit == "labels":
+                empties.append((cid, ti))
         if not feats:
             self._report_failures(failures)
+            if self.emit == "labels":
+                return self._labels_table([], empties)
             return MENTION_SCHEMA.empty_table()
 
         if self.model is not None:
@@ -400,6 +441,22 @@ class MentionTagger:
             preds_all = self._forward(targets, masks)
 
         # phase 2: split predictions back per turn and decode
+        if self.emit == "labels":
+            rows = []
+            pos = 0
+            for cid, ti, feat in feats:
+                n_wins = feat[3].shape[0]
+                preds = preds_all[pos:pos + n_wins]
+                pos += n_wins
+                try:
+                    y_pred = self._predict_bio(feat, preds)
+                except Exception as exc:
+                    failures.append((cid, ti, "decode", repr(exc)))
+                    continue
+                rows.append((cid, ti, list(feat[0]), y_pred))
+            self._report_failures(failures)
+            return self._labels_table(rows, empties)
+
         pos = 0
         for cid, ti, feat in feats:
             n_wins = feat[3].shape[0]

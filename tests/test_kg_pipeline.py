@@ -257,6 +257,13 @@ def test_tagger_handles_empty_and_null_text(alias_rows):
     })
     out = MentionTagger(alias_rows)(batch)
     assert out.num_rows == 0
+    # emit="labels": every turn keeps a row; empty/null text -> [] lists
+    lab = MentionTagger(alias_rows, emit="labels")(batch)
+    assert lab.num_rows == 3
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in lab.to_pylist()}
+    assert rows[("c1", 0)]["labels"] == [] == rows[("c1", 0)]["tokens"]
+    assert rows[("c1", 1)]["labels"] == []
+    assert rows[("c1", 2)]["labels"] == ["O"] * 5
 
 
 def test_entry_smoke(ray_session):
