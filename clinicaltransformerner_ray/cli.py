@@ -87,7 +87,21 @@ def cmd_predict(args) -> None:
     alias_rows = load_alias_rows(args.sf_dir)
     turns = read_turns(args.sf_dir,
                        columns=["conv_id", "turn_idx", "text"])
-    mentions = detect_mentions(turns, alias_rows, decode=args.decode)
+    if getattr(args, "trained_model_dir", None):
+        # trained-checkpoint route: the emission payload saved by the
+        # `train` subcommand replaces the lexicon scorer (reference
+        # lifecycle: task.py training output feeds
+        # run_transformer_batch_prediction.py)
+        from clinicaltransformerner_ray.pipelines.train import (
+            detect_mentions_trained)
+        from clinicaltransformerner_ray.state.artifacts import (
+            load_latest_checkpoint)
+
+        payload, ckpt = load_latest_checkpoint(args.trained_model_dir)
+        print(f"predict: trained checkpoint {ckpt}")
+        mentions = detect_mentions_trained(turns, payload)
+    else:
+        mentions = detect_mentions(turns, alias_rows, decode=args.decode)
 
     if args.format == "brat":
         ds, col, ext = brat_annotations(mentions), "ann", "ann"
@@ -261,6 +275,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default="bio")
     pr.add_argument("--decode", choices=["argmax", "crf"],
                     default="argmax")
+    pr.add_argument("--trained-model-dir", default=None,
+                    help="model dir written by the train subcommand; "
+                         "its latest checkpoint replaces the lexicon "
+                         "scorer")
     pr.add_argument("--files", action="store_true",
                     help="also render one text file per document")
     pr.add_argument("--num-cpus", type=int, default=None)

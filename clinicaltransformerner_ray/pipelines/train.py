@@ -567,8 +567,9 @@ class TrainedEmissionTagger:
         self.W = np.asarray(payload["W"])
         self.b = np.asarray(payload["b"])
         self.n_buckets = int(payload["n_buckets"])
-        self.idx2label = invert({k: int(v)
-                                 for k, v in payload["label2idx"].items()})
+        label2idx = {k: int(v) for k, v in payload["label2idx"].items()}
+        self.idx2label = invert(label2idx)
+        self.o_id = label2idx[O]
         self.labels = np.asarray(
             [self.idx2label[i] for i in range(len(self.idx2label))])
 
@@ -586,6 +587,10 @@ class TrainedEmissionTagger:
         buckets = _bucket_tokens(
             flat.to_numpy(zero_copy_only=False).astype(str), self.n_buckets)
         pred = np.argmax(self.W[:, buckets] + self.b[:, None], axis=0)
+        # M8 prediction fix (task.py:497-501): system labels (ids below
+        # id('O') — PAD/CLS/X) map to O; an unseen bucket's all-zero
+        # column argmaxes to id 0 == PAD, so this also covers OOV
+        pred = np.where(pred < self.o_id, self.o_id, pred)
         offs = toks.combine_chunks().offsets.to_numpy()
         labs = self.labels[pred]
         return pa.table({
@@ -609,5 +614,100 @@ def tag_with_model(sentences: rd.Dataset, payload: dict,
         TrainedEmissionTagger,
         fn_constructor_args=(ref,),
         concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+class TrainedMentionTagger:
+    """Turns -> MENTION_SCHEMA span rows with a trained emission
+    checkpoint: the drop-in replacement for the lexicon
+    ``MentionTagger`` in the predict/format surface, closing the
+    reference's train -> predict -> format lifecycle
+    (`run_transformer_batch_prediction.py` fed by `task.py` training
+    output).  Argmax predictions are BIO-repaired (`fix_bio`, the
+    reference's `__fix_bio` before output, task.py:467-491) and span
+    extraction reuses `tag2entity_turn` — identical downstream
+    semantics to the lexicon route."""
+
+    def __init__(self, payload_ref):
+        from clinicaltransformerner_ray.functions.text import (
+            tokenize_with_offsets)
+
+        payload = (ray.get(payload_ref)
+                   if isinstance(payload_ref, ray.ObjectRef)
+                   else payload_ref)
+        self.W = np.asarray(payload["W"])
+        self.b = np.asarray(payload["b"])
+        self.n_buckets = int(payload["n_buckets"])
+        label2idx = {k: int(v) for k, v in payload["label2idx"].items()}
+        idx2label = invert(label2idx)
+        self.o_id = label2idx[O]
+        self.labels = np.asarray(
+            [idx2label[i] for i in range(len(idx2label))])
+        self._tokenize = tokenize_with_offsets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from clinicaltransformerner_ray.functions.decode import fix_bio
+        from clinicaltransformerner_ray.functions.spans import (
+            tag2entity_turn)
+        from clinicaltransformerner_ray.functions.text import (
+            normalize_surface)
+        from clinicaltransformerner_ray.stages.tagger import MENTION_SCHEMA
+
+        toks_per, offs_per = [], []
+        for text in batch.column("text").to_pylist():
+            tokens, offsets = self._tokenize(text or "")
+            toks_per.append(tokens)
+            offs_per.append(offsets)
+        flat = np.asarray([t for ts in toks_per for t in ts], dtype=object)
+        if len(flat) == 0:
+            return MENTION_SCHEMA.empty_table()
+        buckets = _bucket_tokens(flat.astype(str), self.n_buckets)
+        pred_ids = np.argmax(self.W[:, buckets] + self.b[:, None], axis=0)
+        # M8 prediction fix (task.py:497-501) — see TrainedEmissionTagger
+        pred = self.labels[np.where(pred_ids < self.o_id,
+                                    self.o_id, pred_ids)]
+        out = {k: [] for k in ("conv_id", "turn_idx", "ment_id", "surface",
+                               "surface_norm", "start", "end", "type")}
+        pos = 0
+        for cid, ti, tokens, offsets in zip(
+                batch.column("conv_id").to_pylist(),
+                batch.column("turn_idx").to_pylist(),
+                toks_per, offs_per):
+            y = fix_bio(list(pred[pos:pos + len(tokens)]))
+            pos += len(tokens)
+            for mid, (surf, s, e, t) in enumerate(
+                    tag2entity_turn(tokens, offsets, y)):
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(int(ti))
+                out["ment_id"].append(mid)
+                out["surface"].append(surf)
+                out["surface_norm"].append(normalize_surface(surf))
+                out["start"].append(s)
+                out["end"].append(e)
+                out["type"].append(t)
+        return pa.table(out, schema=MENTION_SCHEMA)
+
+
+def detect_mentions_trained(turns: rd.Dataset, payload: dict,
+                            *, concurrency: int | None = None,
+                            batch_size: int = 1024) -> rd.Dataset:
+    """The predict surface on a trained checkpoint: same actor-pool
+    shape as `kg.detect_mentions`, scoring with the broadcast emission
+    payload instead of the alias lexicon.  Default concurrency leaves
+    reader headroom — a pool covering every CPU starves the read stage
+    and deadlocks (CLAUDE.md perf rule 3)."""
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = max(1, min(int(0.625 * cpus), cpus - 2))
+    ref = ray.put(payload)
+    return turns.map_batches(
+        TrainedMentionTagger,
+        fn_constructor_args=(ref,),
+        concurrency=concurrency,
+        batch_size=batch_size,
         batch_format="pyarrow",
     )
