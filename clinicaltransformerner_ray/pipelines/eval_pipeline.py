@@ -186,9 +186,11 @@ def labels_from_mentions(
             out.append(row)
         if out:
             return from_pandas_clean(pd.DataFrame(out))
+        # int64 to match the pandas-path blocks (mixed int32/int64
+        # blocks trip a schema-unification warning in downstream sorts)
         cols = {
             "conv_id": pa.array([], pa.string()),
-            "turn_idx": pa.array([], pa.int32()),
+            "turn_idx": pa.array([], pa.int64()),
             "labels": pa.array([], pa.list_(pa.string())),
         }
         if emit_tokens:
