@@ -2391,7 +2391,6 @@ def _q_train_emission(sf_dir: str):
     statistics, dev-selected best checkpoint — returns the per-eval
     history (epoch, step, score, improved)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from clinicaltransformerner_ray.pipelines.train import (
         _hash64, train)
