@@ -2426,6 +2426,64 @@ def _q_train_emission(sf_dir: str):
     })
 
 
+def _pred_alias_rows(alias_rows: list[dict]) -> list[dict]:
+    """Deterministically degraded lexicon for the eval_prf query —
+    md5-gated (== DuckDB md5_number_upper) so the SQL oracle derives
+    the IDENTICAL pred alias set: h%7==0 dropped (recall misses),
+    h%5==0 type shifted to the next sorted type (confusions -> strict
+    AND relax false), h%3==0 multi-word aliases truncated to their
+    first word (boundary errors -> relax-true but strict-false)."""
+    from clinicaltransformerner_ray.pipelines.train import _hash64
+
+    types = sorted({r["type"] for r in alias_rows})
+    nxt = {t: types[(i + 1) % len(types)] for i, t in enumerate(types)}
+    out = []
+    for r in alias_rows:
+        h = _hash64(r["alias"])
+        if h % 7 == 0:
+            continue
+        alias = r["alias"]
+        words = alias.split(" ")
+        if h % 3 == 0 and len(words) > 1:
+            alias = words[0]
+        out.append({**r, "alias": alias,
+                    "type": nxt[r["type"]] if h % 5 == 0 else r["type"]})
+    return out
+
+
+def _q_eval_prf(sf_dir: str):
+    """A2-A4 as a distributed query: BioEval per-category strict/relax
+    counters of a degraded-lexicon prediction against the full-lexicon
+    gold, over every turn.  All cells are exact integers; the oracle
+    replicates the span decode, the strict rule (identical token span
+    incl. the no-gold-continuation check), the relax overlap rule and
+    the double-count guard's first-touching-gold rank discipline in
+    SQL over token-index spans."""
+    from clinicaltransformerner_ray.pipelines.eval_pipeline import (
+        span_counters_table)
+    from clinicaltransformerner_ray.pipelines.kg import tag_turn_labels
+    from clinicaltransformerner_ray.sources.turns import (
+        load_alias_rows, read_turns)
+
+    import ray
+
+    alias_rows = load_alias_rows(sf_dir)
+    turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    # TWO tagger pools run concurrently under the union — split the
+    # cluster between them with reader/sort headroom, or the default
+    # single-pool fraction (0.625 each) over-subscribes and deadlocks
+    # (CLAUDE.md perf rule 3, observed here at 16 CPUs)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    c = max(1, (cpus - 3) // 2)
+    gold = tag_turn_labels(turns, alias_rows, concurrency=c)
+    pred = tag_turn_labels(turns, _pred_alias_rows(alias_rows),
+                           concurrency=c)
+    return span_counters_table(gold, pred)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-5 driver priority: every never-driver-checked
@@ -2488,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": _q_ann_pq,
         "train_stats": _q_train_stats,
         "train_emission_rowsonly": _q_train_emission,
+        "eval_prf": _q_eval_prf,
         # --- driver-green in earlier rounds (re-checked if budget allows) ---
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
@@ -3726,6 +3785,137 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             LEFT JOIN ty ON ty.type = substr(l.label, 3), nl
             GROUP BY 1
         """.replace("{aliases}", p["aliases"]),
+        # A2-A4 BioEval counters vs the md5-degraded pred lexicon.
+        # Token-index spans (tkr ranks non-empty tokens; tix of a
+        # mention start = the token whose prefix-sum char start equals
+        # the occurrence position).  Strict == identical (ts,te,type)
+        # span (equivalent to the reference's b-head + token-equality +
+        # no-continuation rule on well-formed non-overlapping BIO);
+        # relax == same-type token overlap; the double-count guard =
+        # rank-1-per-first-TOUCHING-gold (exclusive ends compared as if
+        # inclusive — the reference's :222 quirk) in pred scan order.
+        "eval_prf": """
+            WITH t AS (
+                SELECT conv_id, turn_idx,
+                       regexp_replace(text, '\\s+', ' ', 'g') AS ntext,
+                       ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                           || ' ' AS pad
+                FROM read_parquet('{turns}')
+            ), tk0 AS (
+                SELECT conv_id, turn_idx,
+                       unnest(list_transform(
+                           range(1, len(string_split(ntext, ' ')) + 1),
+                           i -> {'pos': i, 'tok': string_split(ntext, ' ')[i]}),
+                           recursive := true)
+                FROM t
+            ), tkr AS (
+                SELECT conv_id, turn_idx, cstart,
+                       CAST(row_number() OVER (
+                           PARTITION BY conv_id, turn_idx ORDER BY pos) - 1
+                           AS BIGINT) AS tix
+                FROM (
+                    SELECT conv_id, turn_idx, pos, tok,
+                           CAST(coalesce(sum(len(tok)) OVER (
+                               PARTITION BY conv_id, turn_idx ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                               + pos - 1 AS BIGINT) AS cstart
+                    FROM tk0)
+                WHERE tok <> ''
+            ), ty AS (
+                SELECT type, CAST(row_number() OVER (ORDER BY type) - 1
+                                  AS BIGINT) AS tidx
+                FROM (SELECT DISTINCT type FROM read_parquet('{aliases}'))
+            ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ty
+            ), pal AS (
+                SELECT CASE WHEN md5_number_upper(a.alias) % 3 = 0
+                                 AND len(string_split(a.alias, ' ')) > 1
+                            THEN string_split(a.alias, ' ')[1]
+                            ELSE a.alias END AS alias,
+                       CASE WHEN md5_number_upper(a.alias) % 5 = 0
+                            THEN tn.type ELSE a.type END AS type
+                FROM read_parquet('{aliases}') a
+                JOIN ty ON ty.type = a.type
+                CROSS JOIN nt
+                JOIN ty tn ON tn.tidx = (ty.tidx + 1) % nt.n
+                WHERE md5_number_upper(a.alias) % 7 != 0
+            ), gocc AS (
+                SELECT t.conv_id, t.turn_idx, a.alias, a.type,
+                       unnest(list_filter(range(1, len(t.pad)), i ->
+                           substr(t.pad, i, len(a.alias) + 2)
+                               = ' ' || a.alias || ' ')) AS i
+                FROM t JOIN read_parquet('{aliases}') a
+                  ON contains(t.pad, ' ' || a.alias || ' ')
+            ), pocc AS (
+                SELECT t.conv_id, t.turn_idx, a.alias, a.type,
+                       unnest(list_filter(range(1, len(t.pad)), i ->
+                           substr(t.pad, i, len(a.alias) + 2)
+                               = ' ' || a.alias || ' ')) AS i
+                FROM t JOIN pal a
+                  ON contains(t.pad, ' ' || a.alias || ' ')
+            ), gsp AS (
+                SELECT o.conv_id, o.turn_idx, o.type, r.tix AS ts,
+                       r.tix + len(string_split(o.alias, ' ')) AS te
+                FROM gocc o JOIN tkr r
+                  ON r.conv_id = o.conv_id AND r.turn_idx = o.turn_idx
+                 AND r.cstart = o.i - 1
+            ), psp AS (
+                SELECT o.conv_id, o.turn_idx, o.type, r.tix AS ts,
+                       r.tix + len(string_split(o.alias, ' ')) AS te
+                FROM pocc o JOIN tkr r
+                  ON r.conv_id = o.conv_id AND r.turn_idx = o.turn_idx
+                 AND r.cstart = o.i - 1
+            ), pm AS (
+                SELECT p.*,
+                       EXISTS (SELECT 1 FROM gsp g
+                               WHERE g.conv_id = p.conv_id
+                                 AND g.turn_idx = p.turn_idx
+                                 AND g.type = p.type AND g.ts = p.ts
+                                 AND g.te = p.te) AS strict,
+                       EXISTS (SELECT 1 FROM gsp g
+                               WHERE g.conv_id = p.conv_id
+                                 AND g.turn_idx = p.turn_idx
+                                 AND g.type = p.type AND g.ts < p.te
+                                 AND p.ts < g.te) AS relax
+                FROM psp p
+            ), rm AS (
+                SELECT p.*,
+                       (SELECT min(g.ts) FROM gsp g
+                        WHERE g.conv_id = p.conv_id
+                          AND g.turn_idx = p.turn_idx
+                          AND g.type = p.type AND g.te >= p.ts
+                          AND g.ts <= p.te) AS fg_ts
+                FROM pm p WHERE NOT strict AND relax
+            ), rmr AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx, type, fg_ts
+                    ORDER BY ts) AS rk
+                FROM rm
+            ), gcnt AS (
+                SELECT type AS category, CAST(count(*) AS BIGINT) AS gs
+                FROM gsp GROUP BY 1
+            ), pcls AS (
+                SELECT type AS category,
+                       CAST(count(*) FILTER (WHERE strict) AS BIGINT) AS st,
+                       CAST(count(*) FILTER (WHERE NOT strict AND NOT relax)
+                            AS BIGINT) AS ff
+                FROM pm GROUP BY 1
+            ), rcls AS (
+                SELECT type AS category,
+                       CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS rt1
+                FROM rmr GROUP BY 1
+            )
+            SELECT category,
+                   coalesce(g.gs, 0) AS gs,
+                   coalesce(p.st, 0) AS strict_true,
+                   coalesce(r.rt1, 0) + coalesce(p.ff, 0) AS strict_false,
+                   coalesce(p.st, 0) + coalesce(r.rt1, 0) AS relax_true,
+                   coalesce(p.ff, 0) AS relax_false
+            FROM gcnt g
+            FULL JOIN pcls p USING (category)
+            FULL JOIN rcls r USING (category)
+        """.replace("{turns}", p["turns_sql"]).replace(
+            "{aliases}", p["aliases"]),
         "events_windowed": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    CAST(count(*) AS BIGINT) AS n_events,

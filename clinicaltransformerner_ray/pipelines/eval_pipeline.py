@@ -82,6 +82,56 @@ def span_prf(
     }
 
 
+def span_counters_table(gold: rd.Dataset, pred: rd.Dataset) -> pa.Table:
+    """Distributed A2-A4 evaluation as a QUERYABLE table: per-category
+    integer counters ``(category, gs, strict_true, strict_false,
+    relax_true, relax_false)`` — the exact BioEval cells `performance`
+    finalizes, exposed raw so the whole distributed count is
+    oracle-checkable (every cell is an exact integer).
+
+    Same pairing shape as :func:`span_prf` (union -> sort(key) ->
+    per-block pairing), with per-block counters emitted as category
+    ROWS and a lexicon-bounded driver fold."""
+    gold = gold.select_columns(["conv_id", "turn_idx", "labels"])
+    pred = pred.select_columns(["conv_id", "turn_idx", "labels"])
+    both = _tag_side(gold, "g").union(_tag_side(pred, "p"))
+
+    def block_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        partials = []
+        for _, g in df.groupby(KEY, sort=False):
+            gs = g[g["side"] == "g"]
+            pr = g[g["side"] == "p"]
+            if len(gs) == 1 and len(pr) == 1:
+                partials.append(eval_sentence_pair(
+                    list(gs["labels"].iloc[0]), list(pr["labels"].iloc[0])))
+        merged = merge_counters(partials) if partials else {"cat": {}}
+        cats = sorted(merged["cat"])
+        return pa.table({
+            "category": pa.array(cats, pa.string()),
+            "cells": pa.array([merged["cat"][c] for c in cats],
+                              pa.list_(pa.int64())),
+        })
+
+    acc: dict[str, list[int]] = {}
+    parts = (both.sort(KEY)
+             .map_batches(block_rows, batch_format="pyarrow",
+                          batch_size=None))
+    for blk in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for cat, cells in zip(blk.column("category").to_pylist(),
+                              blk.column("cells").to_pylist()):
+            tot = acc.setdefault(cat, [0, 0, 0, 0, 0])
+            for i in range(5):
+                tot[i] += cells[i]
+    cats = sorted(acc)
+    cols = ["gs", "strict_true", "strict_false", "relax_true",
+            "relax_false"]
+    out = {"category": pa.array(cats, pa.string())}
+    for i, col in enumerate(cols):
+        out[col] = pa.array([acc[c][i] for c in cats], pa.int64())
+    return pa.table(out)
+
+
 def labels_from_mentions(
     mentions: rd.Dataset, turns: rd.Dataset, *, emit_tokens: bool = False
 ) -> rd.Dataset:

@@ -228,6 +228,26 @@ def test_sql_oracle_parity_small(ray_session):
         pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
 
 
+def test_eval_prf_oracle_parity_and_nondegeneracy(ray_session):
+    """A2-A4 as a query: distributed BioEval counters of the
+    md5-degraded pred lexicon vs full-lexicon gold match the SQL
+    replica bit for bit, and the degradations make every counter
+    family non-trivial (drops -> recall misses; type shifts -> strict
+    AND relax false; truncations -> relax-true-but-strict-false)."""
+    import __ray_entry__ as E
+
+    rdf = (E.queries()["eval_prf"](SF).to_pandas()
+           .sort_values("category").reset_index(drop=True))
+    odf = duckdb.sql(E.oracle_sql_for(SF)["eval_prf"]).df() \
+        .sort_values("category").reset_index(drop=True)
+    for c in odf.columns[1:]:
+        odf[c] = odf[c].astype("int64")
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
+    assert (rdf["gs"] > rdf["strict_true"]).all()          # recall < 1
+    assert (rdf["relax_true"] > rdf["strict_true"]).all()  # truncations
+    assert (rdf["strict_false"] > rdf["relax_false"]).all()
+
+
 def test_linker_embedding_fallback():
     """Dict miss -> trigram-embedding cosine link; far surface -> NIL."""
     from clinicaltransformerner_ray.stages.linker import EntityLinker, hash_embed
