@@ -2484,6 +2484,32 @@ def _q_eval_prf(sf_dir: str):
     return span_counters_table(gold, pred)
 
 
+def _q_eval_token_acc(sf_dir: str):
+    """A1 as a query: global token accuracy of the degraded-lexicon
+    prediction vs the full-lexicon gold — one row of two exact
+    integers; the oracle labels every token positionally in SQL for
+    BOTH alias sets and counts agreements."""
+    import ray
+
+    from clinicaltransformerner_ray.pipelines.eval_pipeline import (
+        token_accuracy_table)
+    from clinicaltransformerner_ray.pipelines.kg import tag_turn_labels
+    from clinicaltransformerner_ray.sources.turns import (
+        load_alias_rows, read_turns)
+
+    alias_rows = load_alias_rows(sf_dir)
+    turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    c = max(1, (cpus - 3) // 2)
+    gold = tag_turn_labels(turns, alias_rows, concurrency=c)
+    pred = tag_turn_labels(turns, _pred_alias_rows(alias_rows),
+                           concurrency=c)
+    return token_accuracy_table(gold, pred)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-5 driver priority: every never-driver-checked
@@ -2547,6 +2573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_stats": _q_train_stats,
         "train_emission_rowsonly": _q_train_emission,
         "eval_prf": _q_eval_prf,
+        "eval_token_acc": _q_eval_token_acc,
         # --- driver-green in earlier rounds (re-checked if budget allows) ---
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
@@ -3914,6 +3941,100 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM gcnt g
             FULL JOIN pcls p USING (category)
             FULL JOIN rcls r USING (category)
+        """.replace("{turns}", p["turns_sql"]).replace(
+            "{aliases}", p["aliases"]),
+        # A1 token accuracy vs the same degraded pred lexicon: label
+        # every token positionally (the train_stats labeling shape) for
+        # BOTH alias sets and count agreements — two exact integers.
+        "eval_token_acc": """
+            WITH t AS (
+                SELECT conv_id, turn_idx,
+                       regexp_replace(text, '\\s+', ' ', 'g') AS ntext,
+                       ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                           || ' ' AS pad
+                FROM read_parquet('{turns}')
+            ), tk0 AS (
+                SELECT conv_id, turn_idx,
+                       unnest(list_transform(
+                           range(1, len(string_split(ntext, ' ')) + 1),
+                           i -> {'pos': i, 'tok': string_split(ntext, ' ')[i]}),
+                           recursive := true)
+                FROM t
+            ), tks AS (
+                SELECT * FROM (
+                    SELECT conv_id, turn_idx, pos, tok,
+                           CAST(coalesce(sum(len(tok)) OVER (
+                               PARTITION BY conv_id, turn_idx ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                               + pos - 1 AS BIGINT) AS cstart
+                    FROM tk0)
+                WHERE tok <> ''
+            ), ty AS (
+                SELECT type, CAST(row_number() OVER (ORDER BY type) - 1
+                                  AS BIGINT) AS tidx
+                FROM (SELECT DISTINCT type FROM read_parquet('{aliases}'))
+            ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ty
+            ), pal AS (
+                SELECT CASE WHEN md5_number_upper(a.alias) % 3 = 0
+                                 AND len(string_split(a.alias, ' ')) > 1
+                            THEN string_split(a.alias, ' ')[1]
+                            ELSE a.alias END AS alias,
+                       CASE WHEN md5_number_upper(a.alias) % 5 = 0
+                            THEN tn.type ELSE a.type END AS type
+                FROM read_parquet('{aliases}') a
+                JOIN ty ON ty.type = a.type
+                CROSS JOIN nt
+                JOIN ty tn ON tn.tidx = (ty.tidx + 1) % nt.n
+                WHERE md5_number_upper(a.alias) % 7 != 0
+            ), gment AS (
+                SELECT t.conv_id, t.turn_idx, a.type,
+                       unnest(list_transform(
+                           list_filter(range(1, len(t.pad)), i ->
+                               substr(t.pad, i, len(a.alias) + 2)
+                                   = ' ' || a.alias || ' '),
+                           i -> {'s': i - 1, 'e': i - 1 + len(a.alias)}),
+                           recursive := true)
+                FROM t JOIN read_parquet('{aliases}') a
+                  ON contains(t.pad, ' ' || a.alias || ' ')
+            ), pment AS (
+                SELECT t.conv_id, t.turn_idx, a.type,
+                       unnest(list_transform(
+                           list_filter(range(1, len(t.pad)), i ->
+                               substr(t.pad, i, len(a.alias) + 2)
+                                   = ' ' || a.alias || ' '),
+                           i -> {'s': i - 1, 'e': i - 1 + len(a.alias)}),
+                           recursive := true)
+                FROM t JOIN pal a
+                  ON contains(t.pad, ' ' || a.alias || ' ')
+            ), glab AS (
+                SELECT k.conv_id, k.turn_idx, k.pos,
+                       coalesce(max(CASE WHEN k.cstart = m.s
+                                         THEN 'B-' || m.type
+                                         ELSE 'I-' || m.type END),
+                                'O') AS label
+                FROM tks k LEFT JOIN gment m
+                  ON k.conv_id = m.conv_id AND k.turn_idx = m.turn_idx
+                 AND k.cstart >= m.s AND k.cstart < m.e
+                GROUP BY k.conv_id, k.turn_idx, k.pos
+            ), plab AS (
+                SELECT k.conv_id, k.turn_idx, k.pos,
+                       coalesce(max(CASE WHEN k.cstart = m.s
+                                         THEN 'B-' || m.type
+                                         ELSE 'I-' || m.type END),
+                                'O') AS label
+                FROM tks k LEFT JOIN pment m
+                  ON k.conv_id = m.conv_id AND k.turn_idx = m.turn_idx
+                 AND k.cstart >= m.s AND k.cstart < m.e
+                GROUP BY k.conv_id, k.turn_idx, k.pos
+            )
+            SELECT CAST(count(*) FILTER (WHERE g.label = p.label)
+                        AS BIGINT) AS acc_true,
+                   CAST(count(*) FILTER (WHERE g.label != p.label)
+                        AS BIGINT) AS acc_false
+            FROM glab g JOIN plab p
+              ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+             AND g.pos = p.pos
         """.replace("{turns}", p["turns_sql"]).replace(
             "{aliases}", p["aliases"]),
         "events_windowed": """

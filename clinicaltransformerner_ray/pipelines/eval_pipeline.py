@@ -132,6 +132,43 @@ def span_counters_table(gold: rd.Dataset, pred: rd.Dataset) -> pa.Table:
     return pa.table(out)
 
 
+def token_accuracy_table(gold: rd.Dataset, pred: rd.Dataset) -> pa.Table:
+    """A1 as a queryable table: global token-level
+    ``(acc_true, acc_false)`` between two per-turn label datasets —
+    the same union/sort pairing as :func:`span_prf`, with a vectorized
+    per-block flatten-and-compare and a two-integer driver fold."""
+    import numpy as np
+
+    gold = gold.select_columns(["conv_id", "turn_idx", "labels"])
+    pred = pred.select_columns(["conv_id", "turn_idx", "labels"])
+    both = _tag_side(gold, "g").union(_tag_side(pred, "p"))
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t = f = 0
+        for _, g in df.groupby(KEY, sort=False):
+            gs = g[g["side"] == "g"]
+            pr = g[g["side"] == "p"]
+            if len(gs) == 1 and len(pr) == 1:
+                a = np.asarray(list(gs["labels"].iloc[0]), dtype=object)
+                b = np.asarray(list(pr["labels"].iloc[0]), dtype=object)
+                eq = int((a == b).sum())
+                t += eq
+                f += len(a) - eq
+        return pa.table({"acc_true": pa.array([t], pa.int64()),
+                         "acc_false": pa.array([f], pa.int64())})
+
+    t = f = 0
+    parts = (both.sort(KEY)
+             .map_batches(block_counts, batch_format="pyarrow",
+                          batch_size=None))
+    for blk in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t += sum(blk.column("acc_true").to_pylist())
+        f += sum(blk.column("acc_false").to_pylist())
+    return pa.table({"acc_true": pa.array([t], pa.int64()),
+                     "acc_false": pa.array([f], pa.int64())})
+
+
 def labels_from_mentions(
     mentions: rd.Dataset, turns: rd.Dataset, *, emit_tokens: bool = False
 ) -> rd.Dataset:

@@ -248,6 +248,21 @@ def test_eval_prf_oracle_parity_and_nondegeneracy(ray_session):
     assert (rdf["strict_false"] > rdf["relax_false"]).all()
 
 
+def test_eval_token_acc_oracle_parity(ray_session):
+    """A1 as a query: global token accuracy vs the degraded lexicon
+    matches the positional-labeling SQL replica exactly, and the
+    degradations flip a nonzero share of tokens."""
+    import __ray_entry__ as E
+
+    rdf = E.queries()["eval_token_acc"](SF).to_pandas()
+    odf = duckdb.sql(E.oracle_sql_for(SF)["eval_token_acc"]).df()
+    for c in odf.columns:
+        odf[c] = odf[c].astype("int64")
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False)
+    assert rdf["acc_false"][0] > 0
+    assert rdf["acc_true"][0] > rdf["acc_false"][0]
+
+
 def test_linker_embedding_fallback():
     """Dict miss -> trigram-embedding cosine link; far surface -> NIL."""
     from clinicaltransformerner_ray.stages.linker import EntityLinker, hash_embed
