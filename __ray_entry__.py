@@ -2512,14 +2512,22 @@ def _q_eval_token_acc(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- round-5 driver priority: every never-driver-checked
-        # entry (the r04 residue: tpch tail, events tail, top_tokens
-        # block, brat_format, kg_resume, multimodal rows-only), the
-        # re-wired salted events defaults (their r03 rows predate the
-        # r04 default swap; events_asof was the one red r03 row), and
-        # the two queries whose pipelines changed this round
-        # (market_share join-order fix, top_supplier edge fixes).
-        # 45 < 50, so this round closes 138/138 driver coverage. ---
+        # --- round-5 driver priority (the driver records the FIRST 50
+        # entries): the seven never-driver-checked round-5 additions
+        # first (training family, evaluation family, the report
+        # compositions), then the r04 residue (tpch tail, events tail,
+        # top_tokens block, brat_format, kg_resume, multimodal
+        # rows-only), the re-wired salted events defaults and the two
+        # r05-changed queries (market_share, top_supplier).  ann_pq
+        # (r03-green; r05 kernel re-verified 0-BAD in three local
+        # sf0.01 sims) and events_sessions (r03-green) yield their
+        # slots so the count lands at exactly 50. ---
+        "train_stats": _q_train_stats,
+        "train_emission_rowsonly": _q_train_emission,
+        "eval_prf": _q_eval_prf,
+        "eval_token_acc": _q_eval_token_acc,
+        "dedup_report": _q_dedup_report,
+        "kg_report": _q_kg_report,
         "tpch_min_cost_supplier": _q_tpch_min_cost_supplier,
         "tpch_disjunctive": _q_tpch_disjunctive,
         "tpch_copurchase": _q_tpch_copurchase,
@@ -2561,20 +2569,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames_rowsonly": _q_multimodal_frames_rowsonly,
         "kg_resume": _q_kg_resume,
         "events_asof": _q_events_asof,
-        "events_sessions": _q_events_sessions,
         "events_range_join": _q_events_range_join,
         "tpch_market_share": _q_tpch_market_share,
         "tpch_top_supplier": _q_tpch_top_supplier,
-        # --- new this round (ann_pq re-listed: its kernel gained the
-        # r05 determinism quantization, so it should be re-checked) ---
-        "dedup_report": _q_dedup_report,
-        "kg_report": _q_kg_report,
+        # --- driver-green in earlier rounds (re-checked if budget allows;
+        # ann_pq + events_sessions moved here from the priority block,
+        # see the header comment) ---
         "ann_pq": _q_ann_pq,
-        "train_stats": _q_train_stats,
-        "train_emission_rowsonly": _q_train_emission,
-        "eval_prf": _q_eval_prf,
-        "eval_token_acc": _q_eval_token_acc,
-        # --- driver-green in earlier rounds (re-checked if budget allows) ---
+        "events_sessions": _q_events_sessions,
         "dedup_substring": _q_dedup_substring,
         "c4_filters": _q_c4_filters,
         "ann_recall": _q_ann_recall,
