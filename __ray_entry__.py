@@ -2460,28 +2460,17 @@ def _q_eval_prf(sf_dir: str):
     the double-count guard's first-touching-gold rank discipline in
     SQL over token-index spans."""
     from clinicaltransformerner_ray.pipelines.eval_pipeline import (
-        span_counters_table)
-    from clinicaltransformerner_ray.pipelines.kg import tag_turn_labels
+        dual_eval_prf)
     from clinicaltransformerner_ray.sources.turns import (
         load_alias_rows, read_turns)
 
-    import ray
-
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
-    # TWO tagger pools run concurrently under the union — split the
-    # cluster between them with reader/sort headroom, or the default
-    # single-pool fraction (0.625 each) over-subscribes and deadlocks
-    # (CLAUDE.md perf rule 3, observed here at 16 CPUs)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    c = max(1, (cpus - 3) // 2)
-    gold = tag_turn_labels(turns, alias_rows, concurrency=c)
-    pred = tag_turn_labels(turns, _pred_alias_rows(alias_rows),
-                           concurrency=c)
-    return span_counters_table(gold, pred)
+    # zero-shuffle route: both lexicons tag each turn batch inside ONE
+    # actor (DualLexiconEval), so the union/sort pairing exchange of
+    # span_counters_table disappears; bit-parity with the pairing
+    # route is pytest-gated
+    return dual_eval_prf(turns, alias_rows, _pred_alias_rows(alias_rows))
 
 
 def _q_eval_token_acc(sf_dir: str):
@@ -2489,25 +2478,15 @@ def _q_eval_token_acc(sf_dir: str):
     prediction vs the full-lexicon gold — one row of two exact
     integers; the oracle labels every token positionally in SQL for
     BOTH alias sets and counts agreements."""
-    import ray
-
     from clinicaltransformerner_ray.pipelines.eval_pipeline import (
-        token_accuracy_table)
-    from clinicaltransformerner_ray.pipelines.kg import tag_turn_labels
+        dual_eval_token_acc)
     from clinicaltransformerner_ray.sources.turns import (
         load_alias_rows, read_turns)
 
     alias_rows = load_alias_rows(sf_dir)
     turns = read_turns(sf_dir, columns=["conv_id", "turn_idx", "text"])
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    c = max(1, (cpus - 3) // 2)
-    gold = tag_turn_labels(turns, alias_rows, concurrency=c)
-    pred = tag_turn_labels(turns, _pred_alias_rows(alias_rows),
-                           concurrency=c)
-    return token_accuracy_table(gold, pred)
+    return dual_eval_token_acc(turns, alias_rows,
+                               _pred_alias_rows(alias_rows))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

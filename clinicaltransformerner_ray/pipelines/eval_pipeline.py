@@ -19,6 +19,7 @@ import pyarrow as pa
 
 from clinicaltransformerner_ray.arrowutil import from_pandas_clean
 
+import ray
 import ray.data as rd
 
 from clinicaltransformerner_ray.functions.eval_bio import (
@@ -167,6 +168,100 @@ def token_accuracy_table(gold: rd.Dataset, pred: rd.Dataset) -> pa.Table:
         f += sum(blk.column("acc_false").to_pylist())
     return pa.table({"acc_true": pa.array([t], pa.int64()),
                      "acc_false": pa.array([f], pa.int64())})
+
+
+class DualLexiconEval:
+    """Actor-pool stage computing BioEval counters in ONE pass: both
+    the gold and the degraded lexicons tag the SAME turn batch inside
+    the actor, so gold/pred pairing is local to the row and the
+    union -> sort(key) exchange of :func:`span_counters_table`
+    disappears entirely (at corpus scale that sort shuffles the whole
+    token-label table twice).  Use the pairing-based functions when
+    gold and pred are genuinely separate datasets; use this when both
+    sides are derived from the same input rows."""
+
+    def __init__(self, gold_ref, pred_ref):
+        from clinicaltransformerner_ray.stages.tagger import MentionTagger
+
+        self.gold = MentionTagger(gold_ref, emit="labels")
+        self.pred = MentionTagger(pred_ref, emit="labels")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.gold(batch)
+        p = self.pred(batch)
+        pl = {(r["conv_id"], r["turn_idx"]): r["labels"]
+              for r in p.to_pylist()}
+        partials, acc_t, acc_f = [], 0, 0
+        for r in g.to_pylist():
+            pr = pl.get((r["conv_id"], r["turn_idx"]))
+            if pr is None:
+                continue
+            c = eval_sentence_pair(r["labels"], pr)
+            partials.append(c)
+            acc_t += c["acc_true"]
+            acc_f += c["acc_false"]
+        merged = merge_counters(partials) if partials else {"cat": {}}
+        cats = sorted(merged["cat"])
+        return pa.table({
+            "category": pa.array(cats + ["__acc__"], pa.string()),
+            "cells": pa.array(
+                [merged["cat"][c] for c in cats]
+                + [[acc_t, acc_f, 0, 0, 0]],
+                pa.list_(pa.int64())),
+        })
+
+
+def _dual_eval_fold(turns: rd.Dataset, gold_rows: list[dict],
+                    pred_rows: list[dict]) -> dict[str, list[int]]:
+    """Run the dual-lexicon pool over turns and fold the partial
+    counter rows on the driver (category count is lexicon-bounded)."""
+    ref_g = ray.put(gold_rows)
+    ref_p = ray.put(pred_rows)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    parts = turns.map_batches(
+        DualLexiconEval,
+        fn_constructor_args=(ref_g, ref_p),
+        concurrency=max(1, min(int(0.625 * cpus), cpus - 2)),
+        batch_size=1024,
+        batch_format="pyarrow",
+    )
+    acc: dict[str, list[int]] = {}
+    for blk in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for cat, cells in zip(blk.column("category").to_pylist(),
+                              blk.column("cells").to_pylist()):
+            tot = acc.setdefault(cat, [0, 0, 0, 0, 0])
+            for i in range(5):
+                tot[i] += cells[i]
+    return acc
+
+
+def dual_eval_prf(turns: rd.Dataset, gold_rows: list[dict],
+                  pred_rows: list[dict]) -> pa.Table:
+    """Zero-shuffle A2-A4 counters table (same schema/values as
+    :func:`span_counters_table` over the two taggings — bit-parity
+    tested)."""
+    acc = _dual_eval_fold(turns, gold_rows, pred_rows)
+    acc.pop("__acc__", None)
+    cats = sorted(acc)
+    cols = ["gs", "strict_true", "strict_false", "relax_true",
+            "relax_false"]
+    out = {"category": pa.array(cats, pa.string())}
+    for i, col in enumerate(cols):
+        out[col] = pa.array([acc[c][i] for c in cats], pa.int64())
+    return pa.table(out)
+
+
+def dual_eval_token_acc(turns: rd.Dataset, gold_rows: list[dict],
+                        pred_rows: list[dict]) -> pa.Table:
+    """Zero-shuffle A1 table (same values as
+    :func:`token_accuracy_table`)."""
+    acc = _dual_eval_fold(turns, gold_rows, pred_rows).get(
+        "__acc__", [0, 0, 0, 0, 0])
+    return pa.table({"acc_true": pa.array([acc[0]], pa.int64()),
+                     "acc_false": pa.array([acc[1]], pa.int64())})
 
 
 def labels_from_mentions(
