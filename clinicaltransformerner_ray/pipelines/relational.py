@@ -2361,19 +2361,29 @@ def top_supplier(
     *,
     date_from: str = "1996-01-01",
     date_to: str = "1996-04-01",
+    broadcast_suppliers_max: int = 1 << 20,
 ) -> rd.Dataset:
     """TPC-H Q15-shaped GLOBAL-MAX selection: the supplier(s) whose
     windowed revenue equals the corpus-wide maximum — a groupwise
     aggregate, a global max over it, and an equality join back (Q15's
     revenue view + its correlated ``= max(total_revenue)``).
 
-    Scale shape: per-supplier revenue partials combine batch-locally,
-    ONE sort on suppkey completes exact totals in-block (materialized
-    — the totals feed BOTH the max fold and the filter, and Ray does
-    no CSE); the global max folds O(blocks) per-block maxima on the
-    driver (bounded), and the winners filter + supplier-name join run
-    in a final sorted co-partition pass over totals ∪ supplier rows.
-    Revenue is the exact integer rev_e4 = cents * (100 - disc_pct).
+    Scale shape, auto-selected by ``broadcast_suppliers_max`` (the
+    market_share precedent): the aggregate is supplier-bounded, so
+    when the supplier dim fits the cap the whole query is ONE
+    streaming pass over lineitem — per-block (suppkey, rev) integer
+    partials fold on the driver (compacted to O(n_suppliers) as they
+    stream; integer sums are exactly associative, block-split
+    invariant), the global max and winner set drop out of the fold,
+    and winner names are fetched by a distributed supplier filter
+    (tiny survivors): ZERO wide ops, vs two fixed-overhead sorts +
+    a materialize on the chained path.  Above the cap it falls back
+    to the sorted co-partition chain: partials combine batch-locally,
+    ONE sort on suppkey completes exact totals in-block, the max
+    folds O(blocks) per-block maxima, and the winners filter +
+    supplier-name join run in a final sorted pass over totals ∪
+    supplier rows.  Revenue is the exact integer
+    rev_e4 = cents * (100 - disc_pct) on both paths.
 
     Output: (s_suppkey, s_name, total_revenue_e4) — every supplier
     tied at the maximum (deterministic, no arbitrary tie-break)."""
@@ -2397,6 +2407,65 @@ def top_supplier(
             "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
         })
 
+    _empty_out = pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "total_revenue_e4": pa.array([], pa.int64()),
+    })
+
+    n_supp = supplier.count()
+    if n_supp <= broadcast_suppliers_max:
+        # ---- broadcast-fold path: one streaming pass, zero wide ops
+        parts = lineitem.map_batches(rev_partials,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
+        uk = np.empty(0, np.int64)
+        tot = np.empty(0, np.int64)
+        pend_k, pend_r, pend_n = [uk], [tot], 0
+
+        def _compact(ks: list, rs: list) -> tuple:
+            k = np.concatenate(ks)
+            r = np.concatenate(rs)
+            u, inv = np.unique(k, return_inverse=True)
+            t = np.zeros(len(u), np.int64)
+            np.add.at(t, inv, r)
+            return u, t
+
+        for blk in parts.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            pend_k.append(blk.column("k").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            pend_r.append(blk.column("rev").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            pend_n += len(pend_k[-1])
+            # keep driver state O(n_suppliers), not O(blocks × supp)
+            if pend_n >= 4 * max(n_supp, 1):
+                uk, tot = _compact(pend_k, pend_r)
+                pend_k, pend_r, pend_n = [uk], [tot], len(uk)
+        uk, tot = _compact(pend_k, pend_r)
+        if len(uk) == 0:
+            return rd.from_arrow(_empty_out)
+        m_rev = int(tot.max())
+        winners = np.sort(uk[tot == m_rev])
+
+        def name_rows(batch: pa.Table) -> pa.Table:
+            s = batch.column("s_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(s, winners)))
+
+        rows = supplier.map_batches(name_rows,
+                                    batch_format="pyarrow").take_all()
+        names = {int(r["s_suppkey"]): r["s_name"] for r in rows}
+        # inner-join semantics: winners without a supplier-dim row drop
+        keep = [int(k) for k in winners if int(k) in names]
+        return rd.from_arrow(pa.table({
+            "s_suppkey": pa.array(keep, pa.int64()),
+            "s_name": pa.array([names[k] for k in keep], pa.string()),
+            "total_revenue_e4": pa.array([m_rev] * len(keep),
+                                         pa.int64()),
+        }))
+
+    # ---- sorted co-partition chain (above-cap fallback)
     totals = (lineitem.map_batches(rev_partials, batch_format="pyarrow",
                                    batch_size=None)
               .sort("k")

@@ -537,6 +537,34 @@ def test_market_share_broadcast_matches_sorted_path(ray_session):
     assert bcast.num_rows > 0
 
 
+def test_top_supplier_broadcast_matches_sorted_path(ray_session):
+    """Forced-path bit-parity: the zero-wide-op broadcast fold
+    (supplier dim under broadcast_suppliers_max) and the sorted
+    co-partition chain must produce identical tables."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        top_supplier)
+
+    def args():
+        def ds(table, cols, parts):
+            t = pq.read_table(f"{SF}/{table}.parquet", columns=cols)
+            return rd.from_arrow(t).repartition(parts)
+
+        return [
+            ds("lineitem", ["l_suppkey", "l_extendedprice",
+                            "l_discount", "l_shipdate"], 6),
+            ds("supplier", ["s_suppkey", "s_name"], 2),
+        ]
+
+    a = _canon(top_supplier(*args()).to_pandas())
+    b = _canon(top_supplier(
+        *args(), broadcast_suppliers_max=0).to_pandas())
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_market_share_empty_region(ray_session):
     """A region with no customers must yield an empty (not crashing)
     result on the broadcast path — empty key sets short-circuit the
