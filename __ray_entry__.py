@@ -2396,22 +2396,18 @@ def _q_train_emission(sf_dir: str):
         _hash64, train)
 
     sents, types = _train_sentences(sf_dir)
-    sents = sents.materialize()  # two consumers (train + dev filters)
 
-    def side(is_dev: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            import numpy as np
+    def is_dev(uniq):
+        import numpy as np
 
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(ids.astype(str), return_inverse=True)
-            dev = np.asarray(
-                [_hash64(c) % 20 == 0 for c in uniq], dtype=bool)[inv]
-            return batch.filter(pa.array(dev if is_dev else ~dev))
-        return f
+        return np.asarray([_hash64(c) % 20 == 0 for c in uniq],
+                          dtype=bool)
 
+    # split INSIDE the one collect pass: no materialize barrier, no
+    # second pass, no dev Dataset sort (bit-parity test-gated vs the
+    # pre-split two-dataset route)
     res = train(
-        sents.map_batches(side(False), batch_format="pyarrow"),
-        sents.map_batches(side(True), batch_format="pyarrow"),
+        sents, split_is_dev=is_dev,
         entity_types=types, n_buckets=512,
         num_train_epochs=3, steps_per_epoch=2, learning_rate=0.5)
     return pa.table({

@@ -257,6 +257,123 @@ def collect_dev(sentences: rd.Dataset, label2idx: dict[str, int],
     return bucket_seqs, label_seqs
 
 
+def collect_stats_and_dev(sentences: rd.Dataset, label2idx: dict[str, int],
+                          is_dev, *, n_buckets: int = 4096,
+                          n_micro: int = 1):
+    """ONE streaming pass over the FULL sentence Dataset when train/dev
+    are a per-doc split of the same rows (the dual-lexicon-eval
+    precedent: both sides derive from the same input, so splitting
+    INSIDE the block removes the two-consumer ``materialize`` barrier,
+    the second pass, and :func:`collect_dev`'s Dataset sort — dev rows
+    are sorted on the driver instead, where the split is small by
+    construction).  ``is_dev(uniq_doc_ids) -> bool mask`` decides the
+    split per unique doc id.  Returns ``(N, Y, dev_buckets,
+    dev_labels)`` bit-identical to running :func:`collect_stats` /
+    :func:`collect_dev` over pre-filtered datasets: the per-row hashing
+    and the exact-integer fold are row-wise, so filter-then-compute ==
+    compute-then-filter, and integer partial sums are exactly
+    associative (block-split invariant)."""
+    n_labels = len(label2idx)
+    o_id = label2idx[O]
+    lab_items = sorted(label2idx.items())
+    lab_keys = np.asarray([k for k, _ in lab_items])
+    lab_vals = np.asarray([v for _, v in lab_items], dtype=np.int64)
+
+    _schema = pa.schema([
+        ("kind", pa.int64()), ("key", pa.int64()), ("count", pa.int64()),
+        ("doc_id", pa.string()), ("sent_idx", pa.int64()),
+        ("buckets", pa.list_(pa.int64())),
+        ("lab_ids", pa.list_(pa.int64())),
+    ])
+
+    def _lab_ids(labs: np.ndarray) -> np.ndarray:
+        if not len(labs):
+            return np.empty(0, np.int64)
+        pos = np.clip(np.searchsorted(lab_keys, labs), 0,
+                      len(lab_keys) - 1)
+        return np.where(lab_keys[pos] == labs, lab_vals[pos], o_id)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _schema.empty_table()
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(str)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        dev_mask = np.asarray(is_dev(uniq), dtype=bool)[inv]
+        tr = batch.filter(pa.array(~dev_mask))
+        dv = batch.filter(pa.array(dev_mask))
+        out = [_schema.empty_table()]
+
+        toks = pc.list_flatten(tr.column("tokens"))
+        if len(toks):
+            parents = pc.list_parent_indices(tr.column("tokens")).to_numpy()
+            labs = pc.list_flatten(tr.column("labels")).to_numpy(
+                zero_copy_only=False).astype(str)
+            micro = _micro_of(
+                tr.column("doc_id").to_numpy(zero_copy_only=False),
+                tr.column("sent_idx").to_numpy(zero_copy_only=False),
+                n_micro)[parents]
+            buckets = _bucket_tokens(
+                toks.to_numpy(zero_copy_only=False).astype(str), n_buckets)
+            key = (micro * n_buckets + buckets) * n_labels + _lab_ids(labs)
+            u, cnt = np.unique(key, return_counts=True)
+            out.append(pa.table({
+                "kind": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+                "key": pa.array(u, pa.int64()),
+                "count": pa.array(cnt.astype(np.int64), pa.int64()),
+                "doc_id": pa.array([""] * len(u), pa.string()),
+                "sent_idx": pa.array(np.zeros(len(u), np.int64),
+                                     pa.int64()),
+                "buckets": pa.array([[]] * len(u), pa.list_(pa.int64())),
+                "lab_ids": pa.array([[]] * len(u), pa.list_(pa.int64())),
+            }))
+
+        if len(dv):
+            dtoks = dv.column("tokens")
+            flat = pc.list_flatten(dtoks)
+            db = (_bucket_tokens(
+                flat.to_numpy(zero_copy_only=False).astype(str), n_buckets)
+                if len(flat) else np.empty(0, np.int64))
+            dl = _lab_ids(pc.list_flatten(dv.column("labels")).to_numpy(
+                zero_copy_only=False).astype(str))
+            offs = dtoks.combine_chunks().offsets.to_numpy()
+            n = len(dv)
+            out.append(pa.table({
+                "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+                "key": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "count": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "doc_id": pc.cast(dv.column("doc_id"), pa.string()),
+                "sent_idx": pc.cast(dv.column("sent_idx"), pa.int64()),
+                "buckets": pa.array(
+                    [db[offs[i]:offs[i + 1]].tolist() for i in range(n)],
+                    pa.list_(pa.int64())),
+                "lab_ids": pa.array(
+                    [dl[offs[i]:offs[i + 1]].tolist() for i in range(n)],
+                    pa.list_(pa.int64())),
+            }))
+        return pa.concat_tables(out, promote_options="default")
+
+    parts = sentences.map_batches(per_block, batch_format="pyarrow",
+                                  batch_size=1 << 16)
+    y = np.zeros(n_micro * n_buckets * n_labels, dtype=np.int64)
+    dev_rows: list[tuple] = []
+    for blk in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        kind = blk.column("kind").to_numpy()
+        st = blk.filter(pa.array(kind == 0))
+        np.add.at(y, st.column("key").to_numpy(),
+                  st.column("count").to_numpy())
+        for r in blk.filter(pa.array(kind == 1)).to_pylist():
+            dev_rows.append((r["doc_id"], r["sent_idx"],
+                             np.asarray(r["buckets"], np.int64),
+                             np.asarray(r["lab_ids"], np.int64)))
+    # deterministic (doc_id, sent_idx) order == collect_dev's Dataset
+    # sort (ASCII ids: Python str < is binary-codepoint, like Arrow)
+    dev_rows.sort(key=lambda r: (r[0], r[1]))
+    y = y.reshape(n_micro, n_buckets, n_labels)
+    return (y.sum(axis=2), y,
+            [r[2] for r in dev_rows], [r[3] for r in dev_rows])
+
+
 def entity_types_from_sentences(sentences: rd.Dataset) -> list[str]:
     """A10-style unique type collection from BIO labels: distinct
     ``B-/I-`` suffixes (sorted), per-block unique partials folded on
@@ -382,8 +499,9 @@ def _evaluate_dev(W, b, dev_buckets, dev_labels, idx2label,
 
 def train(
     train_sentences: rd.Dataset,
-    dev_sentences: rd.Dataset,
+    dev_sentences: rd.Dataset | None = None,
     *,
+    split_is_dev=None,
     entity_types: list[str] | None = None,
     label2idx: dict[str, int] | None = None,
     resume_label2idx: dict[str, int] | None = None,
@@ -411,7 +529,14 @@ def train(
     """T6: the reference training loop (task.py:212-356) over
     distributed sufficient statistics.  See the module docstring for
     the semantics mapping; every knob above is the reference CLI flag
-    of the same name."""
+    of the same name.
+
+    Two input shapes: pass pre-split ``(train_sentences,
+    dev_sentences)`` Datasets, OR pass the FULL sentence set as
+    ``train_sentences`` with ``split_is_dev`` (a ``uniq_doc_ids ->
+    bool mask`` callable) — the latter collects both splits' statistics
+    in ONE streaming pass (:func:`collect_stats_and_dev`, bit-identical
+    results, no materialize barrier / second pass / dev sort)."""
     if label2idx is None:
         if entity_types is None:
             raise ValueError("need entity_types or label2idx")
@@ -423,11 +548,20 @@ def train(
     n_labels = len(label2idx)
     n_micro = steps_per_epoch * gradient_accumulation_steps
 
-    # --- the ONE distributed pass per split --------------------------------
-    N, Y = collect_stats(train_sentences, label2idx,
-                         n_buckets=n_buckets, n_micro=n_micro)
-    dev_buckets, dev_labels = collect_dev(dev_sentences, label2idx,
-                                          n_buckets=n_buckets)
+    # --- the distributed pass(es) -------------------------------------------
+    if split_is_dev is not None:
+        if dev_sentences is not None:
+            raise ValueError("pass dev_sentences OR split_is_dev, not both")
+        N, Y, dev_buckets, dev_labels = collect_stats_and_dev(
+            train_sentences, label2idx, split_is_dev,
+            n_buckets=n_buckets, n_micro=n_micro)
+    else:
+        if dev_sentences is None:
+            raise ValueError("need dev_sentences or split_is_dev")
+        N, Y = collect_stats(train_sentences, label2idx,
+                             n_buckets=n_buckets, n_micro=n_micro)
+        dev_buckets, dev_labels = collect_dev(dev_sentences, label2idx,
+                                              n_buckets=n_buckets)
 
     t_total = steps_per_epoch * num_train_epochs
     warmup_steps = int(warmup_ratio * t_total)

@@ -129,6 +129,46 @@ def test_stats_and_training_are_block_split_invariant(ray_session):
     np.testing.assert_array_equal(r1.b, r2.b)
 
 
+def test_split_is_dev_single_pass_matches_presplit(ray_session):
+    """The one-pass `split_is_dev` route (collect_stats_and_dev: split
+    inside the block, driver-sorted dev) must be BITWISE identical to
+    pre-filtering the same rows into two Datasets — weights, history
+    and dev selection — across several block splits."""
+    full = rd.from_arrow(_sentences(18))
+
+    def is_dev(uniq):
+        return np.asarray([int(u[3:]) % 5 == 0 for u in uniq], dtype=bool)
+
+    def side(dev):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(ids.astype(str), return_inverse=True)
+            m = is_dev(uniq)[inv]
+            return batch.filter(pa.array(m if dev else ~m))
+        return f
+
+    kw = dict(entity_types=["drug", "symptom"], num_train_epochs=3,
+              steps_per_epoch=2, n_buckets=512, learning_rate=0.5)
+    ref = train(full.map_batches(side(False), batch_format="pyarrow"),
+                full.map_batches(side(True), batch_format="pyarrow"),
+                **kw)
+    for parts in (1, 4):
+        got = train(full.repartition(parts), split_is_dev=is_dev, **kw)
+        np.testing.assert_array_equal(ref.W, got.W)
+        np.testing.assert_array_equal(ref.b, got.b)
+        assert ref.best_step == got.best_step
+        assert ref.history == got.history
+
+
+def test_train_requires_exactly_one_dev_source(ray_session):
+    full = rd.from_arrow(_sentences(4))
+    with pytest.raises(ValueError):
+        train(full, entity_types=["drug", "symptom"])
+    with pytest.raises(ValueError):
+        train(full, full, split_is_dev=lambda u: np.zeros(len(u), bool),
+              entity_types=["drug", "symptom"])
+
+
 def test_grad_accumulation_steps_the_optimizer_correctly(ray_session):
     train_ds, dev_ds = _splits()
     res = train(train_ds, dev_ds, entity_types=["drug", "symptom"],
