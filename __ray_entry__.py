@@ -869,6 +869,20 @@ def _q_corpus_novelty(sf_dir: str):
     return shingle_novelty(_docs(sf_dir), n=3)
 
 
+def _q_corpus_dsir(sf_dir: str):
+    """DSIR-style importance scoring (Xie et al. 2023): hashed-unigram
+    target-vs-raw profiles (target = source 'src0') broadcast via
+    ray.put, one streaming scoring pass — zero wide ops.  Integer
+    cross-multiplied surrogate of the smoothed log-ratio, so the
+    scores are oracle-exact (md5 bucket hash == md5_number_upper)."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        dsir_importance)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    return dsir_importance(docs, target_source="src0", n_buckets=4096)
+
+
 def _q_dedup_calibration(sf_dir: str):
     """Approximate-path quality harness: MinHash candidates bucketed
     by exact integer estimate (k-of-64) vs confirmation against the
@@ -2642,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clustering_coeff": _q_dedup_clustering_coeff,
         "dedup_containment": _q_dedup_containment,
         "corpus_novelty": _q_corpus_novelty,
+        "corpus_dsir": _q_corpus_dsir,
         "dedup_calibration": _q_dedup_calibration,
         "dedup_curate": _q_dedup_curate,
     }
@@ -4303,6 +4318,42 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_triangles
             FROM roles GROUP BY doc_id
+        """,
+        # DSIR importance scores: the integer cross-multiplied
+        # surrogate of the smoothed log-ratio (see
+        # textstats.dsir_importance) — every quantity is an exact
+        # int64 on both engines (md5_number_upper == _hash64).
+        "corpus_dsir": """
+            WITH tok AS (
+                SELECT doc_id, source = 'src0' AS is_t,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id, is_t,
+                       CAST(md5_number_upper(tok) % 4096 AS BIGINT) AS h
+                FROM tok WHERE tok <> ''
+            ),
+            prof AS (
+                SELECT h,
+                       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tc,
+                       CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END)
+                            AS BIGINT) AS rc
+                FROM tk GROUP BY h
+            ),
+            tot AS (
+                SELECT CAST(SUM(tc) + 4096 AS BIGINT) AS tt,
+                       CAST(SUM(rc) + 4096 AS BIGINT) AS rt
+                FROM prof
+            )
+            SELECT k.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(SUM((p.tc + 1) * tot.rt - (p.rc + 1) * tot.tt)
+                        AS BIGINT) AS score
+            FROM tk k JOIN prof p ON k.h = p.h CROSS JOIN tot
+            WHERE NOT k.is_t
+            GROUP BY k.doc_id
         """,
         "corpus_novelty": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -1539,6 +1539,128 @@ BPE_TOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)"
                 r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")
 
 
+def dsir_importance(
+    docs: rd.Dataset, *, target_source: str, n_buckets: int = 4096,
+) -> rd.Dataset:
+    """DSIR-style data selection via hashed-token importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): build hashed unigram count profiles for a
+    TARGET slice (``source == target_source``) and the RAW rest of the
+    corpus, then score every raw document by how target-like its
+    tokens are — the standard shape for steering a web-scale crawl
+    toward a curated domain before training.
+
+    Integer-exact surrogate: DSIR's per-token smoothed log-ratio
+    ``log p_t(h) - log p_r(h)`` is positive iff
+    ``(t[h]+1) * R' > (r[h]+1) * T'`` (``T' = T + n_buckets``,
+    ``R' = R + n_buckets`` the add-one-smoothed totals), so the score
+    sums the cross-multiplied differences
+    ``(t[h]+1)*R' - (r[h]+1)*T'`` — same per-token sign as the
+    log-ratio, deterministic int64, exactly SQL-replicable (the md5
+    bucket hash == DuckDB ``md5_number_upper``).  A corpus-scale run
+    would swap the per-token term for the float64 log-ratio (the
+    broadcast profile and the streaming pass are unchanged); the
+    integer form is what makes the operator oracle-checkable bit for
+    bit at test scale.
+
+    Shape: profile state is BOUNDED (2 x ``n_buckets`` int64), so no
+    shuffle ever happens — pass 1 streams the corpus emitting
+    per-block (side, bucket, count) partials folded on the driver
+    (O(n_buckets), never corpus-sized), ``ray.put`` broadcasts the two
+    count vectors, and pass 2 re-streams the corpus scoring raw-side
+    docs block-locally.  Zero wide ops; ``docs`` stays lazy (two
+    streaming reads, no materialization — the scale-correct choice for
+    a full-corpus input).
+
+    Tokens are ``split(" ")`` with ``''`` artifacts dropped on both
+    engines.  Docs with zero tokens are absent from the output
+    (inner-join semantics, the `lang_id_profiles` precedent).
+
+    Output: (doc_id, n_toks, score) for every raw-side doc.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    nb = np.uint64(n_buckets)
+
+    def _buckets_parents(batch: pa.Table):
+        """Shared token -> (bucket, parent-doc-row) extraction."""
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_pylist()
+        words = [w for w, k in zip(words, keep) if k]
+        parent = parent[keep]
+        h = (_hash64(words) % nb).astype(np.int64)
+        return h, parent
+
+    def profile_partial(batch: pa.Table) -> pa.Table:
+        h, parent = _buckets_parents(batch)
+        side = pc.equal(
+            pc.fill_null(batch.column("source"), ""), target_source
+        ).to_numpy(zero_copy_only=False)[parent]
+        out_s, out_h, out_c = [], [], []
+        for sval in (0, 1):
+            hh = h[side.astype(bool) == bool(sval)]
+            if len(hh):
+                u, c = np.unique(hh, return_counts=True)
+                out_s.append(np.full(len(u), sval, np.int8))
+                out_h.append(u)
+                out_c.append(c.astype(np.int64))
+        if not out_h:
+            z = pa.array([], pa.int64())
+            return pa.table({"side": pa.array([], pa.int8()),
+                             "h": z, "c": z})
+        return pa.table({
+            "side": pa.array(np.concatenate(out_s), pa.int8()),
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+            "c": pa.array(np.concatenate(out_c), pa.int64()),
+        })
+
+    # driver fold is O(n_buckets) per block row set, never corpus-sized
+    t_counts = np.zeros(n_buckets, np.int64)
+    r_counts = np.zeros(n_buckets, np.int64)
+    for row in docs.map_batches(profile_partial, batch_format="pyarrow",
+                                batch_size=1 << 17).take_all():
+        (t_counts if row["side"] else r_counts)[row["h"]] += row["c"]
+    t_tot = int(t_counts.sum()) + n_buckets  # add-one-smoothed totals
+    r_tot = int(r_counts.sum()) + n_buckets
+    ref = ray.put((t_counts, r_counts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tc, rc = ray.get(ref)
+        h, parent = _buckets_parents(batch)
+        is_raw = pc.not_equal(
+            pc.fill_null(batch.column("source"), ""), target_source
+        ).to_numpy(zero_copy_only=False)
+        keep = is_raw[parent]
+        h, parent = h[keep], parent[keep]
+        if not len(h):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_toks": z, "score": z})
+        # same sign per token as the smoothed log-ratio (docstring)
+        term = (tc[h] + 1) * r_tot - (rc[h] + 1) * t_tot
+        m = batch.num_rows
+        tot = np.zeros(m, np.int64)
+        np.add.at(tot, parent, term)  # int64-exact segment sum
+        n_toks = np.bincount(parent, minlength=m).astype(np.int64)
+        nz = n_toks > 0
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[nz].astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_toks": pa.array(n_toks[nz], pa.int64()),
+            "score": pa.array(tot[nz], pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=1 << 17)
+
+
 def bpe_token_counts(docs: rd.Dataset) -> rd.Dataset:
     """Token-budget estimation: per-doc token counts under a GPT-2-ish
     regex pre-tokenizer (`BPE_TOKEN_RE`) next to the whitespace count

@@ -41,6 +41,7 @@ SQL_CHECKED = [
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
     "ann_recall", "token_counts_bpe", "dedup_report",
+    "corpus_dsir",
 ]
 
 
@@ -1327,6 +1328,47 @@ def test_lang_id_profiles_discriminates(ray_session):
     assert out.loc[[1, 3], "lang_pred"].tolist() == ["fr", "fr"]
     assert 4 not in out.index  # inner-join semantics
     assert (out["score"] > 0).all()
+
+
+def test_dsir_importance_ranks_target_like_docs(ray_session):
+    """Planted-vocabulary fixture: a raw doc written in the target
+    slice's vocabulary must outscore a raw doc written in a disjoint
+    vocabulary, target-side docs are absent from the output
+    (scores cover the RAW side only), and an empty raw doc is absent
+    (inner-join semantics).  Also asserts block-split invariance:
+    integer partials folded on the driver are exactly associative."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        dsir_importance)
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma alpha beta",   # target vocab
+            "alpha gamma beta beta alpha",   # target vocab
+            "alpha beta gamma beta",          # raw, target-like
+            "zeta eta theta zeta eta",        # raw, off-target
+            "",                                # raw, empty -> absent
+            "beta zeta alpha theta",           # raw, mixed
+        ], pa.string()),
+        "source": pa.array(
+            ["tgt", "tgt", "web", "web", "web", "web"], pa.string()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        docs = rd.from_arrow(tbl).repartition(nparts)
+        out = (dsir_importance(docs, target_source="tgt",
+                               n_buckets=1024).to_pandas()
+               .set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant
+    assert set(a.index) == {2, 3, 5}     # raw side only, no empty doc
+    assert a.loc[2, "score"] > a.loc[3, "score"]
+    assert a.loc[2, "score"] > a.loc[5, "score"] > a.loc[3, "score"]
+    assert a["n_toks"].tolist() == [4, 5, 4]
 
 
 def test_bloom_membership_no_false_negatives(ray_session):
