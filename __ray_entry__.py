@@ -860,6 +860,19 @@ def _q_dedup_substring(sf_dir: str):
     return substring_dup_coverage(_docs(sf_dir), n=3)
 
 
+def _q_dedup_span_rewrite(sf_dir: str):
+    """C4-style global span dedup with corpus REWRITE (Raffel et al.
+    2020: discard all but one occurrence of any repeated span): cut
+    docs into 4-token spans, keep the corpus-wide first occurrence of
+    each distinct span text, rebuild each doc from its survivors.
+    Two sorts (span hash, then doc_id), no all-pairs, no driver
+    state — the corpus transformation, not just the statistic."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        span_dedup_rewrite)
+
+    return span_dedup_rewrite(_docs(sf_dir), w=4)
+
+
 def _q_corpus_novelty(sf_dir: str):
     """Per-doc shingle novelty: fraction of a doc's distinct 3-gram
     shingles first owned (min doc_id) by the doc itself — boilerplate
@@ -2657,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _q_dedup_containment,
         "corpus_novelty": _q_corpus_novelty,
         "corpus_dsir": _q_corpus_dsir,
+        "dedup_span_rewrite": _q_dedup_span_rewrite,
         "dedup_calibration": _q_dedup_calibration,
         "dedup_curate": _q_dedup_curate,
     }
@@ -4354,6 +4368,37 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM tk k JOIN prof p ON k.h = p.h CROSS JOIN tot
             WHERE NOT k.is_t
             GROUP BY k.doc_id
+        """,
+        # C4-style global span dedup + rewrite: fixed 4-token spans
+        # (list_slice truncates the trailing partial span exactly like
+        # the engine's reduceat cut), corpus-wide first occurrence by
+        # (doc_id, span_idx), doc text rebuilt from survivors.  ''
+        # split artifacts are KEPT on both sides so the surviving text
+        # is an exact character-span subset of the input.
+        "dedup_span_rewrite": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            c AS (
+                SELECT doc_id, CAST(t.i AS BIGINT) AS ci,
+                       array_to_string(
+                           list_slice(l, t.i * 4 + 1, t.i * 4 + 4),
+                           ' ') AS span
+                FROM d, unnest(range((len(l) + 3) // 4)) AS t(i)
+            ),
+            k AS (
+                SELECT doc_id, ci, span,
+                       row_number() OVER (
+                           PARTITION BY span
+                           ORDER BY doc_id, ci) = 1 AS keep
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   coalesce(string_agg(span, ' ' ORDER BY ci)
+                            FILTER (WHERE keep), '') AS new_text
+            FROM k GROUP BY doc_id
         """,
         "corpus_novelty": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -1472,6 +1472,128 @@ def substring_dup_coverage(docs: rd.Dataset, *, n: int = 3) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# 10b. Global span dedup with corpus REWRITE (C4-style)
+
+def span_dedup_rewrite(docs: rd.Dataset, *, w: int = 4) -> rd.Dataset:
+    """C4-style global span deduplication with REWRITE (Raffel et al.
+    2020 §2.2 "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"): cut every document
+    into fixed-width ``w``-token spans (the sentence-free analog — the
+    corpus has no sentence boundaries), keep only the corpus-wide
+    FIRST occurrence of each distinct span text (ordered by
+    ``(doc_id, span_idx)``), and rebuild each document from its
+    surviving spans.  Unlike ``substring_dup_coverage`` (a statistic),
+    this is the corpus TRANSFORMATION: the output text is what a
+    training run would consume.
+
+    Distributed shape (two sorts, no all-pairs, no driver state):
+      1. one vectorized pass explodes ``(doc_id, span_idx, span
+         text, h)`` rows — flat Arrow token split, ``np.add.reduceat``
+         object-array concat at span starts (no per-doc loop);
+      2. sort on the md5-derived span hash ``h`` — equal span texts
+         share ``h`` so they arrive whole per block, and the global
+         first occurrence is decided block-locally (groupby the TEXT,
+         so a 64-bit hash collision cannot merge distinct spans);
+      3. sort on ``doc_id`` (whole-doc-per-block invariant) and a
+         vectorized per-block rebuild: kept spans re-joined in
+         ``span_idx`` order via one more ``reduceat``.
+
+    Tokens are ``split(' ')`` WITHOUT dropping ``''`` artifacts, so
+    the surviving text is an exact character-span subset of the input
+    (an empty doc yields one empty span).  The trailing partial span
+    is kept as its own (shorter) span, mirroring the SQL replica's
+    ``list_slice``.  All counts exact integers.
+
+    Output: (doc_id, n_spans, n_kept, new_text) — one row per doc;
+    a doc whose every span is a repeat survives with ``new_text=''``.
+    """
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "ci": pa.array([], pa.int64()),
+                "span": pa.array([], pa.string()),
+                "h": pa.array([], pa.int64()),
+            })
+        texts = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(texts, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        m = batch.num_rows
+        counts = np.bincount(parent, minlength=m)  # >= 1 per doc
+        doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(len(flat)) - doc_start[parent]
+        cs = np.flatnonzero(pos % w == 0)          # span starts
+        joined = np.add.reduceat(flat + " ", cs)
+        spans = [s[:-1] for s in joined]           # drop the pad space
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[parent[cs]], pa.int64()),
+            "ci": pa.array(pos[cs] // w, pa.int64()),
+            "span": pa.array(spans, pa.string()),
+            # int64 view of the uint64 md5 hash (sort key; ties on the
+            # TEXT are resolved in mark_keep so collisions are safe)
+            "h": pa.array(_hash64(spans).view(np.int64), pa.int64()),
+        })
+
+    def mark_keep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["span", "doc_id", "ci"], kind="mergesort")
+        keep = ~df["span"].duplicated().to_numpy()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "ci": pa.array(df["ci"].to_numpy(np.int64), pa.int64()),
+            "span": pa.array(df["span"].tolist(), pa.string()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_spans": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "new_text": pa.array([], pa.string()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        df = batch.to_pandas().sort_values(["doc_id", "ci"],
+                                           kind="mergesort")
+        ids = df["doc_id"].to_numpy(np.int64)
+        uids, starts, n_spans = np.unique(ids, return_index=True,
+                                          return_counts=True)
+        keep = df["keep"].to_numpy(bool)
+        n_kept = np.add.reduceat(keep.astype(np.int64), starts)
+        kdf = df[keep]
+        texts = np.full(len(uids), "", dtype=object)
+        if len(kdf):
+            kids = kdf["doc_id"].to_numpy(np.int64)
+            kspans = np.asarray(kdf["span"].tolist(), dtype=object)
+            kstarts = np.flatnonzero(
+                np.concatenate(([True], kids[1:] != kids[:-1])))
+            jt = np.add.reduceat(kspans + " ", kstarts)
+            texts[np.searchsorted(uids, kids[kstarts])] = [
+                s[:-1] for s in jt]
+        return pa.table({
+            "doc_id": pa.array(uids, pa.int64()),
+            "n_spans": pa.array(n_spans.astype(np.int64), pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "new_text": pa.array(texts.tolist(), pa.string()),
+        })
+
+    return (docs.map_batches(explode, batch_format="pyarrow")
+            .sort("h")
+            .map_batches(mark_keep, batch_format="pyarrow",
+                         batch_size=None)
+            .sort("doc_id")
+            .map_batches(rebuild, batch_format="pyarrow",
+                         batch_size=None))
+
+
+# ---------------------------------------------------------------------------
 # 11. Shared-pairs dedup report (VERDICT r04 item 5)
 
 def dedup_report(

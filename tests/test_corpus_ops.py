@@ -41,7 +41,7 @@ SQL_CHECKED = [
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
     "ann_recall", "token_counts_bpe", "dedup_report",
-    "corpus_dsir",
+    "corpus_dsir", "dedup_span_rewrite",
 ]
 
 
@@ -1328,6 +1328,43 @@ def test_lang_id_profiles_discriminates(ray_session):
     assert out.loc[[1, 3], "lang_pred"].tolist() == ["fr", "fr"]
     assert 4 not in out.index  # inner-join semantics
     assert (out["score"] > 0).all()
+
+
+def test_span_dedup_rewrite_planted(ray_session):
+    """Planted repeated spans: the corpus-wide FIRST occurrence (by
+    doc_id, span_idx) survives, later occurrences are cut from the
+    rebuilt text, a doc made entirely of repeats survives with
+    new_text='', and the output is block-split invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        span_dedup_rewrite)
+
+    dup = "a b"                      # w=2 span planted in docs 0,1,2
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"{dup} c d",            # first occurrence of 'a b'
+            f"x y {dup} z",          # 'a b' repeat at ci=1; 'z' tail
+            dup,                      # all-repeat doc -> new_text ''
+            "p q r",                  # untouched (trailing short span)
+        ], pa.string()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        docs = rd.from_arrow(tbl).repartition(nparts)
+        out = (span_dedup_rewrite(docs, w=2).to_pandas()
+               .set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)
+    assert a.loc[0, "new_text"] == "a b c d"
+    assert a.loc[1, "new_text"] == "x y z"
+    assert a.loc[2, "new_text"] == ""
+    assert a.loc[3, "new_text"] == "p q r"
+    assert a["n_spans"].tolist() == [2, 3, 1, 2]
+    assert a["n_kept"].tolist() == [2, 2, 0, 2]
 
 
 def test_dsir_importance_ranks_target_like_docs(ray_session):
