@@ -1205,6 +1205,74 @@ def _q_pii_scrub(sf_dir: str):
     return pii_redact(enriched)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): one
+    distributed exact word-count pass (combiner + local top-M after
+    the sort), then 8 merge rounds on the bounded word-type table
+    driver-side — the shape real tokenizer trainers use at corpus
+    scale.  Merge application = 4-fold left-to-right replace, the
+    canonical merge-every-occurrence fixpoint, bit-identical to the
+    oracle's nested SQL replace."""
+    from clinicaltransformerner_ray.pipelines.textstats import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=8, max_types=64)
+
+
+def _bpe_sql(n_merges: int = 8, max_types: int = 64) -> str:
+    """Exact SQL replica of `textstats.bpe_train`: word counts +
+    top-`max_types` type table, then `n_merges` unrolled rounds —
+    pair explode (list_transform over adjacent symbol positions),
+    best pair by (count DESC, pair ASC), merge applied via 4 nested
+    left-to-right `replace` calls on the space-padded symbol string
+    (== 4 Python str.replace passes)."""
+    parts = [f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wc AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok
+            WHERE w <> '' GROUP BY w
+        ),
+        t0 AS (
+            SELECT w, cnt,
+                   array_to_string(string_split(w, ''), ' ') AS seq
+            FROM wc ORDER BY cnt DESC, w LIMIT {max_types}
+        )"""]
+    for r in range(n_merges):
+        apply_expr = "' ' || seq || ' '"
+        for _ in range(4):
+            apply_expr = (
+                f"replace({apply_expr}, ' ' || b.pair || ' ', "
+                f"' ' || replace(b.pair, ' ', '') || ' ')")
+        parts.append(f""",
+        p{r} AS (
+            SELECT cnt, unnest(list_transform(
+                range(len(string_split(seq, ' ')) - 1),
+                i -> string_split(seq, ' ')[i + 1] || ' ' ||
+                     string_split(seq, ' ')[i + 2])) AS pair
+            FROM t{r}
+        ),
+        b{r} AS (
+            SELECT CAST({r} AS BIGINT) AS rnd, pair,
+                   CAST(SUM(cnt) AS BIGINT) AS pc
+            FROM p{r} GROUP BY pair ORDER BY pc DESC, pair LIMIT 1
+        ),
+        t{r + 1} AS (
+            SELECT w, cnt, trim({apply_expr}) AS seq
+            FROM t{r}, b{r} b
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(n_merges))
+    parts.append(f"""
+        SELECT rnd AS round,
+               string_split(pair, ' ')[1] AS "left",
+               string_split(pair, ' ')[2] AS "right",
+               replace(pair, ' ', '') AS merged,
+               pc AS pair_count
+        FROM ({union})""")
+    return "".join(parts)
+
+
 def _q_token_counts_bpe(sf_dir: str):
     """Per-doc token budget under a GPT-2-ish RE2 pre-tokenizer next to
     whitespace tokens and chars; enriched with doc_id-derived mixed-case
@@ -2671,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_novelty": _q_corpus_novelty,
         "corpus_dsir": _q_corpus_dsir,
         "dedup_span_rewrite": _q_dedup_span_rewrite,
+        "bpe_merges": _q_bpe_merges,
         "dedup_calibration": _q_dedup_calibration,
         "dedup_curate": _q_dedup_curate,
     }
@@ -4369,6 +4438,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             WHERE NOT k.is_t
             GROUP BY k.doc_id
         """,
+        # BPE tokenizer training: 8 unrolled merge rounds over the
+        # top-64 word-type table (see _bpe_sql)
+        "bpe_merges": _bpe_sql(8, 64),
         # C4-style global span dedup + rewrite: fixed 4-token spans
         # (list_slice truncates the trailing partial span exactly like
         # the engine's reduceat cut), corpus-wide first occurrence by

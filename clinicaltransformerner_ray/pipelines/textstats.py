@@ -1661,6 +1661,115 @@ def dsir_importance(
                             batch_size=1 << 17)
 
 
+def bpe_train(
+    docs: rd.Dataset, *, n_merges: int = 8, max_types: int = 64,
+) -> rd.Dataset:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    the first ``n_merges`` merge rules from corpus word frequencies —
+    the standard shape real tokenizer trainers use at corpus scale:
+    the DATA pass is one distributed exact word-count (combiner before
+    the one shuffle, then a per-block local top-``max_types`` so the
+    driver sees at most ``max_types`` x blocks candidate rows), and
+    the merge rounds then run on the BOUNDED word-type table
+    driver-side (types x avg word length work per round — independent
+    of corpus size, like ``pipelines/train.py``'s
+    sufficient-statistics pattern).
+
+    Conventions (identical on both engines, so the output is
+    SQL-oracle-exact):
+      - words are ``split(' ')`` with ``''`` dropped; initial symbol
+        sequence is the word's characters (no end-of-word marker);
+      - pair counts sum word frequency over ALL adjacent positions
+        (overlapping: 'aaa' contributes ('a','a') twice);
+      - best pair per round = (count DESC, pair-string ASC) — binary
+        codepoint tie order;
+      - a merge applies by left-to-right non-overlapping replacement
+        on the space-joined symbol string, repeated 4x (Python
+        ``str.replace`` == DuckDB ``replace``; one pass loses every
+        other occurrence in a back-to-back run because matches share
+        the boundary space, and each extra pass at least halves the
+        residue, so 4 passes reach the canonical merge-every-
+        occurrence fixpoint for runs up to 2^4 adjacent pairs — ample
+        for natural word lengths, and bit-identical to the SQL
+        replica's 4 nested ``replace`` calls);
+      - word-type cap = (count DESC, word ASC) top ``max_types``.
+
+    Stops early (fewer than ``n_merges`` rows) only if the type table
+    runs out of adjacent pairs.
+
+    Output: (round, left, right, merged, pair_count), one row per
+    learned merge, round starting at 0.
+    """
+    import pyarrow.compute as pc
+
+    def count_words(batch: pa.Table) -> pa.Table:
+        if "word" in batch.column_names:       # post-sort completion
+            df = batch.to_pandas()
+            g = (df.groupby("word", sort=False)["n"].sum()
+                 .reset_index()
+                 .sort_values(["n", "word"], ascending=[False, True])
+                 .head(max_types))             # exact local partial:
+            # each word is whole per block after the sort, so the
+            # union of block top-Ms contains the global top-M
+            return pa.table({
+                "word": pa.array(g["word"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            })
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " "))
+        vc = pc.value_counts(toks)
+        words = vc.field("values")
+        counts = vc.field("counts")
+        keep = pc.not_equal(words, "")
+        return pa.table({
+            "word": pc.filter(words, keep),
+            "n": pc.cast(pc.filter(counts, keep), pa.int64()),
+        })
+
+    cand = (docs.map_batches(count_words, batch_format="pyarrow",
+                             batch_size=1 << 17)
+            .sort("word")
+            .map_batches(count_words, batch_format="pyarrow",
+                         batch_size=None)
+            .take_all())                        # <= max_types x blocks
+    cand.sort(key=lambda r: (-r["n"], r["word"]))
+    types = [(r["word"], int(r["n"])) for r in cand[:max_types]]
+
+    seqs = {w: " ".join(w) for w, _ in types}
+    rounds, lefts, rights, mergeds, pcs = [], [], [], [], []
+    for r in range(n_merges):
+        pair_counts: dict[str, int] = {}
+        for w, cnt in types:
+            sym = seqs[w].split(" ")
+            for a, b in zip(sym, sym[1:]):
+                p = a + " " + b
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, n_pair = best
+        a, b = pair.split(" ")
+        merged = a + b
+        pat, rep = " " + pair + " ", " " + merged + " "
+        for w, _ in types:
+            s = " " + seqs[w] + " "
+            for _ in range(4):
+                s = s.replace(pat, rep)
+            seqs[w] = s[1:-1]
+        rounds.append(r)
+        lefts.append(a)
+        rights.append(b)
+        mergeds.append(merged)
+        pcs.append(n_pair)
+    return rd.from_arrow(pa.table({
+        "round": pa.array(rounds, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "merged": pa.array(mergeds, pa.string()),
+        "pair_count": pa.array(pcs, pa.int64()),
+    }))
+
+
 def bpe_token_counts(docs: rd.Dataset) -> rd.Dataset:
     """Token-budget estimation: per-doc token counts under a GPT-2-ish
     regex pre-tokenizer (`BPE_TOKEN_RE`) next to the whitespace count

@@ -41,7 +41,7 @@ SQL_CHECKED = [
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
     "ann_recall", "token_counts_bpe", "dedup_report",
-    "corpus_dsir", "dedup_span_rewrite",
+    "corpus_dsir", "dedup_span_rewrite", "bpe_merges",
 ]
 
 
@@ -1328,6 +1328,48 @@ def test_lang_id_profiles_discriminates(ray_session):
     assert out.loc[[1, 3], "lang_pred"].tolist() == ["fr", "fr"]
     assert 4 not in out.index  # inner-join semantics
     assert (out["score"] > 0).all()
+
+
+def test_bpe_train_canonical_merges(ray_session):
+    """Hand-checkable corpus: the most frequent adjacent pair wins
+    each round with (count DESC, pair ASC) ties, a learned symbol
+    participates in later merges, and back-to-back pair runs merge
+    EVERY occurrence ('abab' -> [ab, ab], the 4-fold replace
+    fixpoint, not the single-pass every-other artifact).  Also
+    block-split invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import bpe_train
+
+    # 'abab' x3 plants the run; 'abc' x2 feeds (ab,c) after round 0
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "abab abab abc", "abab abc xy",
+        ], pa.string()),
+    })
+    outs = []
+    for nparts in (1, 2):
+        docs = rd.from_arrow(tbl).repartition(nparts)
+        out = bpe_train(docs, n_merges=3, max_types=64).to_pandas()
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)
+    # round 0: pair (a,b) appears 2x in each 'abab' (overlap-counted)
+    # x3 docs' worth = 6, plus 1x in each 'abc' = 8 total
+    assert a.loc[0, ["left", "right", "merged"]].tolist() == \
+        ["a", "b", "ab"]
+    assert a.loc[0, "pair_count"] == 8
+    # round 1: 'abab' is now [ab, ab] (BOTH occurrences merged) ->
+    # pair (ab,ab) count 3 beats (ab,c) count 2 and (x,y) count 1
+    assert a.loc[1, ["left", "right", "merged"]].tolist() == \
+        ["ab", "ab", "abab"]
+    assert a.loc[1, "pair_count"] == 3
+    # round 2: (ab,c) is the survivor — the learned symbol composes
+    assert a.loc[2, ["left", "right", "merged"]].tolist() == \
+        ["ab", "c", "abc"]
+    assert a.loc[2, "pair_count"] == 2
 
 
 def test_span_dedup_rewrite_planted(ray_session):
