@@ -1218,13 +1218,22 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir), n_merges=8, max_types=64)
 
 
-def _bpe_sql(n_merges: int = 8, max_types: int = 64) -> str:
-    """Exact SQL replica of `textstats.bpe_train`: word counts +
-    top-`max_types` type table, then `n_merges` unrolled rounds —
-    pair explode (list_transform over adjacent symbol positions),
-    best pair by (count DESC, pair ASC), merge applied via 4 nested
-    left-to-right `replace` calls on the space-padded symbol string
-    (== 4 Python str.replace passes)."""
+def _bpe_apply_expr(inner: str, pair: str) -> str:
+    """4 nested left-to-right `replace` calls merging `pair` on a
+    space-padded symbol string (== 4 Python str.replace passes — the
+    canonical merge-every-occurrence fixpoint for runs <= 2^4)."""
+    expr = inner
+    for _ in range(4):
+        expr = (f"replace({expr}, ' ' || {pair} || ' ', "
+                f"' ' || replace({pair}, ' ', '') || ' ')")
+    return expr
+
+
+def _bpe_chain_sql(n_merges: int = 8, max_types: int = 64) -> str:
+    """Shared CTE chain replicating `textstats.bpe_train`: word counts
+    + top-`max_types` type table t0, then per round r the pair explode
+    p{r}, best-pair b{r} ((count DESC, pair ASC)), and the merged type
+    table t{r+1}."""
     parts = [f"""
         WITH tok AS (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -1239,11 +1248,7 @@ def _bpe_sql(n_merges: int = 8, max_types: int = 64) -> str:
             FROM wc ORDER BY cnt DESC, w LIMIT {max_types}
         )"""]
     for r in range(n_merges):
-        apply_expr = "' ' || seq || ' '"
-        for _ in range(4):
-            apply_expr = (
-                f"replace({apply_expr}, ' ' || b.pair || ' ', "
-                f"' ' || replace(b.pair, ' ', '') || ' ')")
+        apply_expr = _bpe_apply_expr("' ' || seq || ' '", "b.pair")
         parts.append(f""",
         p{r} AS (
             SELECT cnt, unnest(list_transform(
@@ -1261,16 +1266,66 @@ def _bpe_sql(n_merges: int = 8, max_types: int = 64) -> str:
             SELECT w, cnt, trim({apply_expr}) AS seq
             FROM t{r}, b{r} b
         )""")
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int = 8, max_types: int = 64) -> str:
+    """Exact SQL replica of `textstats.bpe_train`: the shared CTE
+    chain, then the union of the per-round best-pair rows."""
     union = " UNION ALL ".join(
         f"SELECT * FROM b{r}" for r in range(n_merges))
-    parts.append(f"""
+    return _bpe_chain_sql(n_merges, max_types) + f"""
         SELECT rnd AS round,
                string_split(pair, ' ')[1] AS "left",
                string_split(pair, ' ')[2] AS "right",
                replace(pair, ' ', '') AS merged,
                pc AS pair_count
-        FROM ({union})""")
+        FROM ({union})"""
+
+
+def _bpe_encode_sql(n_merges: int = 8, max_types: int = 64) -> str:
+    """Exact SQL replica of `textstats.bpe_encode_counts`: the shared
+    training chain, then every DISTINCT corpus word encoded by ordered
+    replay of the learned merges (enc0..enc{n}, each round the same
+    4-fold replace as training), joined back to doc tokens for per-doc
+    whitespace vs BPE token budgets."""
+    parts = [_bpe_chain_sql(n_merges, max_types), """,
+        tk AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+            WHERE w <> ''
+        ),
+        enc0 AS (
+            SELECT w, array_to_string(string_split(w, ''), ' ') AS seq
+            FROM (SELECT DISTINCT w FROM tk)
+        )"""]
+    for r in range(n_merges):
+        apply_expr = _bpe_apply_expr("' ' || seq || ' '", "b.pair")
+        parts.append(f""",
+        enc{r + 1} AS (
+            SELECT w, trim({apply_expr}) AS seq
+            FROM enc{r}, b{r} b
+        )""")
+    parts.append(f"""
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(len(string_split(e.seq, ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM tk JOIN enc{n_merges} e USING (w)
+        GROUP BY doc_id""")
     return "".join(parts)
+
+
+def _q_bpe_encode(sf_dir: str):
+    """Tokenizer-lifecycle closure: encode the corpus with its own
+    corpus-trained BPE merges (ordered replay, broadcast via ray.put,
+    one streaming pass; per-batch work is vocabulary-bounded) and
+    report per-doc whitespace vs BPE token budgets."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        bpe_encode_counts)
+
+    return bpe_encode_counts(_docs(sf_dir), n_merges=8, max_types=64)
 
 
 def _q_token_counts_bpe(sf_dir: str):
@@ -2740,6 +2795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dsir": _q_corpus_dsir,
         "dedup_span_rewrite": _q_dedup_span_rewrite,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "dedup_calibration": _q_dedup_calibration,
         "dedup_curate": _q_dedup_curate,
     }
@@ -4441,6 +4497,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # BPE tokenizer training: 8 unrolled merge rounds over the
         # top-64 word-type table (see _bpe_sql)
         "bpe_merges": _bpe_sql(8, 64),
+        # tokenizer-lifecycle closure: ordered-replay encode of every
+        # distinct corpus word with the learned merges (see
+        # _bpe_encode_sql)
+        "bpe_encode": _bpe_encode_sql(8, 64),
         # C4-style global span dedup + rewrite: fixed 4-token spans
         # (list_slice truncates the trailing partial span exactly like
         # the engine's reduceat cut), corpus-wide first occurrence by

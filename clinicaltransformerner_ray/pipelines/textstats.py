@@ -1770,6 +1770,76 @@ def bpe_train(
     }))
 
 
+def bpe_encode_counts(
+    docs: rd.Dataset, *, n_merges: int = 8, max_types: int = 64,
+) -> rd.Dataset:
+    """Apply a corpus-trained BPE tokenizer (see :func:`bpe_train`) to
+    the corpus itself — the tokenizer-lifecycle closure (train ->
+    encode), and the token-budget measurement a training run actually
+    bills against.  Encoding applies the learned merges in RANK ORDER
+    (ordered replay, each via the same 4-fold replace fixpoint as
+    training — the documented convention, identical in the SQL
+    replica since both paths apply the same operation sequence to a
+    word's character string).
+
+    Shape: :func:`bpe_train`'s one distributed word-count pass leaves
+    the merge list (bounded: ``n_merges`` pairs) on the driver;
+    ``ray.put`` broadcasts it and ONE more streaming pass encodes —
+    per batch, each DISTINCT word is encoded once (vocabulary-bounded
+    work) and symbol counts map back to tokens vectorized.  Docs with
+    zero non-``''`` tokens are absent (inner-join semantics).
+
+    Output: (doc_id, n_ws_tokens, n_bpe_tokens) per document.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    merges = bpe_train(docs, n_merges=n_merges,
+                       max_types=max_types).take_all()
+    merges.sort(key=lambda r: r["round"])
+    ref = ray.put([(r["left"] + " " + r["right"],
+                    r["merged"]) for r in merges])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rules = ray.get(ref)
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        parent = parent[keep]
+        if not len(words):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_ws_tokens": z,
+                             "n_bpe_tokens": z})
+        uniq, inv = np.unique(words, return_inverse=True)
+        n_sym = np.empty(len(uniq), np.int64)
+        for j, w in enumerate(uniq):       # vocabulary-bounded loop
+            s = " " + " ".join(w) + " "
+            for pair, merged in rules:
+                pat, rep = " " + pair + " ", " " + merged + " "
+                for _ in range(4):
+                    s = s.replace(pat, rep)
+            n_sym[j] = s.count(" ") - 1
+        per_tok = n_sym[inv]
+        m = batch.num_rows
+        bpe = np.zeros(m, np.int64)
+        np.add.at(bpe, parent, per_tok)
+        ws = np.bincount(parent, minlength=m).astype(np.int64)
+        nz = ws > 0
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[nz].astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_ws_tokens": pa.array(ws[nz], pa.int64()),
+            "n_bpe_tokens": pa.array(bpe[nz], pa.int64()),
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow",
+                            batch_size=1 << 17)
+
+
 def bpe_token_counts(docs: rd.Dataset) -> rd.Dataset:
     """Token-budget estimation: per-doc token counts under a GPT-2-ish
     regex pre-tokenizer (`BPE_TOKEN_RE`) next to the whitespace count

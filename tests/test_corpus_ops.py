@@ -41,7 +41,7 @@ SQL_CHECKED = [
     "pii_scrub", "doc_repetition", "dedup_semantic", "ann_pq",
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
     "ann_recall", "token_counts_bpe", "dedup_report",
-    "corpus_dsir", "dedup_span_rewrite", "bpe_merges",
+    "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
 ]
 
 
@@ -1370,6 +1370,38 @@ def test_bpe_train_canonical_merges(ray_session):
     assert a.loc[2, ["left", "right", "merged"]].tolist() == \
         ["ab", "c", "abc"]
     assert a.loc[2, "pair_count"] == 2
+
+
+def test_bpe_encode_counts_hand_checked(ray_session):
+    """Encode with the corpus's own merges, hand-derived on the same
+    planted corpus as the train test: after merges ab, abab, abc the
+    word 'abab' is 1 symbol, 'abc' is 1, 'xy' stays 2 chars.  Docs
+    with zero tokens are absent; block-split invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        bpe_encode_counts)
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "abab abab abc", "abab abc xy", "",
+        ], pa.string()),
+    })
+    outs = []
+    for nparts in (1, 2):
+        docs = rd.from_arrow(tbl).repartition(nparts)
+        out = (bpe_encode_counts(docs, n_merges=3, max_types=64)
+               .to_pandas().set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.index) == {0, 1}          # empty doc absent
+    assert a.loc[0, "n_ws_tokens"] == 3    # abab abab abc
+    assert a.loc[0, "n_bpe_tokens"] == 3   # 1 + 1 + 1
+    assert a.loc[1, "n_ws_tokens"] == 3    # abab abc xy
+    assert a.loc[1, "n_bpe_tokens"] == 4   # 1 + 1 + 2
 
 
 def test_span_dedup_rewrite_planted(ray_session):
