@@ -896,6 +896,21 @@ def _q_corpus_dsir(sf_dir: str):
     return dsir_importance(docs, target_source="src0", n_buckets=4096)
 
 
+def _q_lm_quality(sf_dir: str):
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): hashed
+    add-one-smoothed bigram LM trained on the 'src0' reference slice
+    (bounded 2x4096 int64 state, driver-folded + ray.put broadcast),
+    fixed-point integer doc scores, exact integer tertile thresholds
+    -> head/middle/tail buckets.  Zero wide ops; every quantity is an
+    exact int64 on both engines (md5 bucket hash == md5_number_upper,
+    non-negative // agrees between numpy and DuckDB)."""
+    from clinicaltransformerner_ray.pipelines.textstats import lm_quality
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    return lm_quality(docs, ref_source="src0", n_buckets=4096)
+
+
 def _q_dedup_calibration(sf_dir: str):
     """Approximate-path quality harness: MinHash candidates bucketed
     by exact integer estimate (k-of-64) vs confirmation against the
@@ -2806,6 +2821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_novelty": _q_corpus_novelty,
         "dedup_calibration": _q_dedup_calibration,
         "dedup_curate": _q_dedup_curate,
+        "lm_quality": _q_lm_quality,
     }
 
 
@@ -4501,6 +4517,82 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM tk k JOIN prof p ON k.h = p.h CROSS JOIN tot
             WHERE NOT k.is_t
             GROUP BY k.doc_id
+        """,
+        # CCNet-style LM quality buckets: hashed-bigram LM on the
+        # 'src0' slice, fixed-point integer scores, exact integer
+        # tertile thresholds (see textstats.lm_quality) — every
+        # quantity is an exact int64 on both engines.
+        "lm_quality": """
+            WITH d AS (
+                SELECT doc_id, source = 'src0' AS is_ref,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, is_ref,
+                       l[t.i + 1] AS w1, l[t.i + 2] AS w2
+                FROM d, unnest(range(len(l) - 1)) AS t(i)
+            ),
+            hp AS (
+                SELECT doc_id, is_ref,
+                       CAST(md5_number_upper(w1 || ' ' || w2) % 4096
+                            AS BIGINT) AS hb,
+                       CAST(md5_number_upper(w1) % 4096
+                            AS BIGINT) AS hc
+                FROM bg
+            ),
+            prof AS (
+                SELECT hb AS h, CAST(count(*) AS BIGINT) AS c
+                FROM hp WHERE is_ref GROUP BY hb
+            ),
+            ctx AS (
+                SELECT hc AS h, CAST(count(*) AS BIGINT) AS c
+                FROM hp WHERE is_ref GROUP BY hc
+            ),
+            sc AS (
+                SELECT k.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(((coalesce(p.c, 0) + 1) * 1048576)
+                            // (coalesce(x.c, 0) + 4096))
+                            AS BIGINT) AS lm_score
+                FROM hp k
+                LEFT JOIN prof p ON k.hb = p.h
+                LEFT JOIN ctx x ON k.hc = x.h
+                WHERE NOT k.is_ref
+                GROUP BY k.doc_id
+            ),
+            mn AS (
+                SELECT doc_id, n_pairs, lm_score,
+                       lm_score // n_pairs AS mean_fp
+                FROM sc
+            ),
+            hist AS (
+                SELECT mean_fp AS v, CAST(count(*) AS BIGINT) AS c
+                FROM mn GROUP BY mean_fp
+            ),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+            cum AS (
+                SELECT v,
+                       SUM(c) OVER (ORDER BY v) AS cle,
+                       (SELECT n FROM tot)
+                           - SUM(c) OVER (ORDER BY v) + c AS cge
+                FROM hist
+            ),
+            th AS (
+                SELECT coalesce(MIN(CASE WHEN cge <= (SELECT n FROM tot) // 3
+                                         THEN v END),
+                                9223372036854775807) AS t_head,
+                       coalesce(MAX(CASE WHEN cle <= (SELECT n FROM tot) // 3
+                                         THEN v END),
+                                -9223372036854775807 - 1) AS t_tail
+                FROM cum
+            )
+            SELECT mn.doc_id, mn.n_pairs, mn.lm_score, mn.mean_fp,
+                   CASE WHEN mn.mean_fp >= th.t_head THEN 'head'
+                        WHEN mn.mean_fp <= th.t_tail THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM mn CROSS JOIN th
         """,
         # BPE tokenizer training: 8 unrolled merge rounds over the
         # top-64 word-type table (see _bpe_sql)

@@ -1661,6 +1661,178 @@ def dsir_importance(
                             batch_size=1 << 17)
 
 
+def lm_quality(
+    docs: rd.Dataset, *, ref_source: str, n_buckets: int = 4096,
+    scale_bits: int = 20,
+) -> rd.Dataset:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): train an n-gram LM on a curated reference slice
+    (``source == ref_source``), score every other document, and assign
+    each to a head / middle / tail bucket by corpus tertiles — the
+    standard pre-training quality gate (keep head+middle, drop tail).
+
+    Integer-exact surrogate (the `dsir_importance` precedent): instead
+    of a KenLM float perplexity, the LM is add-one-smoothed hashed
+    BIGRAM counts over hashed unigram contexts, and each adjacent pair
+    contributes the fixed-point probability
+    ``q = ((big[h12]+1) << scale_bits) // (ctx[h1] + n_buckets)``
+    (non-negative operands, so numpy and DuckDB ``//`` agree).  A doc's
+    score is the exact int64 sum of its q terms; its comparison key is
+    the floor mean ``mean_fp = score // n_pairs``.  Tertile thresholds
+    are exact integers: ``t_head`` = smallest mean with
+    ``count(mean >= t) <= n // 3`` (head = ``mean >= t_head``),
+    ``t_tail`` = largest mean with ``count(mean <= t) <= n // 3``
+    (tail = ``mean <= t_tail``); ties fall into the middle bucket on
+    both engines.  A corpus-scale run would swap q for the float
+    log-prob — the passes are unchanged; the integer form is what
+    makes the operator oracle-checkable bit for bit.
+
+    Shape: LM state is BOUNDED (2 x ``n_buckets`` int64), so pass 1
+    streams the reference slice folding per-block (kind, bucket,
+    count) partials on the driver, then ``ray.put`` broadcasts the two
+    count vectors.  Pass 2 scores raw-side docs block-locally and
+    materializes the NARROW (doc_id, n_pairs, lm_score, mean_fp)
+    table (O(n_docs) ints — never the text).  The tertile fold is
+    O(distinct means) <= 2^scale_bits driver state, and the bucket
+    label is a block-local comparison against the two broadcast
+    thresholds.  Zero wide ops end to end.
+
+    Tokens are ``split(" ")`` with ``''`` artifacts dropped; docs with
+    fewer than two tokens have no bigram and are absent from the
+    output (inner-join semantics, the `dsir_importance` precedent).
+
+    Output: (doc_id, n_pairs, lm_score, mean_fp, bucket) for every
+    raw-side doc with >= 1 bigram; bucket in {'head','middle','tail'}.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    nb = np.uint64(n_buckets)
+    scale = np.int64(1) << scale_bits
+
+    def _pairs(batch: pa.Table):
+        """(bigram bucket, context bucket, parent-doc-row) triples."""
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = np.asarray(
+            [w for w, k in zip(flat.to_pylist(), keep) if k],
+            dtype=object)
+        parent = parent[keep]
+        if len(words) < 2:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        adj = parent[:-1] == parent[1:]  # pairs never cross docs
+        w1 = words[:-1][adj]
+        w2 = words[1:][adj]
+        big = np.asarray(w1 + " " + w2, dtype=object)
+        hb = (_hash64(list(big)) % nb).astype(np.int64)
+        hc = (_hash64(list(w1)) % nb).astype(np.int64)
+        return hb, hc, parent[:-1][adj]
+
+    def profile_partial(batch: pa.Table) -> pa.Table:
+        hb, hc, parent = _pairs(batch)
+        is_ref = pc.equal(
+            pc.fill_null(batch.column("source"), ""), ref_source
+        ).to_numpy(zero_copy_only=False)
+        if len(hb):
+            m = is_ref[parent].astype(bool)
+            hb, hc = hb[m], hc[m]
+        out_k, out_h, out_c = [], [], []
+        for kind, arr in ((0, hb), (1, hc)):
+            if len(arr):
+                u, c = np.unique(arr, return_counts=True)
+                out_k.append(np.full(len(u), kind, np.int8))
+                out_h.append(u)
+                out_c.append(c.astype(np.int64))
+        if not out_h:
+            z = pa.array([], pa.int64())
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             "h": z, "c": z})
+        return pa.table({
+            "kind": pa.array(np.concatenate(out_k), pa.int8()),
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+            "c": pa.array(np.concatenate(out_c), pa.int64()),
+        })
+
+    # driver fold is O(n_buckets), never corpus-sized
+    big_counts = np.zeros(n_buckets, np.int64)
+    ctx_counts = np.zeros(n_buckets, np.int64)
+    for row in docs.map_batches(profile_partial, batch_format="pyarrow",
+                                batch_size=1 << 17).take_all():
+        (ctx_counts if row["kind"] else big_counts)[row["h"]] += row["c"]
+    lm = ray.put((big_counts, ctx_counts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bc, cc = ray.get(lm)
+        hb, hc, parent = _pairs(batch)
+        is_raw = pc.not_equal(
+            pc.fill_null(batch.column("source"), ""), ref_source
+        ).to_numpy(zero_copy_only=False)
+        if len(hb):
+            m = is_raw[parent].astype(bool)
+            hb, hc, parent = hb[m], hc[m], parent[m]
+        if not len(hb):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_pairs": z,
+                             "lm_score": z, "mean_fp": z})
+        # fixed-point smoothed bigram probability (docstring)
+        q = ((bc[hb] + 1) * scale) // (cc[hc] + np.int64(n_buckets))
+        m = batch.num_rows
+        tot = np.zeros(m, np.int64)
+        np.add.at(tot, parent, q)  # int64-exact segment sum
+        n_pairs = np.bincount(parent, minlength=m).astype(np.int64)
+        nz = n_pairs > 0
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False)[nz].astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pairs": pa.array(n_pairs[nz], pa.int64()),
+            "lm_score": pa.array(tot[nz], pa.int64()),
+            "mean_fp": pa.array(tot[nz] // n_pairs[nz], pa.int64()),
+        })
+
+    scored = docs.map_batches(score, batch_format="pyarrow",
+                              batch_size=1 << 17).materialize()
+
+    def mean_hist(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("mean_fp").to_numpy(
+            zero_copy_only=False).astype(np.int64), return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    # tertile fold: O(distinct means) <= 2^scale_bits driver state
+    hist: dict[int, int] = {}
+    for row in scored.map_batches(mean_hist, batch_format="pyarrow",
+                                  batch_size=None).take_all():
+        hist[row["v"]] = hist.get(row["v"], 0) + row["c"]
+    vals = np.sort(np.fromiter(hist.keys(), np.int64, len(hist)))
+    cnts = np.asarray([hist[int(v)] for v in vals], np.int64)
+    n = int(cnts.sum())
+    third = n // 3
+    cle = np.cumsum(cnts)                      # count(mean <= v)
+    cge = n - cle + cnts                       # count(mean >= v)
+    head_ok = vals[cge <= third]
+    tail_ok = vals[cle <= third]
+    t_head = int(head_ok.min()) if len(head_ok) else np.iinfo(np.int64).max
+    t_tail = int(tail_ok.max()) if len(tail_ok) else np.iinfo(np.int64).min
+
+    def label(batch: pa.Table) -> pa.Table:
+        mf = batch.column("mean_fp").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lab = np.where(mf >= t_head, "head",
+                       np.where(mf <= t_tail, "tail", "middle"))
+        return batch.append_column(
+            "bucket", pa.array(lab.tolist(), pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
 def bpe_train(
     docs: rd.Dataset, *, n_merges: int = 8, max_types: int = 64,
 ) -> rd.Dataset:

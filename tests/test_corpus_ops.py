@@ -42,6 +42,7 @@ SQL_CHECKED = [
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
     "ann_recall", "token_counts_bpe", "dedup_report",
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
+    "lm_quality",
 ]
 
 
@@ -1480,6 +1481,46 @@ def test_dsir_importance_ranks_target_like_docs(ray_session):
     assert a.loc[2, "score"] > a.loc[3, "score"]
     assert a.loc[2, "score"] > a.loc[5, "score"] > a.loc[3, "score"]
     assert a["n_toks"].tolist() == [4, 5, 4]
+
+
+def test_lm_quality_buckets_planted(ray_session):
+    """Planted-bigram fixture: a raw doc whose adjacent pairs all
+    appear in the reference slice gets the head bucket, an
+    off-vocabulary doc the tail, a mixed doc the middle; docs with
+    fewer than two tokens are absent (no bigram).  Also asserts
+    block-split invariance (integer partials + driver fold are
+    exactly associative)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import lm_quality
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma alpha beta gamma alpha beta",  # ref
+            "alpha beta gamma alpha beta",                    # raw fluent
+            "zeta eta theta iota kappa",                      # raw off-LM
+            "alpha beta zeta eta gamma",                      # raw mixed
+            "alpha",                       # raw, 1 token -> absent
+            "",                            # raw, empty -> absent
+        ], pa.string()),
+        "source": pa.array(
+            ["wiki", "web", "web", "web", "web", "web"], pa.string()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        docs = rd.from_arrow(tbl).repartition(nparts)
+        out = (lm_quality(docs, ref_source="wiki", n_buckets=1024)
+               .to_pandas().set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant
+    assert set(a.index) == {1, 2, 3}     # raw side only, >= 1 bigram
+    assert a.loc[1, "mean_fp"] > a.loc[3, "mean_fp"] > a.loc[2, "mean_fp"]
+    assert a["bucket"].tolist() == ["head", "tail", "middle"]
+    assert a["n_pairs"].tolist() == [4, 4, 4]
+    assert (a["mean_fp"] == a["lm_score"] // a["n_pairs"]).all()
 
 
 def test_bloom_membership_no_false_negatives(ray_session):
