@@ -1082,6 +1082,20 @@ def _q_ann_topk(sf_dir: str):
     return knn_bruteforce(_vecs(sf_dir), n_queries=8, k=10)
 
 
+def _q_ann_negatives(sf_dir: str):
+    """Hard-negative mining (DPR/SimCSE contrastive-training staple):
+    exact top-k most-similar DIFFERENT-label vectors per query —
+    broadcast query matrix + labels, blocked matmul, per-batch partial
+    top-k.  Rank-only output (the ann_topk precedent)."""
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        hard_negatives)
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    vecs = read_embeddings(sf_dir,
+                           columns=["vec_id", "embedding", "label"])
+    return hard_negatives(vecs, n_queries=8, k=10)
+
+
 def _q_ann_mips(sf_dir: str):
     """Exact maximum-inner-product top-k (unnormalized dot — the
     recommendation scoring cosine can't answer); rank-only output."""
@@ -2822,6 +2836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_calibration": _q_dedup_calibration,
         "dedup_curate": _q_dedup_curate,
         "lm_quality": _q_lm_quality,
+        "ann_negatives": _q_ann_negatives,
     }
 
 
@@ -4944,6 +4959,45 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 FROM dots) WHERE rank <= 10
         """,
         "ann_topk": _ANN_TOPK_SQL,
+        # hard-negative mining: the ann_topk CTE chain with a
+        # label-mismatch predicate (self-match is excluded a fortiori:
+        # a vector shares its own label)
+        "ann_negatives": """
+            WITH unn AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nn
+                      FROM unn GROUP BY vec_id),
+            lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                    FROM embeddings),
+            q AS (SELECT * FROM unn WHERE vec_id < 8),
+            dots AS (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       sum(q.v*d.v) AS dot
+                FROM q JOIN unn d ON q.i = d.i
+                GROUP BY 1, 2
+            ),
+            sims AS (
+                SELECT query_id, neighbor_id,
+                       dot / (nq.nn * nd.nn) AS sim
+                FROM dots
+                JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nd ON nd.vec_id = neighbor_id
+                JOIN lab ql ON ql.vec_id = query_id
+                JOIN lab nl ON nl.vec_id = neighbor_id
+                WHERE ql.label <> nl.label
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
         # ann_recall: nested-CTE composition of the two oracle-checked
         # retrieval kernels (brute-force top-k and IVF top-k); the
         # overlap count and recall_bp are exact integers.

@@ -97,6 +97,68 @@ def knn_bruteforce(
     return _merge_topk(partials, k)
 
 
+def hard_negatives(
+    vecs: rd.Dataset,
+    *,
+    n_queries: int = 8,
+    k: int = 10,
+) -> rd.Dataset:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the exact top-k most-COSINE-SIMILAR vectors whose ``label``
+    DIFFERS from the query's — the highest-loss negatives a contrastive
+    batch builder wants (DPR / SimCSE style: random negatives are too
+    easy; the near-miss wrong-label neighbors carry the gradient).
+
+    Same scale shape as :func:`knn_bruteforce`: the query matrix (plus
+    its labels) is the broadcast small side via ``ray.put``; the data
+    side streams in blocked matmuls keeping only a per-batch per-query
+    top-k, so the shuffle moves <= k*n_queries rows per batch.  Rank
+    output only (the `ann_topk` precedent: float sims order-stable on
+    both engines); ties break (sim desc, neighbor_id asc).
+
+    Output: (query_id, neighbor_id, rank) with rank 1-based.
+    """
+    import pyarrow.compute as pc
+
+    small = vecs.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), n_queries)),
+        batch_format="pyarrow",
+    )
+    rows = small.take_all()  # O(n_queries) rows only
+    qids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    qlab = np.asarray([r["label"] for r in rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(qids)
+    qids, qlab, Q = qids[order], qlab[order], Q[order]
+    qref = ray.put((qids, qlab, Q))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, qlab_, Q_ = ray.get(qref)
+        ids, X = _batch_matrix(batch)
+        labels = np.asarray(batch.column("label").to_pylist(),
+                            dtype=np.int64)
+        sims = X @ Q_.T  # (B, nq)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids_)):
+            mask = labels != qlab_[j]  # negatives only (self excluded)
+            cand_ids, cand_s = ids[mask], sims[:, j][mask]
+            if len(cand_ids) > k:
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[order], cand_s[order]
+            out_q.extend([qids_[j]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = vecs.map_batches(partial_topk, batch_format="pyarrow")
+    return _merge_topk(partials, k)
+
+
 def _merge_topk(partials: rd.Dataset, k: int) -> rd.Dataset:
     """Distributed top-k-per-query merge in the engine's standard
     combine/sort/combine shape — no ``groupby().map_groups`` (per-group

@@ -42,7 +42,7 @@ SQL_CHECKED = [
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
     "ann_recall", "token_counts_bpe", "dedup_report",
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
-    "lm_quality",
+    "lm_quality", "ann_negatives",
 ]
 
 
@@ -1258,6 +1258,50 @@ def test_semantic_dup_pairs_subset_of_exact(ray_session):
     # centroid column is consistent with the assignment
     for r in got.itertuples():
         assert cl[r.vec_a] == r.centroid == cl[r.vec_b]
+
+
+def test_hard_negatives_planted(ray_session):
+    """Planted geometry: the single nearest vector shares the query's
+    label (a positive — must be EXCLUDED), the next-nearest carries a
+    different label and must be rank 1; all returned neighbors carry a
+    label different from the query's.  Split-invariant across
+    repartition counts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        hard_negatives)
+
+    # query = e0; same-label near-dup at angle ~0; hard negative at a
+    # slightly wider angle; easy negatives near-orthogonal
+    rows = [
+        [10.0, 0.0, 0.0, 0.0],   # vec 0: query, label 0
+        [10.0, 0.5, 0.0, 0.0],   # vec 1: positive (label 0) — excluded
+        [10.0, 1.5, 0.0, 0.0],   # vec 2: hard negative (label 1)
+        [0.0, 10.0, 0.0, 0.0],   # vec 3: easy negative (label 1)
+        [0.0, 0.0, 10.0, 0.0],   # vec 4: easy negative (label 2)
+        [1.0, 0.0, 0.0, 10.0],   # vec 5: easy negative (label 2)
+    ]
+    labels = [0, 0, 1, 1, 2, 2]
+    tbl = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([r for r in rows], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        vecs = rd.from_arrow(tbl).repartition(nparts)
+        out = (hard_negatives(vecs, n_queries=1, k=3).to_pandas()
+               .sort_values("rank").reset_index(drop=True))
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant
+    assert a["query_id"].tolist() == [0, 0, 0]
+    assert 1 not in set(a["neighbor_id"])        # positive excluded
+    assert a.loc[0, "neighbor_id"] == 2          # hard negative first
+    assert set(a["neighbor_id"]) == {2, 5, 3}    # by descending cosine
+    assert a["rank"].tolist() == [1, 2, 3]
 
 
 def test_pq_retrieves_planted_clusters(ray_session):
