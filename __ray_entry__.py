@@ -1082,6 +1082,21 @@ def _q_ann_topk(sf_dir: str):
     return knn_bruteforce(_vecs(sf_dir), n_queries=8, k=10)
 
 
+def _q_corpus_curriculum(sf_dir: str):
+    """Curriculum training order: rank the lm_quality table by
+    (bucket head<middle<tail, mean_fp DESC) and emit each doc's exact
+    strictly-preceding count — bounded-key value-histogram fold +
+    broadcast searchsorted annotate, zero wide ops on top of the
+    lm_quality passes."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        curriculum_order, lm_quality)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    return curriculum_order(
+        lm_quality(docs, ref_source="src0", n_buckets=4096))
+
+
 def _q_ann_negatives(sf_dir: str):
     """Hard-negative mining (DPR/SimCSE contrastive-training staple):
     exact top-k most-similar DIFFERENT-label vectors per query —
@@ -2837,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_curate": _q_dedup_curate,
         "lm_quality": _q_lm_quality,
         "ann_negatives": _q_ann_negatives,
+        "corpus_curriculum": _q_corpus_curriculum,
     }
 
 
@@ -2998,6 +3014,80 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 # bucket argmax, top-4 probe centroids per query, and the (sim DESC,
 # neighbor ASC) top-10 rank.  Approximate relative to brute force, but
 # bitwise reproducible.
+_LM_QUALITY_SQL = """
+            WITH d AS (
+                SELECT doc_id, source = 'src0' AS is_ref,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, is_ref,
+                       l[t.i + 1] AS w1, l[t.i + 2] AS w2
+                FROM d, unnest(range(len(l) - 1)) AS t(i)
+            ),
+            hp AS (
+                SELECT doc_id, is_ref,
+                       CAST(md5_number_upper(w1 || ' ' || w2) % 4096
+                            AS BIGINT) AS hb,
+                       CAST(md5_number_upper(w1) % 4096
+                            AS BIGINT) AS hc
+                FROM bg
+            ),
+            prof AS (
+                SELECT hb AS h, CAST(count(*) AS BIGINT) AS c
+                FROM hp WHERE is_ref GROUP BY hb
+            ),
+            ctx AS (
+                SELECT hc AS h, CAST(count(*) AS BIGINT) AS c
+                FROM hp WHERE is_ref GROUP BY hc
+            ),
+            sc AS (
+                SELECT k.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(((coalesce(p.c, 0) + 1) * 1048576)
+                            // (coalesce(x.c, 0) + 4096))
+                            AS BIGINT) AS lm_score
+                FROM hp k
+                LEFT JOIN prof p ON k.hb = p.h
+                LEFT JOIN ctx x ON k.hc = x.h
+                WHERE NOT k.is_ref
+                GROUP BY k.doc_id
+            ),
+            mn AS (
+                SELECT doc_id, n_pairs, lm_score,
+                       lm_score // n_pairs AS mean_fp
+                FROM sc
+            ),
+            hist AS (
+                SELECT mean_fp AS v, CAST(count(*) AS BIGINT) AS c
+                FROM mn GROUP BY mean_fp
+            ),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+            cum AS (
+                SELECT v,
+                       SUM(c) OVER (ORDER BY v) AS cle,
+                       (SELECT n FROM tot)
+                           - SUM(c) OVER (ORDER BY v) + c AS cge
+                FROM hist
+            ),
+            th AS (
+                SELECT coalesce(MIN(CASE WHEN cge <= (SELECT n FROM tot) // 3
+                                         THEN v END),
+                                9223372036854775807) AS t_head,
+                       coalesce(MAX(CASE WHEN cle <= (SELECT n FROM tot) // 3
+                                         THEN v END),
+                                -9223372036854775807 - 1) AS t_tail
+                FROM cum
+            )
+            SELECT mn.doc_id, mn.n_pairs, mn.lm_score, mn.mean_fp,
+                   CASE WHEN mn.mean_fp >= th.t_head THEN 'head'
+                        WHEN mn.mean_fp <= th.t_tail THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM mn CROSS JOIN th
+        """
+
+
 _ANN_TOPK_SQL = """
             WITH unn AS (
                 SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -4537,77 +4627,25 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # 'src0' slice, fixed-point integer scores, exact integer
         # tertile thresholds (see textstats.lm_quality) — every
         # quantity is an exact int64 on both engines.
-        "lm_quality": """
-            WITH d AS (
-                SELECT doc_id, source = 'src0' AS is_ref,
-                       list_filter(string_split(text, ' '),
-                                   x -> x <> '') AS l
-                FROM documents
-            ),
-            bg AS (
-                SELECT doc_id, is_ref,
-                       l[t.i + 1] AS w1, l[t.i + 2] AS w2
-                FROM d, unnest(range(len(l) - 1)) AS t(i)
-            ),
-            hp AS (
-                SELECT doc_id, is_ref,
-                       CAST(md5_number_upper(w1 || ' ' || w2) % 4096
-                            AS BIGINT) AS hb,
-                       CAST(md5_number_upper(w1) % 4096
-                            AS BIGINT) AS hc
-                FROM bg
-            ),
-            prof AS (
-                SELECT hb AS h, CAST(count(*) AS BIGINT) AS c
-                FROM hp WHERE is_ref GROUP BY hb
-            ),
-            ctx AS (
-                SELECT hc AS h, CAST(count(*) AS BIGINT) AS c
-                FROM hp WHERE is_ref GROUP BY hc
-            ),
-            sc AS (
-                SELECT k.doc_id,
-                       CAST(count(*) AS BIGINT) AS n_pairs,
-                       CAST(SUM(((coalesce(p.c, 0) + 1) * 1048576)
-                            // (coalesce(x.c, 0) + 4096))
-                            AS BIGINT) AS lm_score
-                FROM hp k
-                LEFT JOIN prof p ON k.hb = p.h
-                LEFT JOIN ctx x ON k.hc = x.h
-                WHERE NOT k.is_ref
-                GROUP BY k.doc_id
-            ),
-            mn AS (
-                SELECT doc_id, n_pairs, lm_score,
-                       lm_score // n_pairs AS mean_fp
-                FROM sc
-            ),
-            hist AS (
-                SELECT mean_fp AS v, CAST(count(*) AS BIGINT) AS c
-                FROM mn GROUP BY mean_fp
-            ),
-            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
-            cum AS (
-                SELECT v,
-                       SUM(c) OVER (ORDER BY v) AS cle,
-                       (SELECT n FROM tot)
-                           - SUM(c) OVER (ORDER BY v) + c AS cge
-                FROM hist
-            ),
-            th AS (
-                SELECT coalesce(MIN(CASE WHEN cge <= (SELECT n FROM tot) // 3
-                                         THEN v END),
-                                9223372036854775807) AS t_head,
-                       coalesce(MAX(CASE WHEN cle <= (SELECT n FROM tot) // 3
-                                         THEN v END),
-                                -9223372036854775807 - 1) AS t_tail
-                FROM cum
+        "lm_quality": _LM_QUALITY_SQL,
+        # curriculum training order over the quality table: rank() - 1
+        # over (bucket head<middle<tail, mean_fp DESC) == the engine's
+        # strictly-preceding count (ties share n_ahead on both sides)
+        "corpus_curriculum": f"""
+            WITH lmq AS ({_LM_QUALITY_SQL}),
+            keyed AS (
+                SELECT doc_id, bucket, mean_fp,
+                       CASE bucket WHEN 'head' THEN 0
+                                   WHEN 'middle' THEN 1
+                                   ELSE 2 END AS br
+                FROM lmq
             )
-            SELECT mn.doc_id, mn.n_pairs, mn.lm_score, mn.mean_fp,
-                   CASE WHEN mn.mean_fp >= th.t_head THEN 'head'
-                        WHEN mn.mean_fp <= th.t_tail THEN 'tail'
-                        ELSE 'middle' END AS bucket
-            FROM mn CROSS JOIN th
+            SELECT doc_id, bucket, mean_fp,
+                   CAST(rank() OVER (ORDER BY br, mean_fp DESC) - 1
+                        AS BIGINT) AS n_ahead,
+                   CAST((SELECT count(*) FROM keyed) AS BIGINT)
+                       AS n_docs
+            FROM keyed
         """,
         # BPE tokenizer training: 8 unrolled merge rounds over the
         # top-64 word-type table (see _bpe_sql)

@@ -1720,9 +1720,7 @@ def lm_quality(
         parent = pc.list_parent_indices(toks).to_numpy()
         flat = pc.list_flatten(toks)
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        words = np.asarray(
-            [w for w, k in zip(flat.to_pylist(), keep) if k],
-            dtype=object)
+        words = np.asarray(flat.to_pylist(), dtype=object)[keep]
         parent = parent[keep]
         if len(words) < 2:
             z = np.empty(0, np.int64)
@@ -1831,6 +1829,73 @@ def lm_quality(
             "bucket", pa.array(lab.tolist(), pa.string()))
 
     return scored.map_batches(label, batch_format="pyarrow")
+
+
+def curriculum_order(scored: rd.Dataset) -> rd.Dataset:
+    """Curriculum-learning training order (Bengio et al. 2009 shape,
+    easy/high-quality first): given a per-doc quality table
+    (doc_id, ..., mean_fp, bucket) — :func:`lm_quality`'s output — rank
+    every document by (bucket head < middle < tail, mean_fp DESC) and
+    emit the exact count of strictly-preceding documents, the integer
+    a curriculum sampler orders its epochs by.
+
+    Same zero-shuffle shape as `token_count_ranks`: the rank key space
+    is BOUNDED (3 buckets x <= 2^scale_bits distinct means), so
+    per-block (key, count) partials fold on the driver, the exclusive
+    prefix table broadcasts in the closure, and ONE stateless pass
+    annotates every row via searchsorted on a monotone composite key.
+    Ties (same bucket, same mean) share ``n_ahead`` — the doc_id
+    tiebreak is left to the consumer (SQL ``rank() - 1`` semantics,
+    which is what makes the output bit-exact on both engines).
+
+    Output: (doc_id, bucket, mean_fp, n_ahead, n_docs)."""
+    scored = scored.materialize()  # feeds the fold AND the annotate
+
+    _BR = {"head": 0, "middle": 1, "tail": 2}
+
+    def _key(bucket: np.ndarray, mean_fp: np.ndarray) -> np.ndarray:
+        br = np.asarray([_BR[b] for b in bucket], np.int64)
+        # ascending key == curriculum order: bucket asc, mean desc;
+        # 2^61 stride: br <= 2 keeps br*2^61 - mean_fp inside int64
+        # for any mean_fp < 2^61 (mean_fp is a nonneg int64 quotient)
+        return br * (np.int64(1) << 61) - mean_fp
+
+    def key_hist(batch: pa.Table) -> pa.Table:
+        k = _key(np.asarray(batch.column("bucket").to_pylist()),
+                 batch.column("mean_fp").to_numpy(
+                     zero_copy_only=False).astype(np.int64))
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    acc: dict[int, int] = {}
+    for r in scored.map_batches(key_hist, batch_format="pyarrow",
+                                batch_size=None).take_all():
+        acc[r["k"]] = acc.get(r["k"], 0) + r["c"]
+    keys = np.asarray(sorted(acc), np.int64)
+    ahead = np.concatenate(
+        [[0], np.cumsum([acc[int(k)] for k in keys])[:-1]]
+    ).astype(np.int64) if len(keys) else np.array([], np.int64)
+    n_docs = int(sum(acc.values()))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        mf = batch.column("mean_fp").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = _key(np.asarray(batch.column("bucket").to_pylist()), mf)
+        idx = np.searchsorted(keys, k, side="left")  # exact: k in keys
+        m = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "bucket": batch.column("bucket"),
+            "mean_fp": pa.array(mf, pa.int64()),
+            "n_ahead": pa.array(ahead[idx] if m else
+                                np.array([], np.int64), pa.int64()),
+            "n_docs": pa.array(np.full(m, n_docs, np.int64),
+                               pa.int64()),
+        })
+
+    return scored.map_batches(annotate, batch_format="pyarrow",
+                              batch_size=1 << 17)
 
 
 def bpe_train(

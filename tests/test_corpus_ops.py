@@ -42,7 +42,7 @@ SQL_CHECKED = [
     "lang_id", "bloom_decontaminate", "dedup_substring", "c4_filters",
     "ann_recall", "token_counts_bpe", "dedup_report",
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
-    "lm_quality", "ann_negatives",
+    "lm_quality", "ann_negatives", "corpus_curriculum",
 ]
 
 
@@ -1565,6 +1565,34 @@ def test_lm_quality_buckets_planted(ray_session):
     assert a["bucket"].tolist() == ["head", "tail", "middle"]
     assert a["n_pairs"].tolist() == [4, 4, 4]
     assert (a["mean_fp"] == a["lm_score"] // a["n_pairs"]).all()
+
+
+def test_curriculum_order_planted(ray_session):
+    """Curriculum rank over a hand-built quality table: head docs
+    precede middle precede tail, higher mean_fp first within a bucket,
+    ties share n_ahead (rank() - 1 semantics), and the ordering is
+    split-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        curriculum_order)
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "mean_fp": pa.array([900, 700, 500, 500, 300, 100], pa.int64()),
+        "bucket": pa.array(["head", "head", "middle", "middle",
+                            "middle", "tail"], pa.string()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        out = (curriculum_order(rd.from_arrow(tbl).repartition(nparts))
+               .to_pandas().set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant
+    assert a["n_ahead"].tolist() == [0, 1, 2, 2, 4, 5]  # tie shares 2
+    assert (a["n_docs"] == 6).all()
 
 
 def test_bloom_membership_no_false_negatives(ray_session):
