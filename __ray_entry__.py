@@ -1097,6 +1097,19 @@ def _q_corpus_curriculum(sf_dir: str):
         lm_quality(docs, ref_source="src0", n_buckets=4096))
 
 
+def _q_corpus_mlm_plan(sf_dir: str):
+    """BERT-style masked-LM masking plan: deterministic md5 per-token
+    position draw (15% masked, 80/10/10 MASK/random/keep), one
+    streaming pass, zero wide ops; all-integer per-doc summary so the
+    oracle is bit-exact."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        mlm_mask_plan)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    return mlm_mask_plan(read_documents(sf_dir,
+                                        columns=["doc_id", "text"]))
+
+
 def _q_ann_negatives(sf_dir: str):
     """Hard-negative mining (DPR/SimCSE contrastive-training staple):
     exact top-k most-similar DIFFERENT-label vectors per query —
@@ -2853,6 +2866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": _q_lm_quality,
         "ann_negatives": _q_ann_negatives,
         "corpus_curriculum": _q_corpus_curriculum,
+        "corpus_mlm_plan": _q_corpus_mlm_plan,
     }
 
 
@@ -4628,6 +4642,41 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # tertile thresholds (see textstats.lm_quality) — every
         # quantity is an exact int64 on both engines.
         "lm_quality": _LM_QUALITY_SQL,
+        # masked-LM plan: md5 per-(doc,pos) draw, 15% / 80-10-10 split
+        # (see textstats.mlm_mask_plan) — all-integer, bit-exact
+        "corpus_mlm_plan": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id, CAST(t.i AS BIGINT) AS pos
+                FROM d, unnest(range(len(l))) AS t(i)
+            ),
+            h AS (
+                SELECT doc_id, pos,
+                       CAST(md5_number_upper(
+                           'mlm:' || CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(pos AS VARCHAR)) % 1000
+                            AS BIGINT) AS r
+                FROM tk
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN r < 150 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_masked,
+                   CAST(sum(CASE WHEN r < 120 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_mask,
+                   CAST(sum(CASE WHEN r >= 120 AND r < 135
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rand,
+                   CAST(sum(CASE WHEN r >= 135 AND r < 150
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(coalesce(sum(CASE WHEN r < 150 THEN pos END),
+                                 0) AS BIGINT) AS masked_pos_sum
+            FROM h GROUP BY doc_id
+        """,
         # curriculum training order over the quality table: rank() - 1
         # over (bucket head<middle<tail, mean_fp DESC) == the engine's
         # strictly-preceding count (ties share n_ahead on both sides)

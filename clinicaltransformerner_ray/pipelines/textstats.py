@@ -1898,6 +1898,80 @@ def curriculum_order(scored: rd.Dataset) -> rd.Dataset:
                               batch_size=1 << 17)
 
 
+def mlm_mask_plan(docs: rd.Dataset, *, salt: str = "mlm") -> rd.Dataset:
+    """BERT-style masked-LM example plan (Devlin et al. 2019): select
+    15% of token positions per document and split them 80/10/10 into
+    [MASK] / random-replace / keep — the deterministic example-
+    generation pass a pretraining pipeline runs over the whole corpus
+    before tokenization.
+
+    Determinism: position p of doc d draws
+    ``r = md5_hash64(f"{salt}:{d}:{p}") % 1000`` — masked iff r < 150,
+    [MASK] iff r < 120, random iff 120 <= r < 135, keep iff
+    135 <= r < 150 (the md5 rule == DuckDB ``md5_number_upper``, the
+    corpus_splits / bloom precedent), so the plan is reproducible
+    across runs, engines and resumes — no RNG state to checkpoint.
+
+    Shape: ONE streaming ``map_batches`` pass, zero wide ops; output is
+    the per-doc integer summary (a production run would emit the
+    masked-position list itself — same pass, wider rows).  Tokens are
+    ``split(" ")`` with ``''`` dropped; token-less docs are absent
+    (inner-join semantics).
+
+    Output: (doc_id, n_tokens, n_masked, n_mask, n_rand, n_keep,
+    masked_pos_sum) — all exact int64.
+    """
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def plan(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        m = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(parent):
+            z = pa.array([], pa.int64())
+            return pa.table({c: z for c in (
+                "doc_id", "n_tokens", "n_masked", "n_mask", "n_rand",
+                "n_keep", "masked_pos_sum")})
+        counts = np.bincount(parent, minlength=m)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        r = (_hash64([f"{salt}:{ids[p]}:{q}"
+                      for p, q in zip(parent, pos)])
+             % np.uint64(1000)).astype(np.int64)
+
+        def seg(mask: np.ndarray, weights=None) -> np.ndarray:
+            out = np.zeros(m, np.int64)
+            w = mask.astype(np.int64) if weights is None \
+                else mask.astype(np.int64) * weights
+            np.add.at(out, parent, w)
+            return out
+
+        masked = r < 150
+        nz = counts > 0
+        cols = {
+            "doc_id": ids[nz],
+            "n_tokens": counts.astype(np.int64)[nz],
+            "n_masked": seg(masked)[nz],
+            "n_mask": seg(r < 120)[nz],
+            "n_rand": seg((r >= 120) & (r < 135))[nz],
+            "n_keep": seg((r >= 135) & (r < 150))[nz],
+            "masked_pos_sum": seg(masked, pos)[nz],
+        }
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    return docs.map_batches(plan, batch_format="pyarrow",
+                            batch_size=1 << 17)
+
+
 def bpe_train(
     docs: rd.Dataset, *, n_merges: int = 8, max_types: int = 64,
 ) -> rd.Dataset:

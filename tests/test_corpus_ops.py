@@ -43,6 +43,7 @@ SQL_CHECKED = [
     "ann_recall", "token_counts_bpe", "dedup_report",
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
     "lm_quality", "ann_negatives", "corpus_curriculum",
+    "corpus_mlm_plan",
 ]
 
 
@@ -1565,6 +1566,46 @@ def test_lm_quality_buckets_planted(ray_session):
     assert a["bucket"].tolist() == ["head", "tail", "middle"]
     assert a["n_pairs"].tolist() == [4, 4, 4]
     assert (a["mean_fp"] == a["lm_score"] // a["n_pairs"]).all()
+
+
+def test_mlm_mask_plan_deterministic(ray_session):
+    """The masking plan must replicate the md5 position-draw rule
+    exactly (hand-folded against _hash64 in-test), partition the
+    masked set 80/10/10 consistently (n_masked = n_mask+n_rand+n_keep),
+    drop token-less docs, and be split-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        mlm_mask_plan)
+
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             " spaced   out  tokens ",
+             ""]
+    tbl = pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    outs = []
+    for nparts in (1, 2):
+        out = (mlm_mask_plan(rd.from_arrow(tbl).repartition(nparts))
+               .to_pandas().set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant
+    assert set(a.index) == {7, 8}        # empty doc absent
+    assert (a["n_masked"] ==
+            a["n_mask"] + a["n_rand"] + a["n_keep"]).all()
+    # hand-fold doc 7 with the same rule the engine documents
+    toks = [t for t in texts[0].split(" ") if t]
+    r = _hash64([f"mlm:7:{p}" for p in range(len(toks))]) % np.uint64(1000)
+    assert a.loc[7, "n_tokens"] == len(toks)
+    assert a.loc[7, "n_masked"] == int((r < 150).sum())
+    assert a.loc[7, "masked_pos_sum"] == int(
+        np.arange(len(toks))[r < 150].sum())
+    assert a.loc[8, "n_tokens"] == 3     # '' artifacts dropped
 
 
 def test_curriculum_order_planted(ray_session):
