@@ -91,6 +91,16 @@ def _q_kg_triples(sf_dir: str):
     return _kg(sf_dir)["triples"]
 
 
+def _q_kg_negatives(sf_dir: str):
+    """Link-prediction negative sampling over the flagship's triple
+    table: one deterministic corrupted object per positive (md5 pick
+    over the sorted endpoint vocabulary, next-slot step on collision).
+    Lexicon-bounded vocab driver-fold + broadcast; zero wide ops."""
+    from clinicaltransformerner_ray.pipelines.graph import link_negatives
+
+    return link_negatives(_kg(sf_dir)["triples"])
+
+
 def _q_kg_degrees(sf_dir: str):
     """Graph statistics chained off the flagship's triple table:
     undirected co-occurrence degree per entity (each triple contributes
@@ -2867,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_negatives": _q_ann_negatives,
         "corpus_curriculum": _q_corpus_curriculum,
         "corpus_mlm_plan": _q_corpus_mlm_plan,
+        "kg_negatives": _q_kg_negatives,
     }
 
 
@@ -3650,7 +3661,27 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
             FROM degs GROUP BY degree
         """)
+    negatives_sql = ("WITH tr AS (" + triples_sql + """),
+            ends AS (SELECT subj AS e FROM tr UNION SELECT obj FROM tr),
+            v AS (SELECT list(e ORDER BY e) AS arr,
+                         CAST(count(*) AS HUGEINT) AS n
+                  FROM ends),
+            hx AS (
+                SELECT subj, pred, obj,
+                       CAST(CAST(md5_number_upper(
+                                subj || ':' || pred || ':' || obj)
+                            AS HUGEINT) % (SELECT n FROM v)
+                            AS BIGINT) AS idx
+                FROM tr
+            )
+            SELECT hx.subj, hx.pred, hx.obj,
+                   CASE WHEN v.arr[idx + 1] = hx.obj
+                        THEN v.arr[CAST((idx + 1) % v.n AS BIGINT) + 1]
+                        ELSE v.arr[idx + 1] END AS neg_obj
+            FROM hx CROSS JOIN v
+        """)
     sql = {
+        "kg_negatives": negatives_sql,
         "kg_degrees": degrees_sql,
         "kg_degree_histogram": degree_hist_sql,
         "kg_pagerank": _pagerank_sql(cte, iters=5),

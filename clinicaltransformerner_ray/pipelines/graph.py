@@ -1630,3 +1630,67 @@ def ktruss(
         })
 
     return last.map_batches(rename, batch_format="pyarrow")
+
+
+def link_negatives(triples: rd.Dataset) -> rd.Dataset:
+    """Link-prediction negative sampling (TransE-family training prep,
+    Bordes et al. 2013): for every positive triple (s, p, o) emit ONE
+    corrupted object ``neg_obj != o`` drawn deterministically from the
+    triple table's own endpoint vocabulary — the per-positive negative
+    a margin-ranking KG-embedding trainer consumes.
+
+    Determinism: the pick is ``vocab[md5_hash64(f"{s}:{p}:{o}") % n]``
+    over the SORTED endpoint vocabulary (ASCII ids — Python/DuckDB
+    string order agree), stepping to the next slot (mod n) iff the
+    draw equals the true object, so the plan is reproducible across
+    runs and engines with no RNG state (the `mlm_mask_plan` rule).
+    Requires n >= 2 endpoints for neg_obj != obj to be guaranteed.
+
+    Shape: the vocabulary is LEXICON-BOUNDED (the degrees/pagerank
+    driver-fold precedent) — one streaming pass folds per-block
+    distinct endpoints on the driver, ``ray.put`` broadcasts the
+    sorted array, and one stateless pass corrupts every triple
+    block-locally.  Zero wide ops.
+
+    Output: (subj, pred, obj, neg_obj)."""
+    import ray
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def ends(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            np.asarray(batch.column("subj").to_pylist(), object),
+            np.asarray(batch.column("obj").to_pylist(), object)]))
+        return pa.table({"e": pa.array(u.tolist(), pa.string())})
+
+    vocab: set[str] = set()
+    for r in triples.map_batches(ends, batch_format="pyarrow",
+                                 batch_size=1 << 19).take_all():
+        vocab.add(r["e"])
+    arr = np.asarray(sorted(vocab), dtype=object)
+    n = len(arr)
+    vref = ray.put(arr)
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        s = batch.column("subj").to_pylist()
+        p = batch.column("pred").to_pylist()
+        o = batch.column("obj").to_pylist()
+        if not s:
+            z = pa.array([], pa.string())
+            return pa.table({"subj": z, "pred": z, "obj": z,
+                             "neg_obj": z})
+        idx = (_hash64([f"{a}:{b}:{c}" for a, b, c in zip(s, p, o)])
+               % np.uint64(n)).astype(np.int64)
+        neg = v[idx]
+        hit = neg == np.asarray(o, dtype=object)
+        idx[hit] = (idx[hit] + 1) % n
+        neg = v[idx]
+        return pa.table({
+            "subj": pa.array(s, pa.string()),
+            "pred": pa.array(p, pa.string()),
+            "obj": pa.array(o, pa.string()),
+            "neg_obj": pa.array(neg.tolist(), pa.string()),
+        })
+
+    return triples.map_batches(corrupt, batch_format="pyarrow")

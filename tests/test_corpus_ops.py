@@ -1608,6 +1608,45 @@ def test_mlm_mask_plan_deterministic(ray_session):
     assert a.loc[8, "n_tokens"] == 3     # '' artifacts dropped
 
 
+def test_link_negatives_deterministic(ray_session):
+    """Negative sampling over a hand-built triple table: every
+    neg_obj differs from the true object, comes from the endpoint
+    vocabulary, replicates the documented md5 pick rule exactly, and
+    is split-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+    from clinicaltransformerner_ray.pipelines.graph import link_negatives
+
+    tbl = pa.table({
+        "subj": pa.array(["A", "A", "B", "C"], pa.string()),
+        "pred": pa.array(["co_occurs"] * 4, pa.string()),
+        "obj": pa.array(["B", "C", "D", "D"], pa.string()),
+    })
+    vocab = sorted({"A", "B", "C", "D"})
+    outs = []
+    for nparts in (1, 3):
+        out = (link_negatives(rd.from_arrow(tbl).repartition(nparts))
+               .to_pandas().sort_values(["subj", "obj"])
+               .reset_index(drop=True))
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant
+    assert (a["neg_obj"] != a["obj"]).all()
+    assert set(a["neg_obj"]) <= set(vocab)
+    # hand-fold the documented rule
+    for _, r in a.iterrows():
+        # NB: % must stay uint64 (a Python-int modulus promotes numpy
+        # uint64 to float64 and corrupts the residue — CLAUDE.md r2#1)
+        idx = int(_hash64([f"{r.subj}:{r.pred}:{r.obj}"])[0]
+                  % np.uint64(4))
+        if vocab[idx] == r.obj:
+            idx = (idx + 1) % 4
+        assert r.neg_obj == vocab[idx]
+
+
 def test_curriculum_order_planted(ray_session):
     """Curriculum rank over a hand-built quality table: head docs
     precede middle precede tail, higher mean_fp first within a bucket,
