@@ -1120,6 +1120,19 @@ def _q_corpus_mlm_plan(sf_dir: str):
                                         columns=["doc_id", "text"]))
 
 
+def _q_corpus_t5_spans(sf_dir: str):
+    """T5-style span-corruption plan: deterministic md5 span starts +
+    widths, overlap-merged span counts and exact interval-union
+    coverage via a per-doc running-max-end scan — one streaming pass,
+    zero wide ops, all-integer output."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        t5_span_plan)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    return t5_span_plan(read_documents(sf_dir,
+                                       columns=["doc_id", "text"]))
+
+
 def _q_ann_negatives(sf_dir: str):
     """Hard-negative mining (DPR/SimCSE contrastive-training staple):
     exact top-k most-similar DIFFERENT-label vectors per query —
@@ -2878,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curriculum": _q_corpus_curriculum,
         "corpus_mlm_plan": _q_corpus_mlm_plan,
         "kg_negatives": _q_kg_negatives,
+        "corpus_t5_spans": _q_corpus_t5_spans,
     }
 
 
@@ -4675,6 +4689,62 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "lm_quality": _LM_QUALITY_SQL,
         # masked-LM plan: md5 per-(doc,pos) draw, 15% / 80-10-10 split
         # (see textstats.mlm_mask_plan) — all-integer, bit-exact
+        # T5 span-corruption plan: md5 starts/widths, window
+        # running-max-end scan for merged spans + exact union coverage
+        # (see textstats.t5_span_plan) — all-integer, bit-exact
+        "corpus_t5_spans": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+                       CAST(t.i AS BIGINT) AS pos
+                FROM d, unnest(range(len(l))) AS t(i)
+            ),
+            st AS (
+                SELECT doc_id, n, pos,
+                       2 + CAST(md5_number_upper(
+                               't5w:' || CAST(doc_id AS VARCHAR)
+                                      || ':' || CAST(pos AS VARCHAR))
+                           % 3 AS BIGINT) AS w
+                FROM tk
+                WHERE CAST(md5_number_upper(
+                          't5:' || CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(pos AS VARCHAR)) % 1000
+                      AS BIGINT) < 50
+            ),
+            sp AS (SELECT doc_id, pos, least(pos + w, n) AS e FROM st),
+            scan AS (
+                SELECT doc_id, pos, e,
+                       coalesce(max(e) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                                CAST(-1 AS BIGINT)) AS pm
+                FROM sp
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_starts,
+                       CAST(sum(CASE WHEN pos >= pm THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_spans,
+                       CAST(sum(greatest(e - greatest(pos, pm), 0))
+                            AS BIGINT) AS n_corrupted
+                FROM scan GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.l) AS BIGINT) AS n_tokens,
+                   coalesce(agg.n_starts, CAST(0 AS BIGINT))
+                       AS n_starts,
+                   coalesce(agg.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+                   coalesce(agg.n_corrupted, CAST(0 AS BIGINT))
+                       AS n_corrupted
+            FROM d LEFT JOIN agg USING (doc_id)
+            WHERE len(d.l) > 0
+        """,
         "corpus_mlm_plan": """
             WITH d AS (
                 SELECT doc_id,

@@ -1972,6 +1972,109 @@ def mlm_mask_plan(docs: rd.Dataset, *, salt: str = "mlm") -> rd.Dataset:
                             batch_size=1 << 17)
 
 
+def t5_span_plan(docs: rd.Dataset, *, salt: str = "t5") -> rd.Dataset:
+    """T5-style span-corruption plan (Raffel et al. 2020): choose
+    corruption spans per document deterministically, merge overlaps,
+    and report the merged span count and corrupted-token coverage —
+    the example-generation pass a span-denoising pretraining pipeline
+    runs corpus-wide.
+
+    Determinism (the `mlm_mask_plan` rule): position p of doc d is a
+    span START iff ``md5_hash64(f"{salt}:{d}:{p}") % 1000 < 50`` (~5%
+    of positions) with width ``2 + md5_hash64(f"{salt}w:{d}:{p}") % 3``
+    (2-4 tokens, clipped at the doc end).  OVERLAPPING spans merge
+    (touching spans stay separate): a start is a MERGED-SPAN HEAD iff
+    it lies at or beyond the running max end of all earlier spans
+    (``pos >= prev_max_end``), and the corrupted coverage
+    is the exact interval-union length via the running-max-end scan
+    (the variable-width generalization of `substring_dup_coverage`'s
+    fixed-width ``min(w, next_pos - pos)`` trick) — both exactly
+    replicable in SQL with a window ``max(...) OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Shape: ONE streaming pass, zero wide ops; per-doc scans vectorize
+    across the whole batch by offsetting positions with
+    ``parent * 2^32`` so one global ``np.maximum.accumulate`` handles
+    every doc segment.  Token-less docs are absent (inner-join
+    semantics).
+
+    Output: (doc_id, n_tokens, n_starts, n_spans, n_corrupted) —
+    all exact int64.
+    """
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    BIG = np.int64(1) << 32
+
+    def plan(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        m = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_cols = ("doc_id", "n_tokens", "n_starts", "n_spans",
+                    "n_corrupted")
+        if not len(parent):
+            z = pa.array([], pa.int64())
+            return pa.table({c: z for c in out_cols})
+        counts = np.bincount(parent, minlength=m)
+        doc_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = (np.arange(len(parent), dtype=np.int64)
+               - doc_start[parent])
+        keys = [f"{salt}:{ids[p]}:{q}" for p, q in zip(parent, pos)]
+        is_start = (_hash64(keys) % np.uint64(1000)) < np.uint64(50)
+        sp, spos = parent[is_start], pos[is_start]
+        n_tok_of = counts.astype(np.int64)
+        if len(sp):
+            w = 2 + (_hash64([f"{salt}w:{ids[p]}:{q}"
+                              for p, q in zip(sp, spos)])
+                     % np.uint64(3)).astype(np.int64)
+            end = np.minimum(spos + w, n_tok_of[sp])
+            # per-doc running max end, one global scan via the
+            # parent*2^32 offset (positions < 2^32 per doc)
+            gpos = sp * BIG + spos
+            gend = sp * BIG + end
+            prev_max = np.concatenate(
+                [[np.int64(-1)],
+                 np.maximum.accumulate(gend)[:-1]])
+            # a span head starts at/after every earlier end; a
+            # different doc's offset is always far below/above, so
+            # cross-doc comparisons never bind
+            head = gpos >= prev_max
+            new_cov = np.maximum(
+                gend - np.maximum(gpos, prev_max), 0)
+            # clip cross-doc: first span of a doc contributes fully
+            first_of_doc = np.concatenate(
+                [[True], sp[1:] != sp[:-1]])
+            new_cov[first_of_doc] = (end - spos)[first_of_doc]
+            head[first_of_doc] = True
+        else:
+            head = np.zeros(0, bool)
+            new_cov = np.zeros(0, np.int64)
+
+        def seg(values: np.ndarray, par: np.ndarray) -> np.ndarray:
+            out = np.zeros(m, np.int64)
+            np.add.at(out, par, values.astype(np.int64))
+            return out
+
+        nz = counts > 0
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_tokens": pa.array(n_tok_of[nz], pa.int64()),
+            "n_starts": pa.array(seg(is_start, parent)[nz], pa.int64()),
+            "n_spans": pa.array(seg(head, sp)[nz], pa.int64()),
+            "n_corrupted": pa.array(seg(new_cov, sp)[nz], pa.int64()),
+        })
+
+    return docs.map_batches(plan, batch_format="pyarrow",
+                            batch_size=1 << 17)
+
+
 def bpe_train(
     docs: rd.Dataset, *, n_merges: int = 8, max_types: int = 64,
 ) -> rd.Dataset:

@@ -43,7 +43,7 @@ SQL_CHECKED = [
     "ann_recall", "token_counts_bpe", "dedup_report",
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
     "lm_quality", "ann_negatives", "corpus_curriculum",
-    "corpus_mlm_plan",
+    "corpus_mlm_plan", "corpus_t5_spans",
 ]
 
 
@@ -1606,6 +1606,60 @@ def test_mlm_mask_plan_deterministic(ray_session):
     assert a.loc[7, "masked_pos_sum"] == int(
         np.arange(len(toks))[r < 150].sum())
     assert a.loc[8, "n_tokens"] == 3     # '' artifacts dropped
+
+
+def test_t5_span_plan_hand_folded(ray_session):
+    """Replicate the md5 start/width draws in-test and fold the
+    interval-union / merged-span-head scan by hand for each doc; the
+    engine must match exactly, keep token-less docs absent, and be
+    split-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        t5_span_plan)
+
+    texts = [" ".join(f"w{i}" for i in range(60)),
+             "a b c",
+             ""]
+    tbl = pa.table({
+        "doc_id": pa.array([3, 4, 5], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    outs = []
+    for nparts in (1, 2):
+        out = (t5_span_plan(rd.from_arrow(tbl).repartition(nparts))
+               .to_pandas().set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.index) == {3, 4}
+
+    def fold(doc_id, n):
+        ks = [f"t5:{doc_id}:{p}" for p in range(n)]
+        starts = np.flatnonzero(
+            _hash64(ks) % np.uint64(1000) < np.uint64(50))
+        n_spans = cov = 0
+        pm = -1
+        for p in starts:
+            w = 2 + int(_hash64([f"t5w:{doc_id}:{p}"])[0]
+                        % np.uint64(3))
+            e = min(p + w, n)
+            if p >= pm:
+                n_spans += 1
+            cov += max(0, e - max(p, pm))
+            pm = max(pm, e)
+        return len(starts), n_spans, cov
+
+    for doc_id, n in ((3, 60), (4, 3)):
+        ns, nsp, cov = fold(doc_id, n)
+        assert a.loc[doc_id, "n_tokens"] == n
+        assert a.loc[doc_id, "n_starts"] == ns
+        assert a.loc[doc_id, "n_spans"] == nsp
+        assert a.loc[doc_id, "n_corrupted"] == cov
+        assert a.loc[doc_id, "n_corrupted"] <= n
 
 
 def test_link_negatives_deterministic(ray_session):
