@@ -906,6 +906,18 @@ def _q_corpus_dsir(sf_dir: str):
     return dsir_importance(docs, target_source="src0", n_buckets=4096)
 
 
+def _q_corpus_dsir_select(sf_dir: str):
+    """DSIR stage 2: top-100 raw docs by importance score — running
+    top-m driver fold over the scored stream (O(m) state, zero wide
+    ops); exact (score DESC, doc_id ASC) order with 1-based rank."""
+    from clinicaltransformerner_ray.pipelines.textstats import dsir_select
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    return dsir_select(docs, target_source="src0", n_buckets=4096,
+                       m=100)
+
+
 def _q_lm_quality(sf_dir: str):
     """CCNet-style LM quality bucketing (Wenzek et al. 2020): hashed
     add-one-smoothed bigram LM trained on the 'src0' reference slice
@@ -2892,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mlm_plan": _q_corpus_mlm_plan,
         "kg_negatives": _q_kg_negatives,
         "corpus_t5_spans": _q_corpus_t5_spans,
+        "corpus_dsir_select": _q_corpus_dsir_select,
     }
 
 
@@ -3053,6 +3066,40 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 # bucket argmax, top-4 probe centroids per query, and the (sim DESC,
 # neighbor ASC) top-10 rank.  Approximate relative to brute force, but
 # bitwise reproducible.
+_DSIR_SQL = """
+            WITH tok AS (
+                SELECT doc_id, source = 'src0' AS is_t,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id, is_t,
+                       CAST(md5_number_upper(tok) % 4096 AS BIGINT) AS h
+                FROM tok WHERE tok <> ''
+            ),
+            prof AS (
+                SELECT h,
+                       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tc,
+                       CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END)
+                            AS BIGINT) AS rc
+                FROM tk GROUP BY h
+            ),
+            tot AS (
+                SELECT CAST(SUM(tc) + 4096 AS BIGINT) AS tt,
+                       CAST(SUM(rc) + 4096 AS BIGINT) AS rt
+                FROM prof
+            )
+            SELECT k.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(SUM((p.tc + 1) * tot.rt - (p.rc + 1) * tot.tt)
+                        AS BIGINT) AS score
+            FROM tk k JOIN prof p ON k.h = p.h CROSS JOIN tot
+            WHERE NOT k.is_t
+            GROUP BY k.doc_id
+        """
+
+
 _LM_QUALITY_SQL = """
             WITH d AS (
                 SELECT doc_id, source = 'src0' AS is_ref,
@@ -4650,37 +4697,18 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         # surrogate of the smoothed log-ratio (see
         # textstats.dsir_importance) — every quantity is an exact
         # int64 on both engines (md5_number_upper == _hash64).
-        "corpus_dsir": """
-            WITH tok AS (
-                SELECT doc_id, source = 'src0' AS is_t,
-                       unnest(string_split(text, ' ')) AS tok
-                FROM documents
-            ),
-            tk AS (
-                SELECT doc_id, is_t,
-                       CAST(md5_number_upper(tok) % 4096 AS BIGINT) AS h
-                FROM tok WHERE tok <> ''
-            ),
-            prof AS (
-                SELECT h,
-                       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END)
-                            AS BIGINT) AS tc,
-                       CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END)
-                            AS BIGINT) AS rc
-                FROM tk GROUP BY h
-            ),
-            tot AS (
-                SELECT CAST(SUM(tc) + 4096 AS BIGINT) AS tt,
-                       CAST(SUM(rc) + 4096 AS BIGINT) AS rt
-                FROM prof
-            )
-            SELECT k.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_toks,
-                   CAST(SUM((p.tc + 1) * tot.rt - (p.rc + 1) * tot.tt)
-                        AS BIGINT) AS score
-            FROM tk k JOIN prof p ON k.h = p.h CROSS JOIN tot
-            WHERE NOT k.is_t
-            GROUP BY k.doc_id
+        "corpus_dsir": _DSIR_SQL,
+        # DSIR stage 2 — importance resampling selection: top-m docs
+        # by (score DESC, doc_id ASC) with 1-based rank
+        "corpus_dsir_select": f"""
+            WITH ds AS ({_DSIR_SQL})
+            SELECT doc_id, n_toks, score,
+                   CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT)
+                       AS rank
+            FROM ds
+            ORDER BY rank
+            LIMIT 100
         """,
         # CCNet-style LM quality buckets: hashed-bigram LM on the
         # 'src0' slice, fixed-point integer scores, exact integer

@@ -1661,6 +1661,50 @@ def dsir_importance(
                             batch_size=1 << 17)
 
 
+def dsir_select(
+    docs: rd.Dataset, *, target_source: str, n_buckets: int = 4096,
+    m: int = 100,
+) -> rd.Dataset:
+    """DSIR stage 2 — importance-resampling SELECTION (Xie et al.
+    2023): keep the ``m`` raw-side documents with the highest
+    importance scores, the subset actually handed to training after
+    :func:`dsir_importance` scores the crawl.
+
+    Exact deterministic order: (score DESC, doc_id ASC), 1-based rank.
+
+    Shape: the scored stream is consumed with ``iter_batches`` while
+    the driver maintains a RUNNING top-m (lexsort of at most
+    ``m + batch`` rows per step) — O(m) driver state, no sort, no
+    shuffle, nothing corpus-sized materializes.  At fleet scale the
+    same fold runs as a tree (per-block partial top-m -> combine);
+    the running fold is the single-driver degenerate tree.
+
+    Output: (doc_id, n_toks, score, rank) for the selected m,
+    rank-ascending."""
+    scored = dsir_importance(docs, target_source=target_source,
+                             n_buckets=n_buckets)
+    top_ids = np.empty(0, np.int64)
+    top_tok = np.empty(0, np.int64)
+    top_sc = np.empty(0, np.int64)
+    for blk in scored.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        ids = np.concatenate([top_ids, blk.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)])
+        tok = np.concatenate([top_tok, blk.column("n_toks").to_numpy(
+            zero_copy_only=False).astype(np.int64)])
+        sc = np.concatenate([top_sc, blk.column("score").to_numpy(
+            zero_copy_only=False).astype(np.int64)])
+        order = np.lexsort((ids, -sc))[:m]
+        top_ids, top_tok, top_sc = ids[order], tok[order], sc[order]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(top_ids, pa.int64()),
+        "n_toks": pa.array(top_tok, pa.int64()),
+        "score": pa.array(top_sc, pa.int64()),
+        "rank": pa.array(np.arange(1, len(top_ids) + 1, dtype=np.int64),
+                         pa.int64()),
+    }))
+
+
 def lm_quality(
     docs: rd.Dataset, *, ref_source: str, n_buckets: int = 4096,
     scale_bits: int = 20,

@@ -43,7 +43,7 @@ SQL_CHECKED = [
     "ann_recall", "token_counts_bpe", "dedup_report",
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
     "lm_quality", "ann_negatives", "corpus_curriculum",
-    "corpus_mlm_plan", "corpus_t5_spans",
+    "corpus_mlm_plan", "corpus_t5_spans", "corpus_dsir_select",
 ]
 
 
@@ -1566,6 +1566,50 @@ def test_lm_quality_buckets_planted(ray_session):
     assert a["bucket"].tolist() == ["head", "tail", "middle"]
     assert a["n_pairs"].tolist() == [4, 4, 4]
     assert (a["mean_fp"] == a["lm_score"] // a["n_pairs"]).all()
+
+
+def test_dsir_select_running_topm(ray_session):
+    """The running top-m fold must equal a brute-force global sort of
+    the full dsir_importance output — including a tie at the m
+    boundary broken by doc_id asc — and be split-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        dsir_importance, dsir_select)
+
+    # target vocab alpha/beta/gamma; raw docs graded toward it, with
+    # docs 10 and 11 IDENTICAL (score tie at the boundary when m=3)
+    raws = ["alpha beta gamma", "alpha beta zeta", "alpha beta zeta",
+            "alpha eta zeta", "zeta eta theta"]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1] + list(range(10, 15)), pa.int64()),
+        "text": pa.array(["alpha beta gamma alpha",
+                          "beta gamma alpha beta"] + raws, pa.string()),
+        "source": pa.array(["tgt"] * 2 + ["web"] * 5, pa.string()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        docs = rd.from_arrow(tbl).repartition(nparts)
+        out = (dsir_select(docs, target_source="tgt", n_buckets=512,
+                           m=3).to_pandas())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant
+    # brute force over the full scored table
+    full = (dsir_importance(rd.from_arrow(tbl), target_source="tgt",
+                            n_buckets=512).to_pandas())
+    full = full.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(3)
+    assert a["doc_id"].tolist() == full["doc_id"].tolist()
+    assert a["score"].tolist() == full["score"].tolist()
+    assert a["rank"].tolist() == [1, 2, 3]
+    # the tie pair 10/11 has equal scores; doc 10 (lower id) wins the
+    # boundary slot whenever exactly one of them fits
+    sc = dict(zip(full["doc_id"], full["score"]))
+    if 11 not in sc:
+        assert 10 in sc
 
 
 def test_mlm_mask_plan_deterministic(ray_session):
