@@ -1145,6 +1145,17 @@ def _q_corpus_t5_spans(sf_dir: str):
                                        columns=["doc_id", "text"]))
 
 
+def _q_corpus_fim_plan(sf_dir: str):
+    """Fill-in-the-middle plan (Bavarian et al. 2022): 50% of docs cut
+    at two deterministic md5 points into prefix|middle|suffix with
+    50/50 PSM/SPM mode — per-doc constants only, one streaming pass,
+    zero wide ops, all-integer output."""
+    from clinicaltransformerner_ray.pipelines.textstats import fim_plan
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    return fim_plan(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_ann_negatives(sf_dir: str):
     """Hard-negative mining (DPR/SimCSE contrastive-training staple):
     exact top-k most-similar DIFFERENT-label vectors per query —
@@ -2905,6 +2916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,
         "corpus_t5_spans": _q_corpus_t5_spans,
         "corpus_dsir_select": _q_corpus_dsir_select,
+        "corpus_fim_plan": _q_corpus_fim_plan,
     }
 
 
@@ -4772,6 +4784,42 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS n_corrupted
             FROM d LEFT JOIN agg USING (doc_id)
             WHERE len(d.l) > 0
+        """,
+        # FIM plan: per-doc md5 draws — apply, two uniform cuts in
+        # [0, n] (swapped ascending), PSM/SPM mode; non-FIM docs emit
+        # cut1 = cut2 = n (see textstats.fim_plan)
+        "corpus_fim_plan": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))
+                            AS BIGINT) AS n
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, n,
+                       CASE WHEN CAST(md5_number_upper(
+                                'fim:' || CAST(doc_id AS VARCHAR))
+                            % 1000 AS BIGINT) < 500
+                            THEN 1 ELSE 0 END AS fim,
+                       CAST(md5_number_upper(
+                           'fimc1:' || CAST(doc_id AS VARCHAR))
+                           % CAST(n + 1 AS UBIGINT) AS BIGINT) AS c1,
+                       CAST(md5_number_upper(
+                           'fimc2:' || CAST(doc_id AS VARCHAR))
+                           % CAST(n + 1 AS UBIGINT) AS BIGINT) AS c2,
+                       CAST(md5_number_upper(
+                           'fimm:' || CAST(doc_id AS VARCHAR))
+                           % 2 AS BIGINT) AS spm0
+                FROM d WHERE n > 0
+            )
+            SELECT doc_id, n AS n_tokens, fim,
+                   CASE WHEN fim = 1 THEN least(c1, c2) ELSE n END
+                       AS cut1,
+                   CASE WHEN fim = 1 THEN greatest(c1, c2) ELSE n END
+                       AS cut2,
+                   CASE WHEN fim = 1 THEN spm0 ELSE 0 END AS spm
+            FROM h
         """,
         "corpus_mlm_plan": """
             WITH d AS (

@@ -2119,6 +2119,78 @@ def t5_span_plan(docs: rd.Dataset, *, salt: str = "t5") -> rd.Dataset:
                             batch_size=1 << 17)
 
 
+def fim_plan(docs: rd.Dataset, *, salt: str = "fim",
+             fim_per_mille: int = 500) -> rd.Dataset:
+    """Fill-in-the-middle transformation plan (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    decide per document whether to apply FIM (default 50% rate), cut
+    the token sequence into prefix | middle | suffix at two
+    deterministic points, and pick PSM vs SPM ordering 50/50 — the
+    document-level transformation pass a code-LLM pretraining pipeline
+    runs corpus-wide.
+
+    Determinism (the `mlm_mask_plan` rule — md5 draws, no RNG state):
+      apply  iff md5_hash64(f"{salt}:{d}") % 1000 < fim_per_mille
+      cut1 = md5_hash64(f"{salt}c1:{d}") % (n + 1)
+      cut2 = md5_hash64(f"{salt}c2:{d}") % (n + 1), swapped so
+      cut1 <= cut2 (the paper splits uniformly at two points)
+      spm  iff md5_hash64(f"{salt}m:{d}") % 2 == 1 (else PSM)
+    Non-FIM docs emit cut1 = cut2 = n, spm = 0: prefix is the whole
+    document, middle and suffix are empty — plain autoregressive
+    order.
+
+    Shape: ONE streaming pass, zero wide ops; per-doc constants only
+    (no per-token hashing).  Token-less docs are absent.
+
+    Output: (doc_id, n_tokens, fim, cut1, cut2, spm) — all int64
+    (fim/spm as 0/1).
+    """
+    import pyarrow.compute as pc
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def plan(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy()[keep]
+        m = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = np.bincount(parent, minlength=m).astype(np.int64) \
+            if len(parent) else np.zeros(m, np.int64)
+        nz = n > 0
+        ids, n = ids[nz], n[nz]
+        if not len(ids):
+            z = pa.array([], pa.int64())
+            return pa.table({c: z for c in (
+                "doc_id", "n_tokens", "fim", "cut1", "cut2", "spm")})
+        fim = ((_hash64([f"{salt}:{d}" for d in ids])
+                % np.uint64(1000))
+               < np.uint64(fim_per_mille)).astype(np.int64)
+        c1 = (_hash64([f"{salt}c1:{d}" for d in ids])
+              % (n + 1).astype(np.uint64)).astype(np.int64)
+        c2 = (_hash64([f"{salt}c2:{d}" for d in ids])
+              % (n + 1).astype(np.uint64)).astype(np.int64)
+        lo, hi = np.minimum(c1, c2), np.maximum(c1, c2)
+        spm = (_hash64([f"{salt}m:{d}" for d in ids])
+               % np.uint64(2)).astype(np.int64)
+        off = fim == 0  # untouched docs: prefix = whole doc
+        lo[off], hi[off], spm[off] = n[off], n[off], 0
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "fim": pa.array(fim, pa.int64()),
+            "cut1": pa.array(lo, pa.int64()),
+            "cut2": pa.array(hi, pa.int64()),
+            "spm": pa.array(spm, pa.int64()),
+        })
+
+    return docs.map_batches(plan, batch_format="pyarrow",
+                            batch_size=1 << 17)
+
+
 def bpe_train(
     docs: rd.Dataset, *, n_merges: int = 8, max_types: int = 64,
 ) -> rd.Dataset:

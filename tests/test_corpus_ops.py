@@ -44,6 +44,7 @@ SQL_CHECKED = [
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
     "lm_quality", "ann_negatives", "corpus_curriculum",
     "corpus_mlm_plan", "corpus_t5_spans", "corpus_dsir_select",
+    "corpus_fim_plan",
 ]
 
 
@@ -1566,6 +1567,51 @@ def test_lm_quality_buckets_planted(ray_session):
     assert a["bucket"].tolist() == ["head", "tail", "middle"]
     assert a["n_pairs"].tolist() == [4, 4, 4]
     assert (a["mean_fp"] == a["lm_score"] // a["n_pairs"]).all()
+
+
+def test_fim_plan_hand_folded(ray_session):
+    """Replicate the per-doc md5 draws in-test: apply bit, ascending
+    cut pair in [0, n], PSM/SPM bit; non-FIM docs pin cut1=cut2=n and
+    spm=0; token-less docs absent; split-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+    from clinicaltransformerner_ray.pipelines.textstats import fim_plan
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(20)) + [99], pa.int64()),
+        "text": pa.array(
+            [" ".join(f"t{j}" for j in range(5 + i))
+             for i in range(20)] + [""], pa.string()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        out = (fim_plan(rd.from_arrow(tbl).repartition(nparts))
+               .to_pandas().set_index("doc_id").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)
+    assert 99 not in a.index               # empty doc absent
+    assert (a["cut1"] <= a["cut2"]).all()
+    assert (a["cut2"] <= a["n_tokens"]).all()
+    off = a["fim"] == 0
+    assert (a.loc[off, "cut1"] == a.loc[off, "n_tokens"]).all()
+    assert (a.loc[off, "cut2"] == a.loc[off, "n_tokens"]).all()
+    assert (a.loc[off, "spm"] == 0).all()
+    assert 0 < a["fim"].sum() < len(a)     # both branches exercised
+    for d, r in a.iterrows():
+        n = int(r["n_tokens"])
+        fim = int(_hash64([f"fim:{d}"])[0] % np.uint64(1000) < 500)
+        assert r["fim"] == fim
+        if fim:
+            c1 = int(_hash64([f"fimc1:{d}"])[0] % np.uint64(n + 1))
+            c2 = int(_hash64([f"fimc2:{d}"])[0] % np.uint64(n + 1))
+            assert r["cut1"] == min(c1, c2)
+            assert r["cut2"] == max(c1, c2)
+            assert r["spm"] == int(_hash64([f"fimm:{d}"])[0]
+                                   % np.uint64(2))
 
 
 def test_dsir_select_running_topm(ray_session):
