@@ -2756,7 +2756,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernels changed this round (market_share, top_supplier,
         # events_range_join, ann_pq) are re-verified by the repo's own
         # sf0.01 driver sims (0 BAD) + forced-path bit-parity tests
-        # and yield their slots to never-green entries. ---
+        # and yield their slots to never-green entries.  The eight
+        # closing-hours additions (lm_quality .. corpus_fim_plan, at
+        # the dict tail) were registered AFTER the window was fixed;
+        # each carries two-scale standalone oracle PASSes (sf0.001 +
+        # sf0.01) and a planted/hand-folded pytest recorded in
+        # BASELINE.md, and they sit post-window so the 50 driver slots
+        # keep closing the r01-r04 coverage gap. ---
         "train_stats": _q_train_stats,
         "train_emission_rowsonly": _q_train_emission,
         "eval_prf": _q_eval_prf,
