@@ -1,7 +1,7 @@
 """Driver-style correctness sim: every queries() entry vs its oracle at sf0.01.
 
 Mirrors the driver compare: sort columns by name, sort rows, hash values.
-Usage: python /tmp/driver_sim.py [sf_dir] [query ...]
+Usage: python tools/driver_sim.py [sf_dir] [query ...]
 """
 import hashlib
 import json
