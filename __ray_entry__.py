@@ -1156,6 +1156,26 @@ def _q_corpus_fim_plan(sf_dir: str):
     return fim_plan(read_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_events_profile(sf_dir: str):
+    """DESCRIBE-style column profiler over the mixed-type events
+    table: exact per-column row/null counts and min/max (ts -> epoch
+    us; the float value via floor(v*100) — same IEEE multiply on the
+    same bits in both engines), ONE streaming pass, driver fold of one
+    row per column per block.  Zero wide ops."""
+    import os
+
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import table_profile
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return table_profile(ev, [
+        ("event_id", "int"), ("ts", "ts"), ("user_id", "int"),
+        ("event_type", "str"), ("value", "cents")])
+
+
 def _q_ann_negatives(sf_dir: str):
     """Hard-negative mining (DPR/SimCSE contrastive-training staple):
     exact top-k most-similar DIFFERENT-label vectors per query —
@@ -2923,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_t5_spans": _q_corpus_t5_spans,
         "corpus_dsir_select": _q_corpus_dsir_select,
         "corpus_fim_plan": _q_corpus_fim_plan,
+        "events_profile": _q_events_profile,
     }
 
 
@@ -4826,6 +4847,41 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS cut2,
                    CASE WHEN fim = 1 THEN spm0 ELSE 0 END AS spm
             FROM h
+        """,
+        # DESCRIBE profiler: per-column exact counts + min/max, one
+        # UNION ALL branch per column (see events.table_profile)
+        "events_profile": """
+            SELECT 'event_id' AS col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+                   CAST(min(event_id) AS VARCHAR) AS min_v,
+                   CAST(max(event_id) AS VARCHAR) AS max_v
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(ts) AS BIGINT),
+                   CAST(min(epoch_us(ts)) AS VARCHAR),
+                   CAST(max(epoch_us(ts)) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(event_type) AS BIGINT),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(value) AS BIGINT),
+                   CAST(min(CAST(floor(value * 100) AS BIGINT))
+                        AS VARCHAR),
+                   CAST(max(CAST(floor(value * 100) AS BIGINT))
+                        AS VARCHAR)
+            FROM events
         """,
         "corpus_mlm_plan": """
             WITH d AS (

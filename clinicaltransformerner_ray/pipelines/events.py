@@ -1941,3 +1941,96 @@ def session_quantiles(
         "n_events_q": pa.array([qn[q] for q in q_pct], pa.int64()),
         "dur_s_q": pa.array([qd[q] for q in q_pct], pa.int64()),
     })
+
+
+def table_profile(ds: rd.Dataset, specs: list[tuple[str, str]]) -> rd.Dataset:
+    """DESCRIBE-style column profiler — the first pass every ingestion
+    pipeline runs over an unfamiliar table: per column, exact row
+    count, null count, and min/max, in ONE streaming pass with
+    per-block partials folded on the driver (state = one row per
+    column per block; never data-sized).  Zero wide ops.
+
+    ``specs`` is ``[(column, kind)]`` with kind in:
+      'int'    — int64 min/max
+      'ts'     — timestamp normalized to epoch microseconds (int64)
+      'str'    — binary-codepoint string min/max (both engines agree
+                 on ASCII; the dup_clusters sorted-coding precedent)
+      'cents'  — float64 via ``floor(v * 100)`` to int64: the same
+                 IEEE multiply on the same stored bits gives the same
+                 product bits in numpy and DuckDB, so even the float
+                 column profiles bit-exactly
+
+    min/max are emitted as VARCHAR (ints via str(); strings as-is) so
+    one schema covers every column; NULL-only columns emit NULL
+    min/max (inner semantics mirrored by the oracle's aggregate over
+    zero non-null rows).
+
+    Output: (col, n_rows, n_null, min_v, max_v), one row per spec,
+    sorted by col."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, ns, nulls, mins, maxs = [], [], [], [], []
+        for name, kind in specs:
+            arr = batch.column(name)
+            n = len(arr)
+            n_null = arr.null_count
+            valid = arr.drop_null()
+            if kind == "ts":
+                v = valid.cast(pa.int64())
+            elif kind == "cents":
+                f = valid.to_numpy(zero_copy_only=False)
+                v = pa.array(np.floor(f * 100.0).astype(np.int64),
+                             pa.int64())
+            elif kind == "int":
+                v = valid.cast(pa.int64())
+            else:
+                v = valid
+            if len(v):
+                mn, mx = pc.min(v).as_py(), pc.max(v).as_py()
+                mins.append(str(mn))
+                maxs.append(str(mx))
+            else:
+                mins.append(None)
+                maxs.append(None)
+            cols.append(name)
+            ns.append(n)
+            nulls.append(n_null)
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_v": pa.array(mins, pa.string()),
+            "max_v": pa.array(maxs, pa.string()),
+        })
+
+    acc: dict[str, list] = {}
+    kind_of = dict(specs)
+
+    def _key(kind: str, s: str):
+        return int(s) if kind in ("int", "ts", "cents") else s
+
+    for r in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=1 << 17).take_all():
+        c = r["col"]
+        cur = acc.setdefault(c, [0, 0, None, None])
+        cur[0] += r["n"]
+        cur[1] += r["n_null"]
+        for i, (v, pick) in enumerate(((r["min_v"], min),
+                                       (r["max_v"], max)), start=2):
+            if v is None:
+                continue
+            if cur[i] is None:
+                cur[i] = v
+            else:
+                k = kind_of[c]
+                cur[i] = v if pick(_key(k, v), _key(k, cur[i])) \
+                    == _key(k, v) else cur[i]
+    rows = sorted(acc.items())
+    return rd.from_arrow(pa.table({
+        "col": pa.array([c for c, _ in rows], pa.string()),
+        "n_rows": pa.array([v[0] for _, v in rows], pa.int64()),
+        "n_null": pa.array([v[1] for _, v in rows], pa.int64()),
+        "min_v": pa.array([v[2] for _, v in rows], pa.string()),
+        "max_v": pa.array([v[3] for _, v in rows], pa.string()),
+    }))

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
@@ -44,7 +44,7 @@ SQL_CHECKED = [
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
     "lm_quality", "ann_negatives", "corpus_curriculum",
     "corpus_mlm_plan", "corpus_t5_spans", "corpus_dsir_select",
-    "corpus_fim_plan",
+    "corpus_fim_plan", "events_profile",
 ]
 
 
@@ -1567,6 +1567,46 @@ def test_lm_quality_buckets_planted(ray_session):
     assert a["bucket"].tolist() == ["head", "tail", "middle"]
     assert a["n_pairs"].tolist() == [4, 4, 4]
     assert (a["mean_fp"] == a["lm_score"] // a["n_pairs"]).all()
+
+
+def test_table_profile_nulls_and_kinds(ray_session):
+    """Profile a hand-built mixed-type table WITH nulls (the synth
+    tables have none): exact null counts, typed min/max (int, string,
+    floor-cents float), an all-null column yielding NULL min/max, and
+    split invariance of the driver fold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import table_profile
+
+    tbl = pa.table({
+        "k": pa.array([5, None, -3, 9], pa.int64()),
+        "s": pa.array(["beta", "alpha", None, "Zulu"], pa.string()),
+        "v": pa.array([1.25, -0.015, 3.999, None], pa.float64()),
+        "dead": pa.array([None] * 4, pa.int64()),
+    })
+    specs = [("k", "int"), ("s", "str"), ("v", "cents"),
+             ("dead", "int")]
+    outs = []
+    for nparts in (1, 3):
+        out = (table_profile(rd.from_arrow(tbl).repartition(nparts),
+                             specs)
+               .to_pandas().set_index("col").sort_index())
+        outs.append(out)
+    a, b = outs
+    pd.testing.assert_frame_equal(a, b)  # split-invariant fold
+    assert (a["n_rows"] == 4).all()
+    assert a.loc["k", "n_null"] == 1
+    assert (a.loc["k", "min_v"], a.loc["k", "max_v"]) == ("-3", "9")
+    # binary-codepoint string order: 'Zulu' < 'alpha' (upper < lower)
+    assert (a.loc["s", "min_v"], a.loc["s", "max_v"]) == ("Zulu",
+                                                          "beta")
+    # floor-cents: floor(-0.015*100) = floor(-1.5...) = -2
+    assert (a.loc["v", "min_v"], a.loc["v", "max_v"]) == ("-2", "399")
+    assert a.loc["dead", "n_null"] == 4
+    assert a.loc["dead", "min_v"] is None or pd.isna(
+        a.loc["dead", "min_v"])
 
 
 def test_fim_plan_hand_folded(ray_session):
