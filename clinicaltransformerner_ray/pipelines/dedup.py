@@ -34,7 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from clinicaltransformerner_ray.arrowutil import from_pandas_clean
+from clinicaltransformerner_ray.arrowutil import (coalesced_sort,
+                                                  from_pandas_clean)
 
 import ray
 import ray.data as rd
@@ -90,12 +91,10 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
             n_copies=("n_copies", "sum")).reset_index()
         return from_pandas_clean(g, preserve_index=False)
 
-    agg = (
-        docs.map_batches(combine, batch_format="pyarrow",
-                         batch_size=1 << 17)
-        .sort("h")
-        .map_batches(combine, batch_format="pyarrow", batch_size=None)
-    )
+    partials = docs.map_batches(combine, batch_format="pyarrow",
+                                batch_size=1 << 17)
+    agg = coalesced_sort(partials, "h").map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
     return agg.select_columns(["keep_doc_id", "n_copies"])
 
 
@@ -189,7 +188,7 @@ def ngram_pair_stats(
                             "sa": sz[I], "sb": sz[J]})
         return from_pandas_clean(out, preserve_index=False)
 
-    pairs = posts.sort("shingle").map_batches(
+    pairs = coalesced_sort(posts, "shingle").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
 
     def pair_combine(batch: pa.Table) -> pa.Table:
@@ -204,12 +203,15 @@ def ngram_pair_stats(
                 fsb=("sb", "min")).reset_index()
         return from_pandas_clean(g, preserve_index=False)
 
-    return (
-        pairs.map_batches(pair_combine, batch_format="pyarrow",
-                          batch_size=1 << 19)
-        .sort(["a", "b"])
-        .map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
-    )
+    # per-block combine (batch_size=None): a bigger coalescing batch
+    # would shrink sort input only ~5% here (pairs are near-unique)
+    # while forcing the fused block_pairs->combine stage into ONE task
+    # (Ray bundles up to batch_size rows per task; 260k postings <
+    # 2^19 = a single serial task, measured 0.83 s vs 32-way parallel)
+    partials = pairs.map_batches(pair_combine, batch_format="pyarrow",
+                                 batch_size=None)
+    return coalesced_sort(partials, ["a", "b"]).map_batches(
+        pair_combine, batch_format="pyarrow", batch_size=None)
 
 
 def pairs_from_stats(
@@ -375,7 +377,7 @@ def minhash_lsh_pairs(
                                   "est_jaccard": pd.Series(dtype="float64")}))
         return from_pandas_clean(out, preserve_index=False)
 
-    pairs = bucketed.sort("bucket").map_batches(
+    pairs = coalesced_sort(bucketed, "bucket").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
 
     # a pair can surface from several bands: exact distinct
@@ -385,12 +387,12 @@ def minhash_lsh_pairs(
             "est_jaccard"].min().reset_index()
         return from_pandas_clean(g, preserve_index=False)
 
-    return (
-        pairs.map_batches(pair_combine, batch_format="pyarrow",
-                          batch_size=1 << 19)
-        .sort(["doc_a", "doc_b"])
-        .map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
-    )
+    # batch_size=None: see ngram_pair_stats — a 2^19 coalescing batch
+    # serializes the fused banding->combine stage into one task
+    partials = pairs.map_batches(pair_combine, batch_format="pyarrow",
+                                 batch_size=None)
+    return coalesced_sort(partials, ["doc_a", "doc_b"]).map_batches(
+        pair_combine, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -468,7 +470,7 @@ def simhash_pairs(
                                   "hamming": pd.Series(dtype="int64")}))
         return from_pandas_clean(out, preserve_index=False)
 
-    pairs = bucketed.sort("bucket").map_batches(
+    pairs = coalesced_sort(bucketed, "bucket").map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None)
 
     def pair_combine(batch: pa.Table) -> pa.Table:
@@ -477,12 +479,12 @@ def simhash_pairs(
             "hamming"].min().reset_index()
         return from_pandas_clean(g, preserve_index=False)
 
-    return (
-        pairs.map_batches(pair_combine, batch_format="pyarrow",
-                          batch_size=1 << 19)
-        .sort(["doc_a", "doc_b"])
-        .map_batches(pair_combine, batch_format="pyarrow", batch_size=None)
-    )
+    # batch_size=None: see ngram_pair_stats — a 2^19 coalescing batch
+    # serializes the fused banding->combine stage into one task
+    partials = pairs.map_batches(pair_combine, batch_format="pyarrow",
+                                 batch_size=None)
+    return coalesced_sort(partials, ["doc_a", "doc_b"]).map_batches(
+        pair_combine, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -598,7 +600,7 @@ def embedding_dup_pairs(
             "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
         })
 
-    return replicated.sort("bucket").map_batches(
+    return coalesced_sort(replicated, "bucket").map_batches(
         bucket_pairs, batch_format="pyarrow", batch_size=None)
 
 
@@ -675,9 +677,9 @@ def dup_clusters(
         g = df.groupby("node", sort=False)["label"].min().reset_index()
         return from_pandas_clean(g, preserve_index=False)
 
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow",
-                                batch_size=COMBINE_BATCH)
-              .sort("node")
+    init = edges.map_batches(init_labels, batch_format="pyarrow",
+                             batch_size=COMBINE_BATCH)
+    labels = (coalesced_sort(init, "node")
               .map_batches(label_combine, batch_format="pyarrow",
                            batch_size=None)
               .materialize())
@@ -757,10 +759,10 @@ def dup_clusters(
                                          batch_format="pyarrow"))
                 .union(labels.map_batches(shortcut_rows,
                                           batch_format="pyarrow")))
-        folded = (both.sort("src")
-                  .map_batches(propagate, batch_format="pyarrow",
-                               batch_size=None)
-                  .sort("node")
+        prop = (coalesced_sort(both, "src")
+                .map_batches(propagate, batch_format="pyarrow",
+                             batch_size=None))
+        folded = (coalesced_sort(prop, "node")
                   .map_batches(fold, batch_format="pyarrow",
                                batch_size=None)
                   .materialize())
@@ -846,10 +848,8 @@ def ensemble_dup_pairs(
         tag("mh"), batch_format="pyarrow")
     em = embedding_dup_pairs(vecs, threshold=cos_threshold).map_batches(
         tag("em"), batch_format="pyarrow")
-    return (mh.union(em)
-            .sort(["doc_a", "doc_b"])
-            .map_batches(merge, batch_format="pyarrow",
-                         batch_size=None))
+    return coalesced_sort(mh.union(em), ["doc_a", "doc_b"]).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)
 
 
 def curate_neardup(
@@ -931,14 +931,13 @@ def curate_neardup(
                 pa.int64()),
         })
 
-    return (docs.map_batches(d_rows, batch_format="pyarrow",
-                             batch_size=1 << 19)
-            .union(cl.map_batches(drop_rows, batch_format="pyarrow",
-                                  batch_size=1 << 19))
-            .union(sizes)
-            .sort("key")
-            .map_batches(survivors, batch_format="pyarrow",
-                         batch_size=None))
+    tagged = (docs.map_batches(d_rows, batch_format="pyarrow",
+                               batch_size=1 << 19)
+              .union(cl.map_batches(drop_rows, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+              .union(sizes))
+    return coalesced_sort(tagged, "key").map_batches(
+        survivors, batch_format="pyarrow", batch_size=None)
 
 
 def _fingerprint_shingles(text: str, n: int) -> list[str]:
@@ -1090,13 +1089,11 @@ def shingle_novelty(docs: rd.Dataset, *, n: int = 3) -> rd.Dataset:
             "novelty_bp": pa.array(nv * 10_000 // ns, pa.int64()),
         })
 
-    return (docs.map_batches(postings, batch_format="pyarrow")
-            .sort("shingle")
-            .map_batches(mark_first, batch_format="pyarrow",
-                         batch_size=None)
-            .sort("doc_id")
-            .map_batches(complete, batch_format="pyarrow",
-                         batch_size=None))
+    posts = docs.map_batches(postings, batch_format="pyarrow")
+    marked = coalesced_sort(posts, "shingle").map_batches(
+        mark_first, batch_format="pyarrow", batch_size=None)
+    return coalesced_sort(marked, "doc_id").map_batches(
+        complete, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_calibration(
@@ -1176,10 +1173,8 @@ def minhash_calibration(
     if exact_pairs is None:
         exact_pairs = ngram_jaccard_pairs(docs, threshold=threshold)
     ex = exact_pairs.map_batches(ex_rows, batch_format="pyarrow")
-    parts = (mh.union(ex)
-             .sort(["a", "b"])
-             .map_batches(mark, batch_format="pyarrow",
-                          batch_size=None))
+    parts = coalesced_sort(mh.union(ex), ["a", "b"]).map_batches(
+        mark, batch_format="pyarrow", batch_size=None)
     acc: dict[int, list[int]] = {}
     for r in parts.take_all():  # O(65 x blocks) — tiny
         x = acc.setdefault(r["est"], [0, 0])
@@ -1296,9 +1291,8 @@ def semantic_dup_pairs(
             "centroid": pa.array(np.concatenate(out_c), pa.int64()),
         })
 
-    return (replicated.sort("bucket")
-            .map_batches(bucket_pairs, batch_format="pyarrow",
-                         batch_size=None))
+    return coalesced_sort(replicated, "bucket").map_batches(
+        bucket_pairs, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -1460,15 +1454,12 @@ def substring_dup_coverage(docs: rd.Dataset, *, n: int = 3) -> rd.Dataset:
             "dup_bp": pa.array(cov * 10_000 // ntk, pa.int64()),
         })
 
-    dup_pos = (docs.map_batches(postings, batch_format="pyarrow")
-               .sort("shingle")
-               .map_batches(mark_dup, batch_format="pyarrow",
-                            batch_size=None))
+    posts = docs.map_batches(postings, batch_format="pyarrow")
+    dup_pos = coalesced_sort(posts, "shingle").map_batches(
+        mark_dup, batch_format="pyarrow", batch_size=None)
     stats = docs.map_batches(stats_rows, batch_format="pyarrow")
-    return (stats.union(dup_pos)
-            .sort("doc_id")
-            .map_batches(complete, batch_format="pyarrow",
-                         batch_size=None))
+    return coalesced_sort(stats.union(dup_pos), "doc_id").map_batches(
+        complete, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -1584,13 +1575,11 @@ def span_dedup_rewrite(docs: rd.Dataset, *, w: int = 4) -> rd.Dataset:
             "new_text": pa.array(texts.tolist(), pa.string()),
         })
 
-    return (docs.map_batches(explode, batch_format="pyarrow")
-            .sort("h")
-            .map_batches(mark_keep, batch_format="pyarrow",
-                         batch_size=None)
-            .sort("doc_id")
-            .map_batches(rebuild, batch_format="pyarrow",
-                         batch_size=None))
+    spans = docs.map_batches(explode, batch_format="pyarrow")
+    kept = coalesced_sort(spans, "h").map_batches(
+        mark_keep, batch_format="pyarrow", batch_size=None)
+    return coalesced_sort(kept, "doc_id").map_batches(
+        rebuild, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -1665,5 +1654,5 @@ def dedup_report(
     cal_rows = rd.from_arrow(
         _long("calibration",
               ("est_64", None, "n_candidates", "n_confirmed", None))(cal))
-    return (cont_rows.union(cc_rows).union(cal_rows)
-            .sort(["section", "k1", "k2"]))
+    return coalesced_sort(cont_rows.union(cc_rows).union(cal_rows),
+                          ["section", "k1", "k2"])
