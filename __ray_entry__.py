@@ -1190,6 +1190,32 @@ def _q_ann_negatives(sf_dir: str):
     return hard_negatives(vecs, n_queries=8, k=10)
 
 
+def _q_ann_mmr(sf_dir: str):
+    """MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+    relevance-minus-redundancy selection over the top-20 candidates of
+    query vec_id 0.  Integer-exact end to end: quantized
+    floor(v*2^20) inner products make the candidate cut and every
+    greedy argmax bit-replicable by unrolled SQL CTE rounds."""
+    from clinicaltransformerner_ray.pipelines.similarity import mmr_topk
+
+    return mmr_topk(_vecs(sf_dir), query_id=0, n_candidates=20, k=5)
+
+
+def _q_emb_covariance(sf_dir: str):
+    """Exact second-moment statistics (Gram upper triangle +
+    per-dimension sums + count) of the embedding table in ONE
+    streaming pass with a dim x dim bounded driver fold — the
+    mean/covariance/PCA/whitening prerequisite.  Quantized integer
+    inputs make the fold exactly associative (block-split-invariant)
+    and bit-replicable in SQL."""
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        embedding_covariance)
+    from clinicaltransformerner_ray.sources.tables import read_embeddings
+
+    return embedding_covariance(
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]))
+
+
 def _q_ann_mips(sf_dir: str):
     """Exact maximum-inner-product top-k (unnormalized dot — the
     recommendation scoring cosine can't answer); rank-only output."""
@@ -2776,8 +2802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernels changed this round (market_share, top_supplier,
         # events_range_join, ann_pq) are re-verified by the repo's own
         # sf0.01 driver sims (0 BAD) + forced-path bit-parity tests
-        # and yield their slots to never-green entries.  The eight
-        # closing-hours additions (lm_quality .. corpus_fim_plan, at
+        # and yield their slots to never-green entries.  The
+        # closing-hours additions (lm_quality .. emb_covariance, at
         # the dict tail) were registered AFTER the window was fixed;
         # each carries two-scale standalone oracle PASSes (sf0.001 +
         # sf0.01) and a planted/hand-folded pytest recorded in
@@ -2944,6 +2970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dsir_select": _q_corpus_dsir_select,
         "corpus_fim_plan": _q_corpus_fim_plan,
         "events_profile": _q_events_profile,
+        "ann_mmr": _q_ann_mmr,
+        "emb_covariance": _q_emb_covariance,
     }
 
 
@@ -3451,6 +3479,98 @@ SELECT vec_id, CAST(c AS BIGINT) AS centroid FROM (
     FROM df) WHERE rk = 1
 """.format(it=iters))
     return "".join(parts)
+
+
+def _mmr_sql(query_id: int = 0, m: int = 20, k: int = 5) -> str:
+    """Exact SQL replica of `similarity.mmr_topk`: quantized integer
+    inner products (floor(v*2^20), the kmeans/knn_lsh precedent), the
+    top-``m`` candidate cut (sim DESC, vec_id ASC), then ``k`` unrolled
+    greedy MMR rounds — round r picks argmax of
+    ``sim_q - max(sim to already-selected)`` with vec_id ASC
+    tie-break.  With lambda = 0.5 that integer ordering IS the MMR
+    ordering, so every round is an exact integer comparison on both
+    engines (sums of int64 products, any accumulation order)."""
+    parts = ["""
+WITH unn AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+                AS BIGINT) AS q,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+qv AS (SELECT i, q FROM unn WHERE vec_id = {qid}),
+simq AS (
+    SELECT u.vec_id, SUM(u.q * qv.q) AS s
+    FROM unn u JOIN qv USING (i)
+    WHERE u.vec_id <> {qid}
+    GROUP BY u.vec_id
+),
+cand AS (
+    SELECT vec_id, s FROM (
+        SELECT vec_id, s,
+               row_number() OVER (ORDER BY s DESC, vec_id ASC) AS rk
+        FROM simq) WHERE rk <= {m}
+),
+cp AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, SUM(ua.q * ub.q) AS s
+    FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+    JOIN unn ua ON ua.vec_id = a.vec_id
+    JOIN unn ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+    GROUP BY 1, 2
+),
+cs AS (SELECT va, vb, s FROM cp UNION ALL SELECT vb, va, s FROM cp),
+sel1 AS (SELECT vec_id, s AS score FROM cand
+         ORDER BY s DESC, vec_id ASC LIMIT 1),
+selu1 AS (SELECT vec_id FROM sel1)""".format(qid=query_id, m=m)]
+    for r in range(2, k + 1):
+        parts.append("""
+, rem{r} AS (
+    SELECT c.vec_id, c.s - MAX(x.s) AS score
+    FROM cand c
+    JOIN cs x ON x.va = c.vec_id
+             AND x.vb IN (SELECT vec_id FROM selu{p})
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM selu{p})
+    GROUP BY c.vec_id, c.s
+), sel{r} AS (SELECT vec_id, score FROM rem{r}
+              ORDER BY score DESC, vec_id ASC LIMIT 1),
+selu{r} AS (SELECT vec_id FROM selu{p}
+            UNION ALL SELECT vec_id FROM sel{r})""".format(r=r, p=r - 1))
+    ranked = "\nUNION ALL ".join(
+        "SELECT CAST({r} AS BIGINT) AS rank, vec_id, "
+        "CAST(score AS BIGINT) AS score FROM sel{r}".format(r=r)
+        for r in range(1, k + 1))
+    parts.append("\n" + ranked)
+    return "".join(parts)
+
+
+_EMB_COV_SQL = """
+WITH unn AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+                AS BIGINT) AS q,
+           generate_subscripts(embedding, 1) - 1 AS i
+    FROM embeddings
+),
+gram AS (
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+           SUM(a.q * b.q) AS v
+    FROM unn a JOIN unn b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+),
+sums AS (
+    SELECT CAST(i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+           SUM(q) AS v
+    FROM unn GROUP BY 1
+),
+cnt AS (
+    SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+           count(*) AS v
+    FROM embeddings
+)
+SELECT i, j, CAST(v AS BIGINT) AS v
+FROM (SELECT * FROM gram UNION ALL SELECT * FROM sums
+      UNION ALL SELECT * FROM cnt)
+"""
 
 
 # Shared by the plain and salted skew-safe variants (byte-identical
@@ -6698,6 +6818,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             GROUP BY nm.n_name
         """,
     }
+    # MMR diversified retrieval: unrolled greedy rounds over quantized
+    # integer similarities (see _mmr_sql)
+    sql["ann_mmr"] = _mmr_sql(query_id=0, m=20, k=5)
+    # streaming covariance fold: Gram upper triangle + per-dim sums +
+    # count over floor(v*2^20)-quantized embeddings, all-integer
+    sql["emb_covariance"] = _EMB_COV_SQL
     # kg_report: nested-CTE composition of the two verified temporal
     # oracles (timeline + daily) in the same long format the Ray
     # union emits

@@ -906,3 +906,164 @@ def topk_recall(exact: rd.Dataset, approx: rd.Dataset,
     return (tagged.sort("query_id")
             .map_batches(overlap, batch_format="pyarrow",
                          batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval + streaming covariance
+
+
+def _quantize_rows(X: np.ndarray) -> np.ndarray:
+    """Elementwise ``floor(v * 2^20)`` as int64 — the knn_lsh / kmeans
+    quantization precedent: integer inputs make every downstream sum
+    and comparison exactly associative and bit-replicable in SQL
+    (``CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)``)."""
+    return np.floor(X.astype(np.float64) * float(1 << 20)).astype(np.int64)
+
+
+def mmr_topk(
+    vecs: rd.Dataset,
+    *,
+    query_id: int = 0,
+    n_candidates: int = 20,
+    k: int = 5,
+) -> pa.Table:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select ``k`` results from the
+    ``n_candidates`` most-query-similar vectors, each round picking the
+    candidate maximizing ``lambda*sim(q,c) - (1-lambda)*max_{s in S}
+    sim(c,s)`` — relevance minus redundancy, the de-dup layer every
+    retrieval-augmented pipeline wants on top of raw kNN.
+
+    Exactness: similarities are INTEGER inner products of
+    ``floor(v*2^20)``-quantized raw vectors (MIPS flavor —
+    normalization would reintroduce float sqrt), and with the classic
+    lambda = 0.5 the MMR ordering equals the integer ordering
+    ``sim_q - max_sel``, so the candidate cut and every greedy argmax
+    are exact integer comparisons, bit-replicable by unrolled SQL CTE
+    rounds (the kmeans-oracle pattern).  Ties break vec_id ASC.
+
+    Scale shape: the query vector is fetched by a distributed filter
+    (O(1) rows to the driver), candidate generation is a streaming
+    per-batch integer-matmul top-``n_candidates`` carrying each
+    survivor's embedding (<= n_candidates rows per block leave each
+    task), and the greedy selection runs on the driver over the
+    bounded n_candidates x n_candidates similarity grid — never over
+    the corpus.
+
+    Output pa.Table: (rank 1-based, vec_id, score) where score =
+    sim_q for rank 1 and sim_q - max-selected-sim after (all int64).
+    """
+    import pyarrow.compute as pc
+
+    qrows = vecs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("vec_id"), query_id)),
+        batch_format="pyarrow",
+    ).take_all()
+    if not qrows:
+        raise ValueError(f"query vec_id {query_id} not found")
+    q = _quantize_rows(np.asarray([qrows[0]["embedding"]]))[0]
+    qref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_ = ray.get(qref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        X = _quantize_rows(np.asarray(batch.column("embedding")
+                                      .to_pylist(), dtype=np.float64))
+        mask = ids != query_id
+        ids, X = ids[mask], X[mask]
+        s = X @ q_  # exact int64
+        if len(ids) > n_candidates:
+            o = np.lexsort((ids, -s))[:n_candidates]
+            ids, X, s = ids[o], X[o], s[o]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "emb": pa.array([r.tolist() for r in X],
+                            pa.list_(pa.int64())),
+        })
+
+    rows = vecs.map_batches(partial, batch_format="pyarrow").take_all()
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    s = np.asarray([r["s"] for r in rows], dtype=np.int64)
+    X = np.asarray([r["emb"] for r in rows], dtype=np.int64)
+    o = np.lexsort((ids, -s))[:n_candidates]
+    ids, s, X = ids[o], s[o], X[o]
+
+    G = X @ X.T  # candidate-candidate integer sims (bounded grid)
+    sel: list[int] = []
+    out_rank, out_id, out_score = [], [], []
+    remaining = np.ones(len(ids), bool)
+    for r in range(min(k, len(ids))):
+        idxs = np.flatnonzero(remaining)
+        if not sel:
+            sc = s[idxs]
+        else:
+            sc = s[idxs] - G[np.ix_(idxs, sel)].max(axis=1)
+        # argmax with vec_id ASC tie-break, over remaining only (a
+        # sentinel-and-negate scheme would wrap at INT64_MIN)
+        best_local = np.lexsort((ids[idxs], -sc))[0]
+        best = int(idxs[best_local])
+        sel.append(best)
+        remaining[best] = False
+        out_rank.append(r + 1)
+        out_id.append(int(ids[best]))
+        out_score.append(int(sc[best_local]))
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "score": pa.array(out_score, pa.int64()),
+    })
+
+
+def embedding_covariance(vecs: rd.Dataset) -> pa.Table:
+    """Exact second-moment statistics of the embedding table in ONE
+    streaming pass — the Gram matrix, per-dimension sums and the row
+    count, from which mean vector / covariance / PCA axes / whitening
+    all derive driver-side.  THE canonical distributed-ML fold: the
+    driver state is dim x dim (bounded, independent of corpus size),
+    every block contributes an integer partial, and integer partials
+    are exactly associative — block-split-invariant by construction.
+
+    Inputs quantized ``floor(v * 2^20)`` (int64); per-block partials
+    ``X^T X`` via integer matmul (exact; terms ~2^46 at |v|<=32,
+    dim 64 — far below 2^63), folded on the driver in Python ints
+    (unbounded) and emitted as int64.
+
+    Output pa.Table, long upper-triangle form sorted (i, j):
+      (i, j,  v)  with 0 <= i <= j < dim : sum of q_i * q_j
+      (i, -1, v)                         : per-dimension sum of q_i
+      (-1, -1, n)                        : row count
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = _quantize_rows(np.asarray(batch.column("embedding")
+                                      .to_pylist(), dtype=np.float64))
+        d = X.shape[1]
+        G = X.T @ X  # exact int64
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate([iu, np.arange(d), [-1]])
+        j = np.concatenate([ju, np.full(d, -1, np.int64), [-1]])
+        v = np.concatenate([G[iu, ju], X.sum(axis=0),
+                            [np.int64(len(X))]])
+        return pa.table({
+            "i": pa.array(i.astype(np.int64), pa.int64()),
+            "j": pa.array(j.astype(np.int64), pa.int64()),
+            "v": pa.array(v.astype(np.int64), pa.int64()),
+        })
+
+    acc: dict[tuple[int, int], int] = {}
+    parts = vecs.map_batches(partials, batch_format="pyarrow")
+    for blk in parts.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        ii = blk.column("i").to_numpy(zero_copy_only=False)
+        jj = blk.column("j").to_numpy(zero_copy_only=False)
+        vv = blk.column("v").to_numpy(zero_copy_only=False)
+        for a, b, c in zip(ii.tolist(), jj.tolist(), vv.tolist()):
+            acc[(a, b)] = acc.get((a, b), 0) + c
+    ks = sorted(acc)
+    return pa.table({
+        "i": pa.array([a for a, _ in ks], pa.int64()),
+        "j": pa.array([b for _, b in ks], pa.int64()),
+        "v": pa.array([acc[kk] for kk in ks], pa.int64()),
+    })

@@ -44,7 +44,7 @@ SQL_CHECKED = [
     "corpus_dsir", "dedup_span_rewrite", "bpe_merges", "bpe_encode",
     "lm_quality", "ann_negatives", "corpus_curriculum",
     "corpus_mlm_plan", "corpus_t5_spans", "corpus_dsir_select",
-    "corpus_fim_plan", "events_profile",
+    "corpus_fim_plan", "events_profile", "ann_mmr", "emb_covariance",
 ]
 
 
@@ -2043,3 +2043,74 @@ def test_pq_block_split_invariant(ray_session):
         outs.append(out)
     for other in outs[1:]:
         pd.testing.assert_frame_equal(outs[0], other)
+
+
+def test_mmr_diversifies_over_plain_topk(ray_session):
+    """Planted geometry where MMR and plain top-k DISAGREE: v2 is the
+    second-most query-similar but nearly duplicates v1, so MMR's round
+    2 picks the more diverse v3 instead.  All values dyadic, so the
+    floor(v*2^20) quantization is exact and every expected score is a
+    hand-computable integer (sim = dot * 2^40).  Split-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import mmr_topk
+
+    rows = [
+        [4.0, 0.0, 0.0, 0.0],    # vec 0: query
+        [3.0, 1.0, 0.0, 0.0],    # vec 1: simq 12 -> rank 1
+        [3.0, 1.25, 0.0, 0.0],   # vec 2: simq 12.25 but sim(v1)=10.25
+        [2.0, 0.0, 2.0, 0.0],    # vec 3: simq 8, sim(v1)=6 -> diverse
+        [0.0, 0.0, 0.0, 1.0],    # vec 4: simq 0, orthogonal
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+    })
+    S = 1 << 40  # quantized sim units per 1.0 of raw dot product
+
+    # simq: v1 = v2 = 12 (tie -> v1 by id), v3 = 8, v4 = 0.
+    # round 2: v2 scores 12 - sim(v1,v2) = 12 - 10.25 = 1.75 while the
+    # diverse v3 scores 8 - sim(v1,v3) = 8 - 6 = 2 -> MMR picks v3
+    # (plain top-2 by relevance would pick v2).
+    # round 3: v2 with 12 - max(10.25, sim(v3,v2)=6) = 1.75.
+    # round 4: v4 with 0 - max(0, 0, 0) = 0.
+    for n_parts in (1, 2, 5):
+        got = (mmr_topk(rd.from_arrow(tbl).repartition(n_parts),
+                        query_id=0, n_candidates=10, k=4)
+               .to_pandas())
+        assert list(got["vec_id"]) == [1, 3, 2, 4]
+        assert list(got["score"]) == [
+            12 * S, 2 * S, int(1.75 * S), 0]
+
+
+def test_embedding_covariance_hand_fold(ray_session):
+    """Two dyadic vectors, every Gram/sum cell hand-computed; output
+    must be bitwise identical across block splits (integer partials
+    are exactly associative)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        embedding_covariance)
+
+    q = 1 << 20
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [0.5, -1.0]],
+                              pa.list_(pa.float32())),
+    })
+    expected = {
+        (0, 0): q * q + (q // 2) * (q // 2),
+        (0, 1): q * 2 * q + (q // 2) * (-q),
+        (1, 1): 4 * q * q + q * q,
+        (0, -1): q + q // 2,
+        (1, -1): 2 * q - q,
+        (-1, -1): 2,
+    }
+    for n_parts in (1, 2):
+        got = (embedding_covariance(rd.from_arrow(tbl)
+                                    .repartition(n_parts))
+               .to_pandas())
+        assert {(r.i, r.j): r.v for r in got.itertuples()} == expected
