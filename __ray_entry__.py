@@ -1518,26 +1518,48 @@ def _q_c4_filters(sf_dir: str):
 
     from clinicaltransformerner_ray.pipelines.textstats import quality_gates
 
-    def enrich(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        text = pc.fill_null(batch.column("text"), "").to_numpy(
-            zero_copy_only=False).astype(object)
-        text = np.where(ids % 3 == 0, text + " lorem ipsum dolor sit",
-                        text)
-        text = np.where(ids % 4 == 0, text + " function() { return js }",
-                        text)
-        text = np.where(ids % 5 == 0, text + " click here to unsubscribe",
-                        text)
-        text = np.where(ids % 11 == 0, text + " " + "x" * 25, text)
-        text = np.where(ids % 2 == 0, text + ".", text)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "text": pa.array(text.tolist(), pa.string()),
-        })
-
     return quality_gates(
-        _docs(sf_dir).map_batches(enrich, batch_format="pyarrow"))
+        _docs(sf_dir).map_batches(_c4_enrich, batch_format="pyarrow"))
+
+
+def _c4_enrich(batch: pa.Table) -> pa.Table:
+    """Deterministic doc_id-derived C4-trigger enrichment (shared by
+    c4_filters and corpus_report; the oracle builds identical text)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    text = pc.fill_null(batch.column("text"), "").to_numpy(
+        zero_copy_only=False).astype(object)
+    text = np.where(ids % 3 == 0, text + " lorem ipsum dolor sit",
+                    text)
+    text = np.where(ids % 4 == 0, text + " function() { return js }",
+                    text)
+    text = np.where(ids % 5 == 0, text + " click here to unsubscribe",
+                    text)
+    text = np.where(ids % 11 == 0, text + " " + "x" * 25, text)
+    text = np.where(ids % 2 == 0, text + ".", text)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(text.tolist(), pa.string()),
+    })
+
+
+def _q_corpus_report(sf_dir: str):
+    """Data-card aggregate: integer sums of the C4 gates (over the
+    same enriched-trigger corpus as c4_filters — the raw synth would
+    leave every flag zero) and the Gopher repetition signals (raw
+    corpus) in one bounded long table; each block contributes tiny
+    partial sums and the driver folds O(blocks x columns) rows —
+    zero wide ops.  Oracle: the two verified per-doc SQLs nested as
+    CTEs and aggregated."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        corpus_report, doc_repetition, quality_gates)
+
+    gates = quality_gates(
+        _docs(sf_dir).map_batches(_c4_enrich, batch_format="pyarrow"))
+    rep = doc_repetition(_docs(sf_dir))
+    return corpus_report(gates, rep)
 
 
 def _q_doc_repetition(sf_dir: str):
@@ -2972,6 +2994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "ann_mmr": _q_ann_mmr,
         "emb_covariance": _q_emb_covariance,
+        "corpus_report": _q_corpus_report,
     }
 
 
@@ -6824,6 +6847,34 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # streaming covariance fold: Gram upper triangle + per-dim sums +
     # count over floor(v*2^20)-quantized embeddings, all-integer
     sql["emb_covariance"] = _EMB_COV_SQL
+    # data-card aggregate: the two verified per-doc statements nested
+    # as CTEs (c4 gates over the enriched-trigger corpus, gopher
+    # repetition over the raw corpus), integer sums in long format
+    sql["corpus_report"] = f"""
+        WITH g AS ({sql["c4_filters"]}),
+        r AS ({sql["doc_repetition"]})
+        SELECT section, k, CAST(v AS BIGINT) AS v FROM (
+            SELECT 'size' AS section, 'n_docs' AS k, count(*) AS v
+            FROM r
+            UNION ALL SELECT 'size', 'n_tokens', SUM(n_tokens) FROM r
+            UNION ALL SELECT 'c4', 'keep', SUM(keep) FROM g
+            UNION ALL SELECT 'c4', 'ends_terminal',
+                             SUM(ends_terminal) FROM g
+            UNION ALL SELECT 'c4', 'flag_0', SUM(flag_0) FROM g
+            UNION ALL SELECT 'c4', 'flag_1', SUM(flag_1) FROM g
+            UNION ALL SELECT 'c4', 'flag_2', SUM(flag_2) FROM g
+            UNION ALL SELECT 'gopher', 'n_distinct',
+                             SUM(n_distinct) FROM r
+            UNION ALL SELECT 'gopher', 'top_token_n',
+                             SUM(top_token_n) FROM r
+            UNION ALL SELECT 'gopher', 'n_bigrams',
+                             SUM(n_bigrams) FROM r
+            UNION ALL SELECT 'gopher', 'n_distinct_bigrams',
+                             SUM(n_distinct_bigrams) FROM r
+            UNION ALL SELECT 'gopher', 'top_bigram_n',
+                             SUM(top_bigram_n) FROM r
+        )
+    """
     # kg_report: nested-CTE composition of the two verified temporal
     # oracles (timeline + daily) in the same long format the Ray
     # union emits

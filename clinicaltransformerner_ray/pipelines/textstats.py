@@ -2396,3 +2396,72 @@ def bpe_token_counts(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return docs.map_batches(count, batch_format="pyarrow")
+
+
+def corpus_report(
+    gates: rd.Dataset,
+    repetition: rd.Dataset,
+) -> pa.Table:
+    """Corpus DATA CARD in one bounded table: integer sums of the
+    per-document C4 quality gates (:func:`quality_gates`) and Gopher
+    repetition signals (:func:`doc_repetition`) — the composition a
+    100 TB curation run reads before deciding its filter thresholds,
+    instead of re-scanning per metric.
+
+    Scale shape: both inputs are zero-shuffle per-doc projections;
+    this fold adds NO wide op — each block contributes one tiny
+    partial-sum row per column (exact integers, associative in any
+    order) and the driver folds O(blocks x columns) rows.
+
+    Output pa.Table (section, k, v), sorted: section='size' doc/token
+    counts, section='c4' gate sums, section='gopher' repetition-signal
+    sums.
+    """
+
+    def col_sums(cols: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            ks, vs = [], []
+            for c in cols:
+                ks.append(c)
+                vs.append(int(np.sum(batch.column(c).to_numpy(
+                    zero_copy_only=False).astype(np.int64))))
+            ks.append("__n_rows__")
+            vs.append(batch.num_rows)
+            return pa.table({
+                "k": pa.array(ks, pa.string()),
+                "v": pa.array(vs, pa.int64()),
+            })
+        return f
+
+    def fold(ds: rd.Dataset, cols: list[str]) -> dict[str, int]:
+        acc: dict[str, int] = {}
+        parts = ds.map_batches(col_sums(cols), batch_format="pyarrow")
+        for r in parts.take_all():  # O(blocks x columns) — tiny
+            acc[r["k"]] = acc.get(r["k"], 0) + int(r["v"])
+        return acc
+
+    g = fold(gates, ["n_tokens", "ends_terminal",
+                     "flag_0", "flag_1", "flag_2", "keep"])
+    r = fold(repetition, ["n_tokens", "n_distinct", "top_token_n",
+                          "n_bigrams", "n_distinct_bigrams",
+                          "top_bigram_n"])
+    rows = [
+        ("size", "n_docs", r["__n_rows__"]),
+        ("size", "n_tokens", r["n_tokens"]),
+        ("c4", "keep", g["keep"]),
+        ("c4", "ends_terminal", g["ends_terminal"]),
+        ("c4", "flag_0", g["flag_0"]),
+        ("c4", "flag_1", g["flag_1"]),
+        ("c4", "flag_2", g["flag_2"]),
+        ("gopher", "n_distinct", r["n_distinct"]),
+        ("gopher", "top_token_n", r["top_token_n"]),
+        ("gopher", "n_bigrams", r["n_bigrams"]),
+        ("gopher", "n_distinct_bigrams", r["n_distinct_bigrams"]),
+        ("gopher", "top_bigram_n", r["top_bigram_n"]),
+    ]
+    rows.sort()
+    return pa.table({
+        "section": pa.array([a for a, _, _ in rows], pa.string()),
+        "k": pa.array([b for _, b, _ in rows], pa.string()),
+        "v": pa.array([c for _, _, c in rows], pa.int64()),
+    })
