@@ -2624,6 +2624,20 @@ def _q_kg_resume(sf_dir: str):
     return kg_from_checkpoint(out)["triples"]
 
 
+def _q_events_k_anonymity(sf_dir: str):
+    """k-anonymity privacy audit over the (event_type, hour-of-day,
+    value-band) quasi-identifier space: per-combination occupancy +
+    an at-risk flag (n < 5).  Bounded QI space -> per-block partial
+    counts + driver fold, zero wide ops."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import k_anonymity
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return k_anonymity(ev, k=5, band_cents=500)
+
+
 def _q_events_windowed(sf_dir: str):
     import ray.data as rd
 
@@ -2995,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_mmr": _q_ann_mmr,
         "emb_covariance": _q_emb_covariance,
         "corpus_report": _q_corpus_report,
+        "events_k_anonymity": _q_events_k_anonymity,
     }
 
 
@@ -6847,6 +6862,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # streaming covariance fold: Gram upper triangle + per-dim sums +
     # count over floor(v*2^20)-quantized embeddings, all-integer
     sql["emb_covariance"] = _EMB_COV_SQL
+    # k-anonymity audit: bounded quasi-identifier occupancy counts;
+    # hour via calendar hour(ts) (== pandas dt.hour), value band via
+    # the integer-cents round + exact small-int float floor-divide
+    sql["events_k_anonymity"] = """
+        WITH e AS (
+            SELECT event_type,
+                   hour(ts) AS hour,
+                   CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)
+                        * 100) AS BIGINT) AS DOUBLE) / 500)
+                        AS BIGINT) AS band
+            FROM events
+        )
+        SELECT event_type, CAST(hour AS BIGINT) AS hour, band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END
+                    AS BIGINT) AS at_risk
+        FROM e GROUP BY 1, 2, 3
+    """
     # data-card aggregate: the two verified per-doc statements nested
     # as CTEs (c4 gates over the enriched-trigger corpus, gopher
     # repetition over the raw corpus), integer sums in long format

@@ -2034,3 +2034,71 @@ def table_profile(ds: rd.Dataset, specs: list[tuple[str, str]]) -> rd.Dataset:
         "min_v": pa.array([v[2] for _, v in rows], pa.string()),
         "max_v": pa.array([v[3] for _, v in rows], pa.string()),
     }))
+
+
+def k_anonymity(
+    events: rd.Dataset,
+    *,
+    k: int = 5,
+    band_cents: int = 500,
+) -> pa.Table:
+    """k-anonymity risk report over the quasi-identifier combination
+    (event_type, hour-of-day, value band) — the privacy audit a
+    training-data release runs before shipping event-derived features:
+    any combination observed fewer than ``k`` times re-identifies its
+    members (Sweeney 2002), so the release must suppress or coarsen
+    those cells.
+
+    Quasi-identifiers (all exact integers): hour-of-day = calendar
+    ``dt.hour`` (== DuckDB ``hour(ts)``; both calendar-based, so no
+    epoch-unit pitfalls — pandas ``datetime64[us].astype(int64)``
+    yields MICROseconds while a ns-unit series yields ns, a silent
+    3-orders scale trap), value band =
+    ``floor(round_half_away(value * 100) / band_cents)`` (the
+    integer-cents precedent; the float divide of small ints is exact
+    in both engines).
+
+    Scale shape: the QI space is BOUNDED (types x 24 x bands), so a
+    sort would degenerate the range partitioner (perf rule 2); each
+    block contributes a pandas-groupby partial count and the driver
+    folds the bounded dictionary — zero wide ops at any corpus size.
+
+    Output pa.Table sorted (event_type, hour, band):
+    (event_type, hour, band, n, at_risk) with at_risk = 1 iff n < k.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if "n" not in df.columns:
+            cents = _round_half_away(df["value"].to_numpy() * 100)
+            df = pd.DataFrame({
+                "event_type": df["event_type"],
+                "hour": pd.to_datetime(df["ts"]).dt.hour
+                          .to_numpy().astype(np.int64),
+                "band": np.floor(cents.astype(np.float64)
+                                 / band_cents).astype(np.int64),
+                "n": np.int64(1),
+            })
+        g = (df.groupby(["event_type", "hour", "band"], sort=False)
+             ["n"].sum().reset_index())
+        return from_pandas_clean(g, preserve_index=False)
+
+    acc: dict[tuple, int] = {}
+    parts = events.map_batches(partials, batch_format="pyarrow")
+    for blk in parts.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+        df = blk.to_pandas()
+        for t, h, b, n in zip(df["event_type"], df["hour"],
+                              df["band"], df["n"]):
+            key = (t, int(h), int(b))
+            acc[key] = acc.get(key, 0) + int(n)
+    ks = sorted(acc)
+    ns = [acc[x] for x in ks]
+    return pa.table({
+        "event_type": pa.array([t for t, _, _ in ks], pa.string()),
+        "hour": pa.array([h for _, h, _ in ks], pa.int64()),
+        "band": pa.array([b for _, _, b in ks], pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "at_risk": pa.array([1 if n < k else 0 for n in ns],
+                            pa.int64()),
+    })

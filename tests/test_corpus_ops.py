@@ -45,7 +45,7 @@ SQL_CHECKED = [
     "lm_quality", "ann_negatives", "corpus_curriculum",
     "corpus_mlm_plan", "corpus_t5_spans", "corpus_dsir_select",
     "corpus_fim_plan", "events_profile", "ann_mmr", "emb_covariance",
-    "corpus_report",
+    "corpus_report", "events_k_anonymity",
 ]
 
 
