@@ -2638,6 +2638,50 @@ def _q_events_k_anonymity(sf_dir: str):
     return k_anonymity(ev, k=5, band_cents=500)
 
 
+def _q_doc_winnowing(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the
+    MOSS selector): per-doc distinct (position, hash) fingerprints
+    under the rightmost-min window rule — ONE map_batches pass, zero
+    wide ops; the tiebreak is encoded arithmetically so the SQL
+    windowed MIN replicates it bit for bit."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        winnow_fingerprints)
+
+    import ray.data as rd
+
+    return winnow_fingerprints(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        n=3, w=4)
+
+
+def _q_events_late(sf_dir: str):
+    """Watermark / out-of-order lateness audit under the deterministic
+    md5 arrival permutation: per-user count + magnitude of events that
+    arrive after a larger timestamp has already been seen (the
+    allowed-lateness sizing pass of a streaming ingest)."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        out_of_order_stats)
+
+    return out_of_order_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]))
+
+
+def _q_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility bake-off metrics: per-doc BPE tokens per
+    char / per whitespace word (exact basis-point fixed-point) under
+    the corpus-trained merges — the compression numbers a tokenizer
+    comparison bills against."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        bpe_encode_counts)
+
+    return bpe_encode_counts(_docs(sf_dir), n_merges=8, max_types=64,
+                             with_fertility=True)
+
+
 def _q_events_windowed(sf_dir: str):
     import ray.data as rd
 
@@ -3010,6 +3054,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": _q_emb_covariance,
         "corpus_report": _q_corpus_report,
         "events_k_anonymity": _q_events_k_anonymity,
+        "doc_winnowing": _q_doc_winnowing,
+        "events_late": _q_events_late,
+        "bpe_fertility": _q_bpe_fertility,
     }
 
 
@@ -6944,4 +6991,72 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "         n_candidates, n_confirmed, CAST(0 AS BIGINT) FROM cal\n"
         ") ORDER BY section, k1, k2"
     )
+    # winnowing fingerprints: the rightmost-min tiebreak is encoded
+    # arithmetically (comp = (md5 % 2^20) * 2^32 + (2^31 - pos), all
+    # BIGINT) so a windowed MIN + DISTINCT replicates the selector
+    # bit for bit; shingle conventions == the substring/Jaccard CTE
+    sql["doc_winnowing"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        sp AS (
+            SELECT doc_id, unnest(CASE
+                WHEN len(l) < 3 THEN
+                    [{'pos': 1, 's': array_to_string(l, ' ')}]
+                ELSE list_transform(range(1, len(l) - 1),
+                     i -> {'pos': i, 's': l[i]||' '||l[i+1]||' '||l[i+2]})
+                END, recursive := true)
+            FROM d),
+        c AS (SELECT doc_id, pos,
+                     CAST(md5_number_upper(s) % 1048576 AS BIGINT)
+                         * 4294967296 + (2147483648 - pos) AS comp
+              FROM sp),
+        w AS (SELECT doc_id, pos,
+                     min(comp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                         AS cmin,
+                     count(*) OVER (PARTITION BY doc_id) AS nsh
+              FROM c),
+        sel AS (SELECT DISTINCT doc_id, nsh, cmin
+                FROM w WHERE pos >= least(4, nsh))
+        SELECT doc_id, CAST(max(nsh) AS BIGINT) AS n_shingles,
+               CAST(greatest(max(nsh) - 3, 1) AS BIGINT) AS n_windows,
+               CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(sum(cmin // 4294967296) AS BIGINT) AS fp_sum
+        FROM sel GROUP BY doc_id
+    """
+    # out-of-order lateness audit: arrival order is the deterministic
+    # md5 permutation (md5_number_upper == _hash64, the shared draw
+    # convention); running high-watermark = windowed MAX to 1 PRECEDING
+    sql["events_late"] = """
+        WITH a AS (SELECT user_id, epoch_us(ts) AS us,
+                          md5_number_upper('arr:' ||
+                              CAST(event_id AS VARCHAR)) AS arr
+                   FROM events),
+        w AS (SELECT user_id, us,
+                     max(us) OVER (PARTITION BY user_id ORDER BY arr
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_max
+              FROM a)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN prev_max > us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               CAST(coalesce(max(CASE WHEN prev_max > us
+                                 THEN prev_max - us END), 0)
+                    AS BIGINT) AS max_late_us,
+               CAST(sum(CASE WHEN prev_max > us
+                         THEN prev_max - us ELSE 0 END)
+                    AS BIGINT) AS sum_late_us
+        FROM w GROUP BY user_id
+    """
+    # tokenizer fertility: the verified bpe_encode statement nested as
+    # a CTE + exact basis-point floors over non-negative ints
+    sql["bpe_fertility"] = (
+        "WITH base AS (" + sql["bpe_encode"] + """)
+        SELECT base.doc_id, n_ws_tokens, n_bpe_tokens,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               n_bpe_tokens * 10000
+                   // greatest(length(d.text), 1) AS fertility_bp,
+               n_bpe_tokens * 10000 // n_ws_tokens AS expansion_bp
+        FROM base JOIN documents d ON d.doc_id = base.doc_id
+    """)
     return sql

@@ -1656,3 +1656,138 @@ def dedup_report(
               ("est_64", None, "n_candidates", "n_confirmed", None))(cal))
     return coalesced_sort(cont_rows.union(cc_rows).union(cal_rows),
                           ["section", "k1", "k2"])
+
+
+# ---------------------------------------------------------------------------
+# 12. winnowing fingerprints (Schleimer et al. 2003, the MOSS selector)
+
+def winnow_fingerprints(docs: rd.Dataset, *, n: int = 3,
+                        w: int = 4) -> rd.Dataset:
+    """Winnowing fingerprint selection: over each document's word
+    ``n``-gram hash sequence, every length-``w`` window records its
+    MINIMUM hash (rightmost occurrence on ties — the robust-winnowing
+    tiebreak), and the document's fingerprint set is the distinct
+    selected (position, hash) pairs.  Guarantees a match for any
+    shared run of >= ``w + n - 1`` words while keeping ~2/(w+1)
+    density — the local-document-dedup selector of "Winnowing: Local
+    Algorithms for Document Fingerprinting" (Schleimer, Wilkerson,
+    Aiken, SIGMOD 2003).
+
+    Scale shape: ONE ``map_batches`` pass, zero wide ops — selection
+    is per-document, and docs arrive whole per batch.  The per-batch
+    kernel is fully vectorized: one Arrow split, flat numpy n-gram
+    concat (no per-doc loop), a single padded sliding-window min over
+    the whole batch (``w - 1`` INT64_MAX sentinels between docs make
+    partial prefix windows fall out of the same pass).
+
+    The rightmost-min tiebreak is encoded arithmetically: the window
+    minimizes ``comp = hr * 2^32 + (2^31 - pos)`` where
+    ``hr = md5_64(shingle) % 2^20`` — smaller hash wins, then larger
+    position.  All-integer, bit-replicable in SQL (md5_number_upper +
+    a windowed MIN; see the `doc_winnowing` oracle).
+
+    Shingle conventions mirror the Jaccard/substring family: docs
+    shorter than ``n`` tokens contribute ONE whole-text shingle at
+    position 1; a doc with fewer than ``w`` shingles yields one
+    window over all of them.
+
+    Output: (doc_id, n_shingles, n_windows, n_fingerprints, fp_sum)
+    where fp_sum is the int64 sum of selected hashes over the
+    distinct (position, hash) pairs."""
+    import pyarrow.compute as pc
+
+    HR_MOD = np.uint64(1 << 20)
+    POS_BASE = np.int64(1) << 31
+    SENTINEL = np.iinfo(np.int64).max
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_shingles": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "n_fingerprints": pa.array([], pa.int64()),
+            "fp_sum": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        texts = pc.fill_null(batch.column("text"), "")
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(texts, " ")
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(toks.combine_chunks().flatten().to_pylist(),
+                          dtype=object)
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        tok_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        # shingle strings + (doc row index, position), in doc order
+        if len(flat) >= n:
+            valid = parent[:len(parent) - n + 1] == parent[n - 1:]
+            sh = flat[:len(flat) - n + 1].copy()
+            for j in range(1, n):
+                sh = sh + " "
+                sh = sh + flat[j:len(flat) - n + 1 + j]
+            sel = np.flatnonzero(valid)
+            long_row = parent[sel]
+            long_pos = sel - tok_starts[long_row] + 1
+            long_sh = sh[sel]
+        else:
+            long_row = np.empty(0, np.int64)
+            long_pos = np.empty(0, np.int64)
+            long_sh = np.empty(0, object)
+        short = np.flatnonzero(counts < n)
+        short_sh = np.asarray(
+            [t.as_py() for t in texts.take(pa.array(short))], object
+        ) if len(short) else np.empty(0, object)
+        # interleave back into per-doc contiguous order: long docs'
+        # shingles are already doc-ordered; short docs' singletons
+        # must slot at their doc's place — concatenate then argsort
+        # on (row, pos) with a stable sort (counts are small ints).
+        row = np.concatenate([long_row, short])
+        pos = np.concatenate([long_pos, np.ones(len(short), np.int64)])
+        sh_all = np.concatenate([long_sh, short_sh])
+        order = np.lexsort((pos, row))
+        row, pos, sh_all = row[order], pos[order], sh_all[order]
+
+        nsh = np.maximum(counts - n + 1, 1)  # shingles per doc row
+        hr = (_hash64(list(sh_all)) % HR_MOD).astype(np.int64)
+        comp = hr * (np.int64(1) << 32) + (POS_BASE - pos)
+
+        # padded layout: w-1 sentinels before each doc's shingle run
+        pad_starts = np.concatenate(
+            ([0], np.cumsum(nsh + (w - 1))))[:-1]
+        total = int(np.sum(nsh + (w - 1)))
+        padded = np.full(total, SENTINEL, np.int64)
+        within = (np.arange(len(row), dtype=np.int64)
+                  - np.concatenate(([0], np.cumsum(nsh)))[:-1][row])
+        flat_idx = pad_starts[row] + (w - 1) + within
+        padded[flat_idx] = comp
+        # window ending at padded index k covers [k-w+1, k]
+        wmin = np.lib.stride_tricks.sliding_window_view(
+            padded, w).min(axis=1)  # index k -> window END k + w - 1
+        # valid ends per doc: local 1-based pos e >= min(w, nsh)
+        lo = np.minimum(np.int64(w), nsh)
+        keep = pos >= lo[row]
+        end_idx = flat_idx[keep] - (w - 1)
+        sel_row = row[keep]
+        sel_comp = wmin[end_idx]
+        # distinct (doc, comp): comp encodes (hash, position)
+        df = pd.DataFrame({"r": sel_row, "c": sel_comp}) \
+            .drop_duplicates()
+        df["hr"] = df["c"].to_numpy() >> 32
+        g = (df.groupby("r", sort=True)
+             .agg(n_fingerprints=("c", "size"), fp_sum=("hr", "sum"))
+             .reset_index())
+        r = g["r"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[r], pa.int64()),
+            "n_shingles": pa.array(nsh[r], pa.int64()),
+            "n_windows": pa.array(np.maximum(nsh[r] - w + 1, 1),
+                                  pa.int64()),
+            "n_fingerprints": pa.array(
+                g["n_fingerprints"].to_numpy(np.int64), pa.int64()),
+            "fp_sum": pa.array(g["fp_sum"].to_numpy(np.int64),
+                               pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")

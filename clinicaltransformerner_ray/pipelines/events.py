@@ -38,6 +38,9 @@ batch-only surface; SURVEY.md §2.7 notes the reference has none).
                     week, count distinct active users per (cohort,
                     offset) — distinct pairs pre-shuffle, one user
                     sort, driver-folded weeks^2 cells
+  out_of_order_stats  watermark lateness audit: per-user running
+                    high-watermark over a deterministic md5 arrival
+                    permutation — one sort, grouped cummax per block
 
 Skew note: `sessionize` sorts on user_id alone, so one hyperactive user
 lands in one block.  `sessionize_salted` is the 100 TB path: the sort
@@ -2102,3 +2105,80 @@ def k_anonymity(
         "at_risk": pa.array([1 if n < k else 0 for n in ns],
                             pa.int64()),
     })
+
+
+def out_of_order_stats(events: rd.Dataset, *,
+                       salt: str = "arr") -> rd.Dataset:
+    """Watermark / out-of-order accounting: under a simulated shuffled
+    ingest whose ARRIVAL order is the deterministic md5 permutation
+    ``md5_64(f"{salt}:{event_id}")`` (the engine's shared draw
+    convention — reproducible across runs, engines and resumes), an
+    event is LATE when some earlier-arriving event of the same user
+    already carried a larger timestamp (the running high-watermark).
+    This is the lateness audit a streaming ingest (Beam/Flink-style
+    watermarking) runs before picking an allowed-lateness bound; the
+    synth events table is ts-ordered by event_id, so the audit uses
+    the md5 permutation as the arrival proxy instead of trusting
+    storage order (which a resumable distributed read cannot anyway).
+
+    Distributed shape: project to three int64/uint64 columns, ONE
+    sort on user_id (equal keys land whole per block), then a
+    vectorized per-block pass — grouped running max shifted by one
+    arrival.  Lateness quantities are exact int64 microseconds on
+    both engines (`ts` is cast to epoch-us IN ARROW, no pandas unit
+    trap; the arrival key stays uint64 end to end).
+
+    Output: (user_id, n_events, n_late, max_late_us, sum_late_us)."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def project(batch: pa.Table) -> pa.Table:
+        eids = batch.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        arr = _hash64([f"{salt}:{e}" for e in eids])
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "arr": pa.array(arr, pa.uint64()),
+            "us": batch.column("ts").cast(pa.int64()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "arr"])
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "n_events": z, "n_late": z,
+                             "max_late_us": z, "sum_late_us": z})
+        g = df.groupby("user_id", sort=False)
+        # vectorized grouped running max, shifted one arrival back
+        prev_max = g["us"].cummax().groupby(
+            df["user_id"], sort=False).shift(1)
+        late_us = (prev_max - df["us"]).fillna(0).astype(np.int64)
+        late_us = np.maximum(late_us.to_numpy(), 0)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_events": np.int64(1),
+            "n_late": (late_us > 0).astype(np.int64),
+            "late_us": late_us,
+        })
+        a = (out.groupby("user_id", sort=False)
+             .agg(n_events=("n_events", "sum"),
+                  n_late=("n_late", "sum"),
+                  max_late_us=("late_us", "max"),
+                  sum_late_us=("late_us", "sum"))
+             .reset_index())
+        return pa.table({
+            "user_id": pa.array(a["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "n_events": pa.array(a["n_events"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_late": pa.array(a["n_late"].to_numpy(np.int64),
+                               pa.int64()),
+            "max_late_us": pa.array(a["max_late_us"].to_numpy(np.int64),
+                                    pa.int64()),
+            "sum_late_us": pa.array(a["sum_late_us"].to_numpy(np.int64),
+                                    pa.int64()),
+        })
+
+    return (events.map_batches(project, batch_format="pyarrow")
+            .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))

@@ -2302,6 +2302,7 @@ def bpe_train(
 
 def bpe_encode_counts(
     docs: rd.Dataset, *, n_merges: int = 8, max_types: int = 64,
+    with_fertility: bool = False,
 ) -> rd.Dataset:
     """Apply a corpus-trained BPE tokenizer (see :func:`bpe_train`) to
     the corpus itself — the tokenizer-lifecycle closure (train ->
@@ -2319,7 +2320,15 @@ def bpe_encode_counts(
     work) and symbol counts map back to tokens vectorized.  Docs with
     zero non-``''`` tokens are absent (inner-join semantics).
 
-    Output: (doc_id, n_ws_tokens, n_bpe_tokens) per document.
+    Output: (doc_id, n_ws_tokens, n_bpe_tokens) per document.  With
+    ``with_fertility=True``, two exact fixed-point quality signals are
+    appended — the numbers a tokenizer bake-off actually compares:
+    ``n_chars`` (UTF-8 code points, == DuckDB ``length``),
+    ``fertility_bp = n_bpe_tokens * 10^4 // max(n_chars, 1)`` (tokens
+    per char, basis points — the compression/fertility metric) and
+    ``expansion_bp = n_bpe_tokens * 10^4 // n_ws_tokens`` (BPE tokens
+    per whitespace word).  All non-negative integer floors, so `//`
+    matches on both engines.
     """
     import ray
     import pyarrow.compute as pc
@@ -2341,8 +2350,11 @@ def bpe_encode_counts(
         parent = parent[keep]
         if not len(words):
             z = pa.array([], pa.int64())
-            return pa.table({"doc_id": z, "n_ws_tokens": z,
-                             "n_bpe_tokens": z})
+            cols = {"doc_id": z, "n_ws_tokens": z, "n_bpe_tokens": z}
+            if with_fertility:
+                cols.update({"n_chars": z, "fertility_bp": z,
+                             "expansion_bp": z})
+            return pa.table(cols)
         uniq, inv = np.unique(words, return_inverse=True)
         n_sym = np.empty(len(uniq), np.int64)
         for j, w in enumerate(uniq):       # vocabulary-bounded loop
@@ -2360,11 +2372,21 @@ def bpe_encode_counts(
         nz = ws > 0
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False)[nz].astype(np.int64)
-        return pa.table({
+        cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "n_ws_tokens": pa.array(ws[nz], pa.int64()),
             "n_bpe_tokens": pa.array(bpe[nz], pa.int64()),
-        })
+        }
+        if with_fertility:
+            nchars = pc.utf8_length(pc.fill_null(
+                batch.column("text"), "")).to_numpy(
+                    zero_copy_only=False).astype(np.int64)[nz]
+            cols["n_chars"] = pa.array(nchars, pa.int64())
+            cols["fertility_bp"] = pa.array(
+                bpe[nz] * 10000 // np.maximum(nchars, 1), pa.int64())
+            cols["expansion_bp"] = pa.array(
+                bpe[nz] * 10000 // ws[nz], pa.int64())
+        return pa.table(cols)
 
     return docs.map_batches(encode, batch_format="pyarrow",
                             batch_size=1 << 17)
