@@ -1539,10 +1539,14 @@ def _c4_enrich(batch: pa.Table) -> pa.Table:
                     text)
     text = np.where(ids % 11 == 0, text + " " + "x" * 25, text)
     text = np.where(ids % 2 == 0, text + ".", text)
-    return pa.table({
+    cols = {
         "doc_id": pa.array(ids, pa.int64()),
         "text": pa.array(text.tolist(), pa.string()),
-    })
+    }
+    for extra in ("source", "lang"):   # domain_report pass-through
+        if extra in batch.column_names:
+            cols[extra] = batch.column(extra)
+    return pa.table(cols)
 
 
 def _q_corpus_report(sf_dir: str):
@@ -2670,6 +2674,38 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_corpus_domain_report(sf_dir: str):
+    """Per-(source, lang) data card: the corpus_report integer sums
+    sliced by domain — the table a corpus-mixing decision reads.
+    Bounded (domains x languages x columns) key space: per-block
+    partial sums, driver fold, zero wide ops."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        doc_repetition, domain_report, quality_gates)
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "lang"])
+    gates = quality_gates(
+        docs.map_batches(_c4_enrich, batch_format="pyarrow"))
+    rep = doc_repetition(docs)
+    return domain_report(gates, rep)
+
+
+def _q_kg_salience(sf_dir: str):
+    """Recency-decayed entity salience over the flagship's linked
+    mentions: exact power-of-two day decay (2^(20-age), zero past 20
+    days) — deterministic int64 ranking, lexicon-bounded driver
+    folds over the materialized entity_daily table."""
+    from clinicaltransformerner_ray.pipelines.kg import entity_salience
+    from clinicaltransformerner_ray.sources.turns import read_turns
+
+    return entity_salience(
+        _kg(sf_dir)["linked"],
+        read_turns(sf_dir, columns=["conv_id", "turn_idx", "ts"]))
+
+
 def _q_bpe_fertility(sf_dir: str):
     """Tokenizer fertility bake-off metrics: per-doc BPE tokens per
     char / per whitespace word (exact basis-point fixed-point) under
@@ -3057,6 +3093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnowing": _q_doc_winnowing,
         "events_late": _q_events_late,
         "bpe_fertility": _q_bpe_fertility,
+        "corpus_domain_report": _q_corpus_domain_report,
+        "kg_salience": _q_kg_salience,
     }
 
 
@@ -7058,5 +7096,63 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    // greatest(length(d.text), 1) AS fertility_bp,
                n_bpe_tokens * 10000 // n_ws_tokens AS expansion_bp
         FROM base JOIN documents d ON d.doc_id = base.doc_id
+    """)
+    # per-domain data card: the two verified per-doc statements nested
+    # as CTEs, joined to (source, lang) and aggregated per domain —
+    # same long-format integer sums as corpus_report, sliced
+    sql["corpus_domain_report"] = f"""
+        WITH g AS ({sql["c4_filters"]}),
+        r AS ({sql["doc_repetition"]}),
+        dd AS (SELECT doc_id, source, lang FROM documents)
+        SELECT section, source, lang, k, CAST(v AS BIGINT) AS v FROM (
+            SELECT 'size' AS section, dd.source, dd.lang,
+                   'n_docs' AS k, count(*) AS v
+            FROM r JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'size', dd.source, dd.lang, 'n_tokens',
+                SUM(r.n_tokens) FROM r JOIN dd USING (doc_id)
+                GROUP BY 2, 3
+            UNION ALL SELECT 'c4', dd.source, dd.lang, 'keep',
+                SUM(keep) FROM g JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'c4', dd.source, dd.lang, 'ends_terminal',
+                SUM(ends_terminal) FROM g JOIN dd USING (doc_id)
+                GROUP BY 2, 3
+            UNION ALL SELECT 'c4', dd.source, dd.lang, 'flag_0',
+                SUM(flag_0) FROM g JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'c4', dd.source, dd.lang, 'flag_1',
+                SUM(flag_1) FROM g JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'c4', dd.source, dd.lang, 'flag_2',
+                SUM(flag_2) FROM g JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'gopher', dd.source, dd.lang,
+                'n_distinct', SUM(n_distinct)
+                FROM r JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'gopher', dd.source, dd.lang,
+                'top_token_n', SUM(top_token_n)
+                FROM r JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'gopher', dd.source, dd.lang,
+                'n_bigrams', SUM(n_bigrams)
+                FROM r JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'gopher', dd.source, dd.lang,
+                'n_distinct_bigrams', SUM(n_distinct_bigrams)
+                FROM r JOIN dd USING (doc_id) GROUP BY 2, 3
+            UNION ALL SELECT 'gopher', dd.source, dd.lang,
+                'top_bigram_n', SUM(top_bigram_n)
+                FROM r JOIN dd USING (doc_id) GROUP BY 2, 3
+        )
+    """
+    # recency-decayed entity salience: the verified kg_entity_daily
+    # statement nested as a CTE + an exact power-of-two decay (BIGINT
+    # left shift — no float accumulation on either engine)
+    sql["kg_salience"] = (
+        "WITH dl AS (" + sql["kg_entity_daily"] + """),
+        mx AS (SELECT max(day) AS dmax FROM dl)
+        SELECT entity_id,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+               CAST(max(day) AS BIGINT) AS last_day,
+               CAST(sum(CASE WHEN dmax - day <= 20
+                        THEN n_mentions * (CAST(1 AS BIGINT) <<
+                             CAST(20 - (dmax - day) AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS salience_fp
+        FROM dl, mx GROUP BY entity_id
     """)
     return sql

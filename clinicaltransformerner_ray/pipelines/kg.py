@@ -1134,3 +1134,99 @@ def kg_report(linked: rd.Dataset, turns_ts: rd.Dataset) -> rd.Dataset:
     return (tl.map_batches(tl_rows, batch_format="pyarrow")
             .union(dl.map_batches(dl_rows, batch_format="pyarrow"))
             .sort(["section", "entity_id", "day"]))
+
+
+def entity_salience(linked: rd.Dataset, turns_ts: rd.Dataset,
+                    *, k_bits: int = 20) -> pa.Table:
+    """Recency-decayed entity salience: each (entity, day) activity
+    cell from :func:`entity_daily` contributes
+    ``n_mentions * 2^(k_bits - age)`` where ``age = dmax - day`` (days
+    since the corpus's most recent activity), zero beyond ``k_bits``
+    days — an EXACT power-of-two half-life decay, so the score is a
+    deterministic int64 on both engines (no float accumulation; at
+    k_bits=20 a today-mention outweighs a 20-day-old one by 2^20).
+    This is the "what matters now" ranking a living knowledge graph
+    serves, as opposed to the all-time mention count.
+
+    Scale shape: the entity_daily upstream is (lexicon x active-days)
+    bounded, so it is materialized ONCE (consumed twice — the repo's
+    no-CSE rule) and two streaming folds keep driver state tiny:
+    pass 1 folds the global max day (O(blocks) rows), pass 2 folds
+    per-entity partial saliences (O(blocks x entities), exact-integer
+    associative).  Zero additional wide ops beyond entity_daily's own
+    sort.
+
+    Output pa.Table (entity_id, n_days, n_mentions, last_day,
+    salience_fp), sorted by entity_id."""
+    ed = entity_daily(linked, turns_ts).materialize()
+
+    def day_max(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        if not len(d):
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([int(d.max())], pa.int64())})
+
+    maxima = ed.map_batches(day_max, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    if not maxima:
+        z = pa.array([], pa.int64())
+        return pa.table({"entity_id": pa.array([], pa.string()),
+                         "n_days": z, "n_mentions": z,
+                         "last_day": z, "salience_fp": z})
+    dmax = max(r["m"] for r in maxima)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"entity_id": pa.array([], pa.string()),
+                             "n_days": z, "n_mentions": z,
+                             "last_day": z, "salience_fp": z})
+        age = (dmax - df["day"]).to_numpy(np.int64)
+        w = np.where(age <= k_bits,
+                     np.int64(1) << np.minimum(
+                         np.maximum(k_bits - age, 0), k_bits),
+                     np.int64(0))
+        df = pd.DataFrame({
+            "entity_id": df["entity_id"],
+            "n_days": np.int64(1),
+            "n_mentions": df["n_mentions"].to_numpy(np.int64),
+            "last_day": df["day"].to_numpy(np.int64),
+            "salience_fp": df["n_mentions"].to_numpy(np.int64) * w,
+        })
+        g = (df.groupby("entity_id", sort=False)
+             .agg(n_days=("n_days", "sum"),
+                  n_mentions=("n_mentions", "sum"),
+                  last_day=("last_day", "max"),
+                  salience_fp=("salience_fp", "sum"))
+             .reset_index())
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].tolist(),
+                                  pa.string()),
+            "n_days": pa.array(g["n_days"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_mentions": pa.array(
+                g["n_mentions"].to_numpy(np.int64), pa.int64()),
+            "last_day": pa.array(g["last_day"].to_numpy(np.int64),
+                                 pa.int64()),
+            "salience_fp": pa.array(
+                g["salience_fp"].to_numpy(np.int64), pa.int64()),
+        })
+
+    acc: dict[str, list] = {}
+    parts = ed.map_batches(partials, batch_format="pyarrow")
+    for r in parts.take_all():  # O(blocks x entities) — lexicon-bounded
+        a = acc.setdefault(r["entity_id"], [0, 0, -1, 0])
+        a[0] += int(r["n_days"])
+        a[1] += int(r["n_mentions"])
+        a[2] = max(a[2], int(r["last_day"]))
+        a[3] += int(r["salience_fp"])
+    ents = sorted(acc)
+    return pa.table({
+        "entity_id": pa.array(ents, pa.string()),
+        "n_days": pa.array([acc[e][0] for e in ents], pa.int64()),
+        "n_mentions": pa.array([acc[e][1] for e in ents], pa.int64()),
+        "last_day": pa.array([acc[e][2] for e in ents], pa.int64()),
+        "salience_fp": pa.array([acc[e][3] for e in ents],
+                                pa.int64()),
+    })

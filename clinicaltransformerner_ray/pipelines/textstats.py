@@ -1306,7 +1306,7 @@ def doc_repetition(docs: rd.Dataset) -> rd.Dataset:
             bidx = bagg.index.to_numpy()
             n_dist_bi[bidx] = bagg["count"].to_numpy(dtype=np.int64)
             top_bi[bidx] = bagg["max"].to_numpy(dtype=np.int64)
-        return pa.table({
+        cols = {
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n_tok, pa.int64()),
             "n_distinct": pa.array(n_dist, pa.int64()),
@@ -1314,7 +1314,11 @@ def doc_repetition(docs: rd.Dataset) -> rd.Dataset:
             "n_bigrams": pa.array(n_bi, pa.int64()),
             "n_distinct_bigrams": pa.array(n_dist_bi, pa.int64()),
             "top_bigram_n": pa.array(top_bi, pa.int64()),
-        })
+        }
+        for extra in ("source", "lang"):   # domain_report pass-through
+            if extra in batch.column_names:
+                cols[extra] = batch.column(extra)
+        return pa.table(cols)
 
     return docs.map_batches(per_block, batch_format="pyarrow")
 
@@ -1519,6 +1523,9 @@ def quality_gates(
             "max_tok_len": pa.array(mx, pa.int64()),
             "ends_terminal": pa.array(ends, pa.int64()),
         }
+        for extra in ("source", "lang"):   # domain_report pass-through
+            if extra in batch.column_names:
+                cols[extra] = batch.column(extra)
         bad = np.zeros(len(counts), bool)
         for i, s in enumerate(bad_substrings):
             f = pc.match_substring(text, s).to_numpy(zero_copy_only=False)
@@ -2486,4 +2493,84 @@ def corpus_report(
         "section": pa.array([a for a, _, _ in rows], pa.string()),
         "k": pa.array([b for _, b, _ in rows], pa.string()),
         "v": pa.array([c for _, _, c in rows], pa.int64()),
+    })
+
+
+def domain_report(
+    gates: rd.Dataset,
+    repetition: rd.Dataset,
+) -> pa.Table:
+    """Per-DOMAIN data card: the :func:`corpus_report` sums sliced by
+    (source, lang) — the per-domain quality table a corpus-mixing
+    decision actually reads (which sources carry the boilerplate,
+    which languages fail the gates), instead of one global row.
+
+    Inputs must carry ``source`` and ``lang`` columns (the gate
+    kernels pass them through when present).  Scale shape identical
+    to corpus_report: both inputs are zero-shuffle per-doc
+    projections; each block contributes one partial-sum row per
+    (source, lang, column) — the key space is bounded (domains x
+    languages x ~12 columns) — and the driver folds exact integers,
+    associative in any order.  Zero wide ops.
+
+    Output pa.Table (section, source, lang, k, v), sorted."""
+
+    def col_sums(cols: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "source": batch.column("source").to_pylist(),
+                "lang": batch.column("lang").to_pylist(),
+            })
+            for c in cols:
+                df[c] = batch.column(c).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            df["__n_rows__"] = np.int64(1)
+            g = (df.groupby(["source", "lang"], sort=False)
+                 .sum().reset_index())
+            long = g.melt(id_vars=["source", "lang"],
+                          var_name="k", value_name="v")
+            return pa.table({
+                "source": pa.array(long["source"].tolist(),
+                                   pa.string()),
+                "lang": pa.array(long["lang"].tolist(), pa.string()),
+                "k": pa.array(long["k"].tolist(), pa.string()),
+                "v": pa.array(long["v"].to_numpy(np.int64),
+                              pa.int64()),
+            })
+        return f
+
+    def fold(ds: rd.Dataset, cols: list[str]) -> dict[tuple, int]:
+        acc: dict[tuple, int] = {}
+        parts = ds.map_batches(col_sums(cols), batch_format="pyarrow")
+        for r in parts.take_all():  # O(blocks x keys) — bounded
+            key = (r["source"], r["lang"], r["k"])
+            acc[key] = acc.get(key, 0) + int(r["v"])
+        return acc
+
+    g = fold(gates, ["n_tokens", "ends_terminal",
+                     "flag_0", "flag_1", "flag_2", "keep"])
+    r = fold(repetition, ["n_tokens", "n_distinct", "top_token_n",
+                          "n_bigrams", "n_distinct_bigrams",
+                          "top_bigram_n"])
+    rows = []
+    for (src, lg, k), v in g.items():
+        if k in ("__n_rows__", "n_tokens"):
+            continue  # gates run on the ENRICHED text; size is raw
+        rows.append(("c4", src, lg, k, v))
+    for (src, lg, k), v in r.items():
+        if k == "__n_rows__":
+            rows.append(("size", src, lg, "n_docs", v))
+        elif k == "n_tokens":
+            rows.append(("size", src, lg, "n_tokens", v))
+        else:
+            rows.append(("gopher", src, lg, k, v))
+    rows.sort()
+    return pa.table({
+        "section": pa.array([a for a, _, _, _, _ in rows],
+                            pa.string()),
+        "source": pa.array([b for _, b, _, _, _ in rows],
+                           pa.string()),
+        "lang": pa.array([c for _, _, c, _, _ in rows], pa.string()),
+        "k": pa.array([d for _, _, _, d, _ in rows], pa.string()),
+        "v": pa.array([e for _, _, _, _, e in rows], pa.int64()),
     })

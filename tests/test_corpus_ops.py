@@ -46,7 +46,7 @@ SQL_CHECKED = [
     "corpus_mlm_plan", "corpus_t5_spans", "corpus_dsir_select",
     "corpus_fim_plan", "events_profile", "ann_mmr", "emb_covariance",
     "corpus_report", "events_k_anonymity", "doc_winnowing",
-    "events_late", "bpe_fertility",
+    "events_late", "bpe_fertility", "corpus_domain_report",
 ]
 
 
@@ -2276,3 +2276,47 @@ def test_bpe_fertility_columns(ray_session):
     assert (out["expansion_bp"]
             == out["n_bpe_tokens"] * 10000 // out["n_ws_tokens"]).all()
     assert (out["n_bpe_tokens"] >= out["n_ws_tokens"]).all()
+
+
+def test_domain_report_sums_to_corpus_report(ray_session):
+    """Slicing by (source, lang) must partition the corpus: summing
+    the per-domain v over all domains reproduces the global
+    corpus_report value for every (section, k)."""
+    import __ray_entry__ as E
+
+    dom = E.queries()["corpus_domain_report"](SF).to_pandas()
+    glob = E.queries()["corpus_report"](SF).to_pandas()
+    folded = (dom.groupby(["section", "k"])["v"].sum()
+              .reset_index())
+    m = glob.merge(folded, on=["section", "k"],
+                   suffixes=("_glob", "_fold"))
+    assert len(m) == len(glob)
+    assert (m["v_glob"] == m["v_fold"]).all()
+    assert dom["source"].nunique() > 1  # genuinely sliced
+
+
+def test_entity_salience_recompute(ray_session):
+    """salience_fp re-derived in pandas from the engine's own
+    entity_daily output (independent decay fold) matches bit for
+    bit, and ordering favors recent activity."""
+    import numpy as np
+
+    import __ray_entry__ as E
+
+    sal = E.queries()["kg_salience"](SF).to_pandas()
+    ed = E.queries()["kg_entity_daily"](SF).to_pandas()
+    dmax = int(ed["day"].max())
+    age = (dmax - ed["day"]).to_numpy(np.int64)
+    w = np.where(age <= 20, np.int64(1) << np.minimum(
+        np.maximum(20 - age, 0), 20), np.int64(0))
+    exp = (ed.assign(s=ed["n_mentions"].to_numpy(np.int64) * w)
+           .groupby("entity_id")
+           .agg(n_days=("day", "size"),
+                n_mentions=("n_mentions", "sum"),
+                last_day=("day", "max"), salience_fp=("s", "sum"))
+           .reset_index().sort_values("entity_id")
+           .reset_index(drop=True))
+    got = sal.sort_values("entity_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp[got.columns.tolist()], check_dtype=False)
+    assert (sal["salience_fp"] > 0).any()
