@@ -2674,6 +2674,21 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_dedup_winnow_pairs(sf_dir: str):
+    """Near-dup candidate pairs from shared winnowing fingerprints
+    (the MOSS matcher): winnow selection block-local, then the
+    posting-join shape on a ~3x smaller posting table than full
+    shingle postings for the same run guarantee."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import winnow_pairs
+
+    return winnow_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        n=3, w=4, min_shared=3)
+
+
 def _q_corpus_domain_report(sf_dir: str):
     """Per-(source, lang) data card: the corpus_report integer sums
     sliced by domain — the table a corpus-mixing decision reads.
@@ -3095,6 +3110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility": _q_bpe_fertility,
         "corpus_domain_report": _q_corpus_domain_report,
         "kg_salience": _q_kg_salience,
+        "dedup_winnow_pairs": _q_dedup_winnow_pairs,
     }
 
 
@@ -7155,4 +7171,37 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                         ELSE 0 END) AS BIGINT) AS salience_fp
         FROM dl, mx GROUP BY entity_id
     """)
+    # MOSS pair matching on shared winnowing fingerprints: the
+    # doc_winnowing selection CTEs, hash-SET identity (position
+    # dropped), exact shared counts thresholded at 3
+    sql["dedup_winnow_pairs"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        sp AS (
+            SELECT doc_id, unnest(CASE
+                WHEN len(l) < 3 THEN
+                    [{'pos': 1, 's': array_to_string(l, ' ')}]
+                ELSE list_transform(range(1, len(l) - 1),
+                     i -> {'pos': i, 's': l[i]||' '||l[i+1]||' '||l[i+2]})
+                END, recursive := true)
+            FROM d),
+        c AS (SELECT doc_id, pos,
+                     CAST(md5_number_upper(s) % 1048576 AS BIGINT)
+                         * 4294967296 + (2147483648 - pos) AS comp
+              FROM sp),
+        w AS (SELECT doc_id, pos,
+                     min(comp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                         AS cmin,
+                     count(*) OVER (PARTITION BY doc_id) AS nsh
+              FROM c),
+        sel AS (SELECT DISTINCT doc_id, cmin
+                FROM w WHERE pos >= least(4, nsh)),
+        hs AS (SELECT DISTINCT doc_id, cmin // 4294967296 AS hr
+               FROM sel)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM hs a JOIN hs b ON a.hr = b.hr AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    """
     return sql

@@ -1694,12 +1694,6 @@ def winnow_fingerprints(docs: rd.Dataset, *, n: int = 3,
     Output: (doc_id, n_shingles, n_windows, n_fingerprints, fp_sum)
     where fp_sum is the int64 sum of selected hashes over the
     distinct (position, hash) pairs."""
-    import pyarrow.compute as pc
-
-    HR_MOD = np.uint64(1 << 20)
-    POS_BASE = np.int64(1) << 31
-    SENTINEL = np.iinfo(np.int64).max
-
     def per_batch(batch: pa.Table) -> pa.Table:
         empty = pa.table({
             "doc_id": pa.array([], pa.int64()),
@@ -1710,70 +1704,7 @@ def winnow_fingerprints(docs: rd.Dataset, *, n: int = 3,
         })
         if batch.num_rows == 0:
             return empty
-        texts = pc.fill_null(batch.column("text"), "")
-        ids = batch.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        toks = pc.split_pattern(texts, " ")
-        counts = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = np.asarray(toks.combine_chunks().flatten().to_pylist(),
-                          dtype=object)
-        parent = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        tok_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        # shingle strings + (doc row index, position), in doc order
-        if len(flat) >= n:
-            valid = parent[:len(parent) - n + 1] == parent[n - 1:]
-            sh = flat[:len(flat) - n + 1].copy()
-            for j in range(1, n):
-                sh = sh + " "
-                sh = sh + flat[j:len(flat) - n + 1 + j]
-            sel = np.flatnonzero(valid)
-            long_row = parent[sel]
-            long_pos = sel - tok_starts[long_row] + 1
-            long_sh = sh[sel]
-        else:
-            long_row = np.empty(0, np.int64)
-            long_pos = np.empty(0, np.int64)
-            long_sh = np.empty(0, object)
-        short = np.flatnonzero(counts < n)
-        short_sh = np.asarray(
-            [t.as_py() for t in texts.take(pa.array(short))], object
-        ) if len(short) else np.empty(0, object)
-        # interleave back into per-doc contiguous order: long docs'
-        # shingles are already doc-ordered; short docs' singletons
-        # must slot at their doc's place — concatenate then argsort
-        # on (row, pos) with a stable sort (counts are small ints).
-        row = np.concatenate([long_row, short])
-        pos = np.concatenate([long_pos, np.ones(len(short), np.int64)])
-        sh_all = np.concatenate([long_sh, short_sh])
-        order = np.lexsort((pos, row))
-        row, pos, sh_all = row[order], pos[order], sh_all[order]
-
-        nsh = np.maximum(counts - n + 1, 1)  # shingles per doc row
-        hr = (_hash64(list(sh_all)) % HR_MOD).astype(np.int64)
-        comp = hr * (np.int64(1) << 32) + (POS_BASE - pos)
-
-        # padded layout: w-1 sentinels before each doc's shingle run
-        pad_starts = np.concatenate(
-            ([0], np.cumsum(nsh + (w - 1))))[:-1]
-        total = int(np.sum(nsh + (w - 1)))
-        padded = np.full(total, SENTINEL, np.int64)
-        within = (np.arange(len(row), dtype=np.int64)
-                  - np.concatenate(([0], np.cumsum(nsh)))[:-1][row])
-        flat_idx = pad_starts[row] + (w - 1) + within
-        padded[flat_idx] = comp
-        # window ending at padded index k covers [k-w+1, k]
-        wmin = np.lib.stride_tricks.sliding_window_view(
-            padded, w).min(axis=1)  # index k -> window END k + w - 1
-        # valid ends per doc: local 1-based pos e >= min(w, nsh)
-        lo = np.minimum(np.int64(w), nsh)
-        keep = pos >= lo[row]
-        end_idx = flat_idx[keep] - (w - 1)
-        sel_row = row[keep]
-        sel_comp = wmin[end_idx]
-        # distinct (doc, comp): comp encodes (hash, position)
-        df = pd.DataFrame({"r": sel_row, "c": sel_comp}) \
-            .drop_duplicates()
+        ids, nsh, df = _winnow_select(batch, n, w)
         df["hr"] = df["c"].to_numpy() >> 32
         g = (df.groupby("r", sort=True)
              .agg(n_fingerprints=("c", "size"), fp_sum=("hr", "sum"))
@@ -1791,3 +1722,182 @@ def winnow_fingerprints(docs: rd.Dataset, *, n: int = 3,
         })
 
     return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+_WINNOW_HR_MOD = np.uint64(1 << 20)
+_WINNOW_POS_BASE = np.int64(1) << 31
+_WINNOW_SENTINEL = np.iinfo(np.int64).max
+
+
+def _winnow_select(batch: pa.Table, n: int, w: int):
+    """Shared winnowing selection kernel (see
+    :func:`winnow_fingerprints` for the algorithm): returns
+    ``(ids, nsh, df)`` — per-row doc ids, shingles-per-row, and the
+    DISTINCT selected fingerprints as a DataFrame with columns ``r``
+    (batch row index) and ``c`` (the composite
+    ``(md5 % 2^20) * 2^32 + (2^31 - pos)``)."""
+    import pyarrow.compute as pc
+
+    HR_MOD = _WINNOW_HR_MOD
+    POS_BASE = _WINNOW_POS_BASE
+    SENTINEL = _WINNOW_SENTINEL
+    texts = pc.fill_null(batch.column("text"), "")
+    ids = batch.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    toks = pc.split_pattern(texts, " ")
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(toks.combine_chunks().flatten().to_pylist(),
+                      dtype=object)
+    parent = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    tok_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # shingle strings + (doc row index, position), in doc order
+    if len(flat) >= n:
+        valid = parent[:len(parent) - n + 1] == parent[n - 1:]
+        sh = flat[:len(flat) - n + 1].copy()
+        for j in range(1, n):
+            sh = sh + " "
+            sh = sh + flat[j:len(flat) - n + 1 + j]
+        sel = np.flatnonzero(valid)
+        long_row = parent[sel]
+        long_pos = sel - tok_starts[long_row] + 1
+        long_sh = sh[sel]
+    else:
+        long_row = np.empty(0, np.int64)
+        long_pos = np.empty(0, np.int64)
+        long_sh = np.empty(0, object)
+    short = np.flatnonzero(counts < n)
+    short_sh = np.asarray(
+        [t.as_py() for t in texts.take(pa.array(short))], object
+    ) if len(short) else np.empty(0, object)
+    # interleave back into per-doc contiguous order: long docs'
+    # shingles are already doc-ordered; short docs' singletons
+    # must slot at their doc's place — concatenate then argsort
+    # on (row, pos) with a stable sort (counts are small ints).
+    row = np.concatenate([long_row, short])
+    pos = np.concatenate([long_pos, np.ones(len(short), np.int64)])
+    sh_all = np.concatenate([long_sh, short_sh])
+    order = np.lexsort((pos, row))
+    row, pos, sh_all = row[order], pos[order], sh_all[order]
+
+    nsh = np.maximum(counts - n + 1, 1)  # shingles per doc row
+    hr = (_hash64(list(sh_all)) % HR_MOD).astype(np.int64)
+    comp = hr * (np.int64(1) << 32) + (POS_BASE - pos)
+
+    # padded layout: w-1 sentinels before each doc's shingle run
+    pad_starts = np.concatenate(
+        ([0], np.cumsum(nsh + (w - 1))))[:-1]
+    total = int(np.sum(nsh + (w - 1)))
+    padded = np.full(total, SENTINEL, np.int64)
+    within = (np.arange(len(row), dtype=np.int64)
+              - np.concatenate(([0], np.cumsum(nsh)))[:-1][row])
+    flat_idx = pad_starts[row] + (w - 1) + within
+    padded[flat_idx] = comp
+    # window ending at padded index k covers [k-w+1, k]
+    wmin = np.lib.stride_tricks.sliding_window_view(
+        padded, w).min(axis=1)  # index k -> window END k + w - 1
+    # valid ends per doc: local 1-based pos e >= min(w, nsh)
+    lo = np.minimum(np.int64(w), nsh)
+    keep = pos >= lo[row]
+    end_idx = flat_idx[keep] - (w - 1)
+    sel_row = row[keep]
+    sel_comp = wmin[end_idx]
+    # distinct (doc, comp): comp encodes (hash, position)
+    df = pd.DataFrame({"r": sel_row, "c": sel_comp}) \
+        .drop_duplicates()
+    return ids, nsh, df
+
+
+def winnow_pairs(docs: rd.Dataset, *, n: int = 3, w: int = 4,
+                 min_shared: int = 3,
+                 max_bucket: int | None = 10_000) -> rd.Dataset:
+    """Near-dup CANDIDATE pairs from shared winnowing fingerprints —
+    how MOSS actually matches documents, and the scale argument for
+    the selector: the posting table carries only ~2/(w+1) of the
+    full shingle postings for the same >= ``w + n - 1``-word-run
+    guarantee, so the pair-join shuffle is ~3x smaller at w=4 than
+    the ngram_pair_stats equivalent.
+
+    Shape (the MinHash-band pattern): per-batch winnow selection
+    (block-local, zero wide ops) -> distinct (hash, doc) postings ->
+    ONE sort on the hash -> per-block per-hash pair emission (buckets
+    are tiny; ``max_bucket`` caps an adversarial hash, logged) ->
+    pre-sort pair-count combine -> ONE sort on the pair -> exact
+    shared-fingerprint counts, thresholded at ``min_shared``.
+
+    Position is dropped from the fingerprint identity here (MOSS
+    matches on hash SETS); the hash space is the same
+    ``md5 % 2^20`` as :func:`winnow_fingerprints`, so the oracle
+    shares the selection CTE.
+
+    Output: (doc_a, doc_b, n_shared) with n_shared >= min_shared."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"hr": z, "doc_id": z})
+        ids, _nsh, df = _winnow_select(batch, n, w)
+        df["hr"] = df["c"].to_numpy() >> 32
+        # hash-SET identity: distinct (doc, hr)
+        d = df[["r", "hr"]].drop_duplicates()
+        return pa.table({
+            "hr": pa.array(d["hr"].to_numpy(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[d["r"].to_numpy(np.int64)],
+                               pa.int64()),
+        })
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dup = df[df.duplicated("hr", keep=False)]
+        out_a, out_b = [], []
+        for h, g in dup.groupby("hr", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy(np.int64))
+            if max_bucket is not None and len(ids) > max_bucket:
+                _LOG.warning(
+                    "winnow_pairs: hash %d shared by %d docs > "
+                    "max_bucket=%d; pairing only the first %d",
+                    h, len(ids), max_bucket, max_bucket)
+                ids = ids[:max_bucket]
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_a": z, "doc_b": z, "n_shared": z})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "n_shared": pa.array(np.ones(len(a), np.int64),
+                                 pa.int64()),
+        })
+
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["doc_a", "doc_b"], sort=False)["n_shared"]
+             .sum().reset_index())
+        return pa.table({
+            "doc_a": pa.array(g["doc_a"].to_numpy(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(g["doc_b"].to_numpy(np.int64),
+                              pa.int64()),
+            "n_shared": pa.array(g["n_shared"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = pair_combine(batch)
+        keep = pa.compute.greater_equal(t.column("n_shared"),
+                                        min_shared)
+        return t.filter(keep)
+
+    post = docs.map_batches(postings, batch_format="pyarrow")
+    pairs = coalesced_sort(post, "hr").map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None)
+    partials = pairs.map_batches(pair_combine, batch_format="pyarrow",
+                                 batch_size=None)
+    return coalesced_sort(partials, ["doc_a", "doc_b"]).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

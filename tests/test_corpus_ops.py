@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "corpus_fim_plan", "events_profile", "ann_mmr", "emb_covariance",
     "corpus_report", "events_k_anonymity", "doc_winnowing",
     "events_late", "bpe_fertility", "corpus_domain_report",
+    "dedup_winnow_pairs",
 ]
 
 
@@ -2320,3 +2321,46 @@ def test_entity_salience_recompute(ray_session):
     pd.testing.assert_frame_equal(
         got, exp[got.columns.tolist()], check_dtype=False)
     assert (sal["salience_fp"] > 0).any()
+
+
+def test_winnow_pairs_recall_vs_jaccard(ray_session):
+    """The winnowing guarantee in action: every planted near-dup pair
+    the exact n-gram Jaccard kernel confirms (>= 0.8 on >= w+n-1-word
+    overlaps) must also surface as a winnow candidate pair, at ~1/3
+    the posting volume."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        ngram_jaccard_pairs, winnow_pairs)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    wp = winnow_pairs(docs, n=3, w=4, min_shared=3).to_pandas()
+    jp = ngram_jaccard_pairs(
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        n=3, threshold=0.8).to_pandas()
+    got = set(zip(wp["doc_a"], wp["doc_b"]))
+    want = set(zip(jp["doc_a"], jp["doc_b"]))
+    assert want, "synth plants near-dup pairs"
+    assert want <= got, f"missed {want - got}"
+
+
+def test_winnow_pairs_split_invariance(ray_session):
+    """Pair counts are exact integers — bitwise identical across
+    block splits."""
+    import ray.data as rd
+
+    ref = None
+    from clinicaltransformerner_ray.pipelines.dedup import winnow_pairs
+    for n_parts in (2, 5):
+        got = (winnow_pairs(
+            rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .repartition(n_parts), min_shared=3)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(got, ref)
