@@ -2674,6 +2674,30 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_session_paths(sf_dir: str):
+    """Top user journeys: per-session event-type paths (first 8 steps,
+    '>'-joined) counted corpus-wide — sessionize sort + per-block path
+    partials + one path sort."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import session_paths
+
+    return session_paths(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+
+
+def _q_corpus_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth: new word types per doc_id decile
+    + the cumulative curve — token->min-doc postings, one token sort,
+    bounded decile driver fold."""
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        vocab_growth)
+
+    return vocab_growth(_docs(sf_dir))
+
+
 def _q_lang_confusion(sf_dir: str):
     """Label-noise audit: confusion matrix between the stored lang
     label and the corpus-trained lang-ID prediction — the true label
@@ -3138,6 +3162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "lang_confusion": _q_lang_confusion,
         "kg_trend": _q_kg_trend,
+        "events_session_paths": _q_events_session_paths,
+        "corpus_vocab_growth": _q_corpus_vocab_growth,
     }
 
 
@@ -7263,4 +7289,60 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                          THEN -1 ELSE 0 END AS BIGINT) AS trend
         FROM ag
     """)
+    # session paths: the sessionize window chain + per-session ordered
+    # string_agg of the first 8 event types (FILTER over row_number)
+    sql["events_session_paths"] = """
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                           OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ), numbered AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
+                AS session_idx
+            FROM flagged
+        ), rn AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, session_idx
+                ORDER BY ts, event_id) AS rn
+            FROM numbered
+        ), p AS (
+            SELECT user_id, session_idx,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       FILTER (rn <= 8) AS path,
+                   count(*) AS n
+            FROM rn GROUP BY 1, 2
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM p GROUP BY path
+    """
+    # vocabulary growth: token -> min doc_id, bucketed by doc_id
+    # decile (dense non-negative ids; // floors on both engines),
+    # cumulative via a running-sum window
+    sql["corpus_vocab_growth"] = """
+        WITH tk AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS w
+                FROM documents)
+            WHERE w <> ''
+        ), f AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY w),
+        n AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        b AS (SELECT fd * 10 // nd AS decile,
+                     count(*) AS new_types
+              FROM f, n GROUP BY 1)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(new_types AS BIGINT) AS new_types,
+               CAST(sum(new_types) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        FROM b
+    """
     return sql

@@ -2182,3 +2182,81 @@ def out_of_order_stats(events: rd.Dataset, *,
             .sort("user_id")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
+
+
+def session_paths(events: rd.Dataset, *,
+                  gap_us: int = SESSION_GAP_US,
+                  max_steps: int = 8) -> rd.Dataset:
+    """Top user journeys: the event-type PATH of each session (the
+    first ``max_steps`` event types joined with ``>``), counted across
+    all sessions — the "what do users actually do" table of product
+    analytics, and a classic sequence-mining primitive.
+
+    Shape: the sessionize sort (user_id — each user's events land
+    whole per block), a vectorized per-block pass that numbers
+    sessions and string-joins the first ``max_steps`` types per
+    session into path partials, then ONE sort on the path string
+    (high-cardinality) with a per-block count completion.  Session
+    boundaries and step order tie-break on (ts, event_id), matching
+    the sessionize oracle's window exactly.
+
+    Output: (path, n_sessions, n_events) — n_events counts ALL events
+    of the counted sessions, not just the truncated steps."""
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({
+            "path": pa.array([], pa.string()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        })
+        if df.empty:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = ts.diff() > gap_us
+        df["session_idx"] = (new_user | gap).groupby(
+            df["user_id"]).cumsum().astype("int64") - 1
+        keys = ["user_id", "session_idx"]
+        df["rn"] = df.groupby(keys, sort=False).cumcount()
+        head = df[df["rn"] < max_steps]
+        paths = (head.groupby(keys, sort=False)["event_type"]
+                 .agg(">".join).rename("path"))
+        sizes = df.groupby(keys, sort=False).size().rename("n")
+        j = pd.concat([paths, sizes], axis=1)
+        g = (j.groupby("path", sort=False)
+             .agg(n_sessions=("n", "size"), n_events=("n", "sum"))
+             .reset_index())
+        return pa.table({
+            "path": pa.array(g["path"].tolist(), pa.string()),
+            "n_sessions": pa.array(g["n_sessions"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({
+                "path": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        g = (df.groupby("path", sort=False)
+             .agg(n_sessions=("n_sessions", "sum"),
+                  n_events=("n_events", "sum"))
+             .reset_index())
+        return pa.table({
+            "path": pa.array(g["path"].tolist(), pa.string()),
+            "n_sessions": pa.array(g["n_sessions"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    partials = events.sort("user_id").map_batches(
+        per_block, batch_format="pyarrow", batch_size=None)
+    return partials.sort("path").map_batches(
+        complete, batch_format="pyarrow", batch_size=None)

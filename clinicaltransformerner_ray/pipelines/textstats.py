@@ -2642,3 +2642,83 @@ def lang_confusion(docs: rd.Dataset) -> pa.Table:
         "mismatch": pa.array(
             [1 if a != b else 0 for a, b in ks], pa.int64()),
     })
+
+
+def vocab_growth(docs: rd.Dataset, *, n_buckets: int = 10) -> pa.Table:
+    """Heaps'-law vocabulary growth curve: how many NEW word types
+    each doc_id decile introduces, plus the cumulative curve — the
+    saturation diagnostic a corpus-expansion decision reads (a flat
+    tail says more of the same data buys no new vocabulary; it is
+    also a cheap global near-dup smell).
+
+    Shape: per-batch (token -> min doc_id) partials, ONE sort on the
+    token string (high-cardinality), per-block min completion, then
+    bounded decile partial counts folded on the driver (``n_buckets``
+    integers per block) with the cumulative sum driver-side.  Token
+    convention: split-on-space, ``''`` dropped (the BPE family's
+    ``w <> ''`` rule); ``decile = first_doc * n_buckets // n_docs``
+    over dense non-negative doc_ids.
+
+    Output pa.Table (decile, new_types, cum_types), sorted."""
+    import pyarrow.compute as pc
+
+    def tok_min(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "w": np.asarray(flat.to_pylist(), dtype=object)[keep],
+            "d": ids[parent[keep]],
+        })
+        g = df.groupby("w", sort=False)["d"].min().reset_index()
+        return pa.table({
+            "w": pa.array(g["w"].tolist(), pa.string()),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def doc_max(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([int(ids.max())], pa.int64())})
+
+    n_docs = 1 + max(
+        (r["m"] for r in docs.map_batches(
+            doc_max, batch_format="pyarrow",
+            batch_size=None).take_all()), default=-1)
+    if n_docs <= 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"decile": z, "new_types": z, "cum_types": z})
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"decile": z, "new_types": z})
+        first = (df.groupby("w", sort=False)["d"].min()
+                 .to_numpy(np.int64))
+        dec = first * n_buckets // n_docs
+        u, c = np.unique(dec, return_counts=True)
+        return pa.table({
+            "decile": pa.array(u, pa.int64()),
+            "new_types": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    partials = docs.map_batches(tok_min, batch_format="pyarrow")
+    folded = partials.sort("w").map_batches(
+        bucket_counts, batch_format="pyarrow", batch_size=None)
+    acc: dict[int, int] = {}
+    for r in folded.take_all():  # O(blocks x n_buckets)
+        acc[int(r["decile"])] = acc.get(int(r["decile"]), 0) \
+            + int(r["new_types"])
+    ks = sorted(acc)
+    cum = np.cumsum([acc[k] for k in ks]).astype(np.int64)
+    return pa.table({
+        "decile": pa.array(ks, pa.int64()),
+        "new_types": pa.array([acc[k] for k in ks], pa.int64()),
+        "cum_types": pa.array(cum, pa.int64()),
+    })

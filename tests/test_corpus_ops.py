@@ -47,7 +47,8 @@ SQL_CHECKED = [
     "corpus_fim_plan", "events_profile", "ann_mmr", "emb_covariance",
     "corpus_report", "events_k_anonymity", "doc_winnowing",
     "events_late", "bpe_fertility", "corpus_domain_report",
-    "dedup_winnow_pairs", "lang_confusion",
+    "dedup_winnow_pairs", "lang_confusion", "events_session_paths",
+    "corpus_vocab_growth",
 ]
 
 
@@ -2403,3 +2404,46 @@ def test_entity_trend_recompute(ray_session):
     assert (m["trend"] == np.sign(m["trend_num"])).all()
     single = m[m["n_days"] == 1]
     assert (single["trend_num"] == 0).all()
+
+
+def test_session_paths_consistency(ray_session):
+    """Path table totals must reconcile with the sessionize kernel:
+    Σ n_sessions == total sessions, Σ n_events == total events."""
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from clinicaltransformerner_ray.pipelines.events import sessionize
+
+    paths = E.queries()["events_session_paths"](SF).to_pandas()
+    sess = sessionize(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["event_id", "user_id", "ts"])
+    ).to_pandas()
+    assert paths["n_sessions"].sum() == len(sess)
+    assert paths["n_events"].sum() == sess["n_events"].sum()
+    assert (paths["path"].str.count(">") <= 7).all()  # 8-step cap
+
+
+def test_vocab_growth_planted_curve(ray_session):
+    """A corpus where each third of the docs introduces disjoint new
+    types produces exactly the planted per-bucket counts (and repeats
+    introduce nothing)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.textstats import (
+        vocab_growth)
+
+    # 9 docs, deciles with n_buckets=3: docs 0-2 / 3-5 / 6-8
+    texts = ["a b c", "a b", "c a",          # 3 new types in bucket 0
+             "d e", "d a", "e b",            # 2 new in bucket 1
+             "f", "f f f", "a f"]            # 1 new in bucket 2
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(9)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = vocab_growth(rd.from_arrow(tbl).repartition(4),
+                       n_buckets=3).to_pandas()
+    assert out["decile"].tolist() == [0, 1, 2]
+    assert out["new_types"].tolist() == [3, 2, 1]
+    assert out["cum_types"].tolist() == [3, 5, 6]
