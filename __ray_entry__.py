@@ -2674,6 +2674,29 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_tpch_returned_top(sf_dir: str):
+    """Q10-shaped returned-item ranking: top-20 customers by returned
+    revenue in a quarter — Q5 co-partition template + per-block local
+    top-k after the custkey sort (driver merges O(blocks x k))."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.relational import (
+        _nation_region_map, returned_top)
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"])
+    return returned_top(lineitem, orders, customer,
+                        _nation_region_map(sf_dir))
+
+
 def _q_events_session_paths(sf_dir: str):
     """Top user journeys: per-session event-type paths (first 8 steps,
     '>'-joined) counted corpus-wide — sessionize sort + per-block path
@@ -3164,6 +3187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_trend": _q_kg_trend,
         "events_session_paths": _q_events_session_paths,
         "corpus_vocab_growth": _q_corpus_vocab_growth,
+        "tpch_returned_top": _q_tpch_returned_top,
     }
 
 
@@ -7344,5 +7368,26 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                CAST(sum(new_types) OVER (ORDER BY decile
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
         FROM b
+    """
+    # Q10 returned-item ranking: exact integer rev_e4, inner joins,
+    # (revenue DESC, custkey ASC) top-20
+    sql["tpch_returned_top"] = """
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+               n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100)
+                                      AS BIGINT))) AS BIGINT)
+                   AS revenue_e4,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_e4 DESC, c_custkey
+        LIMIT 20
     """
     return sql

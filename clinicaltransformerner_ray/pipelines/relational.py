@@ -2792,3 +2792,158 @@ def _market_share_finish(acc: dict[tuple[int, int], int]) -> pa.Table:
         "share_bp": pa.array(nat * 10_000 // np.maximum(tot, 1),
                              pa.int64()),
     })
+
+
+def returned_top(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    nation_map: dict[int, tuple[str, str]],
+    *,
+    returnflag: str = "R",
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> pa.Table:
+    """TPC-H Q10-shaped returned-item ranking: the ``k`` customers who
+    generated the most revenue on RETURNED items ('R' lineitems) for
+    orders placed in one quarter — the lost-revenue triage list.
+
+    Scale shape (the Q5 co-partition template): returned lineitems
+    pre-aggregate revenue per orderkey batch-locally BEFORE the first
+    shuffle; the orderkey sort-merge join emits custkey partials that
+    pre-aggregate again before the custkey join; customer rows carry
+    (c_name, c_nationkey) through the union superset; nation names
+    broadcast.  After the custkey sort every customer's total is
+    block-complete, so each block emits only its LOCAL top-``k`` by
+    (revenue DESC, custkey ASC) and the driver merges O(blocks x k)
+    rows — no global sort of the customer dimension, no driver
+    materialization of per-customer totals.  Revenue is the exact
+    integer rev_e4 = cents x (100 - disc_pct).
+
+    Output pa.Table: (c_custkey, c_name, n_name, revenue_e4, n_items),
+    ordered (revenue_e4 DESC, c_custkey ASC), at most ``k`` rows."""
+    lo, hi = _ts_us(date_from), _ts_us(date_to)
+
+    def _sup(key, kind, rev, n, payload, name) -> pa.Table:
+        m = len(key)
+        return pa.table({
+            "key": pa.array(np.asarray(key, np.int64), pa.int64()),
+            "kind": pa.array([kind] * m, pa.string()),
+            "rev_e4": pa.array(np.asarray(rev, np.int64), pa.int64()),
+            "n_items": pa.array(np.asarray(n, np.int64), pa.int64()),
+            "payload": pa.array(np.asarray(payload, np.int64),
+                                pa.int64()),
+            "name": pa.array(list(name), pa.string()),
+        })
+
+    def l_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_returnflag"].to_numpy() == returnflag]
+        part = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(),
+            "rev_e4": _rev_e4(df),
+            "n_items": np.ones(len(df), np.int64),
+        })
+        g = part.groupby("key", sort=False).sum().reset_index()
+        m = len(g)
+        return _sup(g["key"], "l", g["rev_e4"], g["n_items"],
+                    np.zeros(m, np.int64), [""] * m)
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["o_orderdate"].astype("int64").to_numpy()
+        df = df[(ts >= lo) & (ts < hi)]
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["o_orderkey"], "o", z, z, df["o_custkey"],
+                    [""] * len(df))
+
+    def merge_orders(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o = df[df["kind"] == "o"]
+        ln = df[df["kind"] == "l"]
+        j = pd.merge(
+            ln[["key", "rev_e4", "n_items"]],
+            o[["key", "payload"]].rename(
+                columns={"payload": "custkey"}),
+            on="key")
+        g = (j.groupby("custkey", sort=False)
+             [["rev_e4", "n_items"]].sum().reset_index())
+        m = len(g)
+        return _sup(g["custkey"], "x", g["rev_e4"], g["n_items"],
+                    np.zeros(m, np.int64), [""] * m)
+
+    def c_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        z = np.zeros(len(df), np.int64)
+        return _sup(df["c_custkey"], "c", z, z, df["c_nationkey"],
+                    df["c_name"].tolist())
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        """custkey totals are block-complete after the sort: emit the
+        block's local top-k only."""
+        empty = pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "nationkey": pa.array([], pa.int64()),
+            "revenue_e4": pa.array([], pa.int64()),
+            "n_items": pa.array([], pa.int64()),
+        })
+        df = batch.to_pandas()
+        c = df[df["kind"] == "c"]
+        x = df[df["kind"] == "x"]
+        if x.empty or c.empty:
+            return empty
+        tot = (x.groupby("key", sort=False)
+               [["rev_e4", "n_items"]].sum().reset_index())
+        j = pd.merge(tot,
+                     c[["key", "payload", "name"]].rename(
+                         columns={"payload": "nationkey"}),
+                     on="key")
+        if j.empty:
+            return empty
+        order = np.lexsort((j["key"].to_numpy(np.int64),
+                            -j["rev_e4"].to_numpy(np.int64)))[:k]
+        j = j.iloc[order]
+        return pa.table({
+            "c_custkey": pa.array(j["key"].to_numpy(np.int64),
+                                  pa.int64()),
+            "c_name": pa.array(j["name"].tolist(), pa.string()),
+            "nationkey": pa.array(j["nationkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "revenue_e4": pa.array(j["rev_e4"].to_numpy(np.int64),
+                                   pa.int64()),
+            "n_items": pa.array(j["n_items"].to_numpy(np.int64),
+                                pa.int64()),
+        })
+
+    joined = (
+        lineitem.map_batches(l_side, batch_format="pyarrow",
+                             batch_size=1 << 19)
+        .union(orders.map_batches(o_side, batch_format="pyarrow",
+                                  batch_size=1 << 19))
+        .sort("key")
+        .map_batches(merge_orders, batch_format="pyarrow",
+                     batch_size=None)
+        .union(customer.map_batches(c_side, batch_format="pyarrow",
+                                    batch_size=1 << 19))
+        .sort("key")
+        .map_batches(local_topk, batch_format="pyarrow",
+                     batch_size=None)
+    )
+    rows = joined.take_all()  # O(blocks x k)
+    rows.sort(key=lambda r: (-int(r["revenue_e4"]),
+                             int(r["c_custkey"])))
+    rows = rows[:k]
+    return pa.table({
+        "c_custkey": pa.array([int(r["c_custkey"]) for r in rows],
+                              pa.int64()),
+        "c_name": pa.array([r["c_name"] for r in rows], pa.string()),
+        "n_name": pa.array(
+            [nation_map.get(int(r["nationkey"]), ("", ""))[0]
+             for r in rows], pa.string()),
+        "revenue_e4": pa.array([int(r["revenue_e4"]) for r in rows],
+                               pa.int64()),
+        "n_items": pa.array([int(r["n_items"]) for r in rows],
+                            pa.int64()),
+    })

@@ -47,7 +47,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                                   "tpch_value_conc",
                                   "tpch_small_qty",
                                   "tpch_top_supplier",
-                                  "tpch_market_share"])
+                                  "tpch_market_share",
+                                  "tpch_returned_top"])
 def test_relational_oracle_parity(ray_session, con, name):
     import __ray_entry__ as E
 
@@ -213,7 +214,8 @@ def test_top_orders_per_customer_semantics(ray_session):
                                   "tpch_value_conc",
                                   "tpch_small_qty",
                                   "tpch_top_supplier",
-                                  "tpch_market_share"])
+                                  "tpch_market_share",
+                                  "tpch_returned_top"])
 def test_new_joins_block_split_invariance(ray_session, con, name):
     """The three newest join pipelines must produce oracle-identical
     output when every input is split across multiple blocks — the
@@ -357,6 +359,17 @@ def test_new_joins_block_split_invariance(ray_session, con, name):
             ds("supplier", ["s_suppkey", "s_nationkey"], 2),
             ds("orders", ["o_orderkey", "o_custkey", "o_orderdate"], 4),
             ds("customer", ["c_custkey", "c_nationkey"], 3),
+            _nation_region_map(SF))
+    elif name == "tpch_returned_top":
+        from clinicaltransformerner_ray.pipelines.relational import (
+            _nation_region_map, returned_top)
+
+        res = returned_top(
+            ds("lineitem", ["l_orderkey", "l_returnflag",
+                            "l_extendedprice", "l_discount"], 6),
+            ds("orders", ["o_orderkey", "o_custkey",
+                          "o_orderdate"], 4),
+            ds("customer", ["c_custkey", "c_name", "c_nationkey"], 3),
             _nation_region_map(SF))
     else:
         res = revenue_by_supplier_nation(
