@@ -2674,6 +2674,29 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_ab_test(sf_dir: str):
+    """Deterministic A/B readout: md5 variant assignment (no stored
+    assignment table) x the verified funnel conversion metric; exact
+    integer per-mille rates."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import ab_test
+
+    return ab_test(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_type"]))
+
+
+def _q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the co-occurrence graph as exact
+    integer sufficient statistics + sign verdict — degree fold
+    broadcast, one streaming stub pass, zero wide ops."""
+    from clinicaltransformerner_ray.pipelines.graph import (
+        degree_assortativity)
+
+    return degree_assortativity(_kg(sf_dir)["triples"])
+
+
 def _q_tpch_returned_top(sf_dir: str):
     """Q10-shaped returned-item ranking: top-20 customers by returned
     revenue in a quarter — Q5 co-partition template + per-block local
@@ -3188,6 +3211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_paths": _q_events_session_paths,
         "corpus_vocab_growth": _q_corpus_vocab_growth,
         "tpch_returned_top": _q_tpch_returned_top,
+        "events_ab_test": _q_events_ab_test,
+        "kg_assortativity": _q_kg_assortativity,
     }
 
 
@@ -7390,4 +7415,55 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         ORDER BY revenue_e4 DESC, c_custkey
         LIMIT 20
     """
+    # A/B readout: md5 variant over distinct users + the verified
+    # funnel statement as the conversion metric CTE
+    sql["events_ab_test"] = (
+        "WITH f AS (" + sql["events_funnel"] + """),
+        u AS (SELECT DISTINCT user_id FROM events),
+        v AS (SELECT user_id,
+                     CAST(md5_number_upper('exp1:' ||
+                          CAST(user_id AS VARCHAR)) % 2 AS BIGINT)
+                         AS variant
+              FROM u),
+        cv AS (SELECT v.variant, count(*) AS n_conv
+               FROM f JOIN v USING (user_id) GROUP BY 1),
+        ex AS (SELECT variant, count(*) AS n_users FROM v GROUP BY 1)
+        SELECT ex.variant, CAST(ex.n_users AS BIGINT) AS n_users,
+               CAST(coalesce(cv.n_conv, 0) AS BIGINT) AS n_converted,
+               CAST(coalesce(cv.n_conv, 0) * 1000
+                    // greatest(ex.n_users, 1) AS BIGINT)
+                   AS conv_per_mille
+        FROM ex LEFT JOIN cv USING (variant)
+    """)
+    # degree assortativity: triples CTE -> co_occurs edges -> degree
+    # table -> both-orientation stubs -> integer sufficient stats
+    sql["kg_assortativity"] = (
+        "WITH tr AS (" + sql["kg_triples"] + """),
+        e AS (SELECT subj, obj FROM tr WHERE pred = 'co_occurs'),
+        dg AS (SELECT entity_id,
+                      CAST(count(*) AS BIGINT) AS degree
+               FROM (SELECT subj AS entity_id FROM e
+                     UNION ALL SELECT obj FROM e)
+               GROUP BY 1),
+        st AS (
+            SELECT da.degree AS x, db.degree AS y FROM e
+            JOIN dg da ON da.entity_id = e.subj
+            JOIN dg db ON db.entity_id = e.obj
+            UNION ALL
+            SELECT db.degree, da.degree FROM e
+            JOIN dg da ON da.entity_id = e.subj
+            JOIN dg db ON db.entity_id = e.obj),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS n_stubs,
+                      CAST(sum(x) AS BIGINT) AS s_x,
+                      CAST(sum(x * y) AS BIGINT) AS s_xy,
+                      CAST(sum(x * x) AS BIGINT) AS s_xx
+               FROM st)
+        SELECT n_stubs, s_x, s_xy, s_xx,
+               n_stubs * s_xy - s_x * s_x AS num,
+               n_stubs * s_xx - s_x * s_x AS den,
+               CAST(CASE WHEN n_stubs * s_xy - s_x * s_x > 0 THEN 1
+                         WHEN n_stubs * s_xy - s_x * s_x < 0 THEN -1
+                         ELSE 0 END AS BIGINT) AS assortative
+        FROM ag
+    """)
     return sql

@@ -2260,3 +2260,85 @@ def session_paths(events: rd.Dataset, *,
         per_block, batch_format="pyarrow", batch_size=None)
     return partials.sort("path").map_batches(
         complete, batch_format="pyarrow", batch_size=None)
+
+
+def ab_test(events: rd.Dataset, *,
+            salt: str = "exp1",
+            first_type: str = "click",
+            then_type: str = "purchase",
+            horizon_us: int = 24 * 3600 * 1_000_000) -> pa.Table:
+    """Deterministic A/B experiment readout: every user is assigned a
+    variant by ``md5_64(f"{salt}:{user_id}") % 2`` (the engine's
+    shared hash-draw convention — stable across runs, engines and
+    resumes, the production way to randomize without storing an
+    assignment table), and the metric is the verified two-step funnel
+    conversion (first ``first_type`` -> ``then_type`` within the
+    horizon).
+
+    Shape: the funnel kernel is reused verbatim (one type-filtered
+    user sort); the exposure side needs only DISTINCT users per
+    variant — per-block distinct partials, one user sort, per-block
+    counts, driver fold of 2 integers.  Conversion rate is reported
+    as an exact integer per-mille floor.
+
+    Output pa.Table (variant, n_users, n_converted, conv_per_mille),
+    sorted by variant."""
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def u_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    def u_counts(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        if not len(u):
+            z = pa.array([], pa.int64())
+            return pa.table({"variant": z, "n": z})
+        v = (_hash64([f"{salt}:{x}" for x in u])
+             % np.uint64(2)).astype(np.int64)
+        return pa.table({
+            "variant": pa.array([0, 1], pa.int64()),
+            "n": pa.array([int((v == 0).sum()), int((v == 1).sum())],
+                          pa.int64()),
+        })
+
+    exposure: dict[int, int] = {0: 0, 1: 0}
+    folded = (events.map_batches(u_partial, batch_format="pyarrow")
+              .sort("user_id")
+              .map_batches(u_counts, batch_format="pyarrow",
+                           batch_size=None))
+    for r in folded.take_all():  # O(blocks x 2)
+        exposure[int(r["variant"])] += int(r["n"])
+
+    conv = {0: 0, 1: 0}
+    f = funnel_conversions(events, first_type=first_type,
+                           then_type=then_type, horizon_us=horizon_us)
+
+    def c_counts(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            z = pa.array([], pa.int64())
+            return pa.table({"variant": z, "n": z})
+        v = (_hash64([f"{salt}:{x}" for x in u])
+             % np.uint64(2)).astype(np.int64)
+        return pa.table({
+            "variant": pa.array([0, 1], pa.int64()),
+            "n": pa.array([int((v == 0).sum()), int((v == 1).sum())],
+                          pa.int64()),
+        })
+
+    for r in f.map_batches(c_counts, batch_format="pyarrow",
+                           batch_size=None).take_all():
+        conv[int(r["variant"])] += int(r["n"])
+
+    return pa.table({
+        "variant": pa.array([0, 1], pa.int64()),
+        "n_users": pa.array([exposure[0], exposure[1]], pa.int64()),
+        "n_converted": pa.array([conv[0], conv[1]], pa.int64()),
+        "conv_per_mille": pa.array(
+            [conv[i] * 1000 // max(exposure[i], 1) for i in (0, 1)],
+            pa.int64()),
+    })

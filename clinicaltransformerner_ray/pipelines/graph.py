@@ -1694,3 +1694,91 @@ def link_negatives(triples: rd.Dataset) -> rd.Dataset:
         })
 
     return triples.map_batches(corrupt, batch_format="pyarrow")
+
+
+def degree_assortativity(triples: rd.Dataset,
+                         *, pred: str = "co_occurs") -> pa.Table:
+    """Degree assortativity sufficient statistics: do high-degree
+    entities co-occur with other high-degree entities?  The Pearson
+    correlation of endpoint degrees over all edge STUBS (each
+    undirected edge contributes both orientations), reported as the
+    exact INTEGER sufficient statistics plus the correlation's sign —
+    numerator ``num = n*Σxy - Σx*Σy`` and denominator factor
+    ``den = n*Σxx - (Σx)²`` (symmetric in x/y over stubs), so no
+    float ever enters and the verdict (assortative / neutral /
+    disassortative) is deterministic on both engines.
+
+    Shape: one lexicon-bounded degree fold on the driver (the
+    kg_degrees shape), ``ray.put`` broadcast, then ONE streaming pass
+    over the edge stream folding five integers per block — zero wide
+    ops.
+
+    Output pa.Table, one row: (n_stubs, s_x, s_xy, s_xx, num, den,
+    assortative)."""
+    import ray
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["pred"] == pred]
+        d = pd.DataFrame({
+            "entity_id": np.concatenate([df["subj"].to_numpy(),
+                                         df["obj"].to_numpy()]),
+            "degree": np.int64(1),
+        })
+        g = (d.groupby("entity_id", sort=False)["degree"]
+             .sum().reset_index())
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].tolist(),
+                                  pa.string()),
+            "degree": pa.array(g["degree"].to_numpy(np.int64),
+                               pa.int64()),
+        })
+
+    tm = triples.materialize()  # consumed twice; no CSE in Ray
+    deg: dict[str, int] = {}
+    for r in tm.map_batches(deg_partial, batch_format="pyarrow",
+                            batch_size=1 << 19).take_all():
+        deg[r["entity_id"]] = deg.get(r["entity_id"], 0) \
+            + int(r["degree"])
+    dref = ray.put(deg)
+
+    def stub_partials(batch: pa.Table) -> pa.Table:
+        dd = ray.get(dref)
+        df = batch.to_pandas()
+        df = df[df["pred"] == pred]
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"n": z, "sx": z, "sxy": z, "sxx": z})
+        da = df["subj"].map(dd).to_numpy(np.int64)
+        db = df["obj"].map(dd).to_numpy(np.int64)
+        # both orientations: Σ over stubs
+        n = 2 * len(df)
+        sx = int((da + db).sum())
+        sxy = int(2 * (da * db).sum())
+        sxx = int((da * da + db * db).sum())
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+        })
+
+    n = sx = sxy = sxx = 0
+    for r in tm.map_batches(stub_partials, batch_format="pyarrow",
+                            batch_size=None).take_all():
+        n += int(r["n"])
+        sx += int(r["sx"])
+        sxy += int(r["sxy"])
+        sxx += int(r["sxx"])
+    # over stubs Σy == Σx, so num = n*Σxy - (Σx)²
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    return pa.table({
+        "n_stubs": pa.array([n], pa.int64()),
+        "s_x": pa.array([sx], pa.int64()),
+        "s_xy": pa.array([sxy], pa.int64()),
+        "s_xx": pa.array([sxx], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "assortative": pa.array([(num > 0) - (num < 0)], pa.int64()),
+    })

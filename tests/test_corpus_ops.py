@@ -48,7 +48,7 @@ SQL_CHECKED = [
     "corpus_report", "events_k_anonymity", "doc_winnowing",
     "events_late", "bpe_fertility", "corpus_domain_report",
     "dedup_winnow_pairs", "lang_confusion", "events_session_paths",
-    "corpus_vocab_growth",
+    "corpus_vocab_growth", "events_ab_test",
 ]
 
 
@@ -2447,3 +2447,56 @@ def test_vocab_growth_planted_curve(ray_session):
     assert out["decile"].tolist() == [0, 1, 2]
     assert out["new_types"].tolist() == [3, 2, 1]
     assert out["cum_types"].tolist() == [3, 5, 6]
+
+
+def test_ab_test_reconciles_with_funnel(ray_session):
+    """Exposure counts partition the distinct-user set; converted
+    counts partition the funnel output; per-mille floors recompute."""
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from clinicaltransformerner_ray.pipelines.events import (
+        funnel_conversions)
+
+    ab = E.queries()["events_ab_test"](SF).to_pandas()
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    n_users = ev.map_batches(
+        lambda b: b.select(["user_id"]),
+        batch_format="pyarrow").to_pandas()["user_id"].nunique()
+    f = funnel_conversions(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["user_id", "ts", "event_type"])
+    ).to_pandas()
+    assert ab["n_users"].sum() == n_users
+    assert ab["n_converted"].sum() == len(f)
+    assert (ab["conv_per_mille"]
+            == ab["n_converted"] * 1000
+            // ab["n_users"].clip(lower=1)).all()
+
+
+def test_assortativity_hand_fold(ray_session):
+    """A planted star graph is maximally DISassortative (hub degree n
+    meets leaf degree 1 on every stub): num < 0; a planted clique is
+    degree-regular: num == 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import (
+        degree_assortativity)
+
+    def triples(pairs):
+        return rd.from_arrow(pa.table({
+            "subj": pa.array([a for a, _ in pairs], pa.string()),
+            "pred": pa.array(["co_occurs"] * len(pairs), pa.string()),
+            "obj": pa.array([b for _, b in pairs], pa.string()),
+        }))
+
+    star = [("hub", f"leaf{i}") for i in range(5)]
+    out = degree_assortativity(triples(star)).to_pandas()
+    assert out.loc[0, "assortative"] == -1
+    assert out.loc[0, "n_stubs"] == 10
+    clique = [(f"v{i}", f"v{j}")
+              for i in range(4) for j in range(i + 1, 4)]
+    out2 = degree_assortativity(triples(clique)).to_pandas()
+    assert out2.loc[0, "assortative"] == 0  # regular graph
