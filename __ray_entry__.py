@@ -2674,6 +2674,29 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_dedup_source_losses(sf_dir: str):
+    """Near-dup curation survivorship by source: which domains lose
+    the most docs — curate_neardup + one doc_id sort-merge source
+    attach + bounded per-source driver fold."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import source_losses
+
+    return source_losses(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "source"]))
+
+
+def _q_emb_outliers(sf_dir: str):
+    """Embedding-space outliers: top-20 farthest-from-centroid vectors
+    via the integer score n^2*dist^2 = sum_d (n*xq - S_d)^2 over
+    floor(v*2^10) quantized values — deterministic, zero wide ops."""
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        embedding_outliers)
+
+    return embedding_outliers(_vecs(sf_dir))
+
+
 def _q_events_ab_test(sf_dir: str):
     """Deterministic A/B readout: md5 variant assignment (no stored
     assignment table) x the verified funnel conversion metric; exact
@@ -3213,6 +3236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_returned_top": _q_tpch_returned_top,
         "events_ab_test": _q_events_ab_test,
         "kg_assortativity": _q_kg_assortativity,
+        "dedup_source_losses": _q_dedup_source_losses,
+        "emb_outliers": _q_emb_outliers,
     }
 
 
@@ -7466,4 +7491,43 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                          ELSE 0 END AS BIGINT) AS assortative
         FROM ag
     """)
+    # source survivorship: the full curate statement nested as a CTE
+    # (WITH RECURSIVE nests fine in a subquery), joined to sources
+    sql["dedup_source_losses"] = (
+        "WITH sur AS (" + sql["dedup_curate"] + """),
+        j AS (SELECT d.doc_id, d.source, sur.n_cluster
+              FROM documents d
+              LEFT JOIN sur ON sur.doc_id = d.doc_id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(n_cluster) AS BIGINT) AS n_survivors,
+               CAST(count(*) - count(n_cluster) AS BIGINT)
+                   AS n_dropped,
+               CAST(coalesce(sum(n_cluster), 0) AS BIGINT)
+                   AS n_represented
+        FROM j GROUP BY source
+    """)
+    # embedding outliers: same integer arithmetic — floor-quantize,
+    # per-dim sums, n*xq - S_d squared and summed; BIGINT throughout
+    sql["emb_outliers"] = """
+        WITH q AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1024) AS BIGINT) AS xq
+            FROM embeddings),
+        nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+               FROM q),
+        sd AS (SELECT d, CAST(sum(xq) AS BIGINT) AS s
+               FROM q GROUP BY d),
+        sc AS (SELECT q.vec_id,
+                      CAST(sum((nn.n * q.xq - sd.s)
+                               * (nn.n * q.xq - sd.s)) AS BIGINT)
+                          AS score
+               FROM q JOIN sd USING (d), nn
+               GROUP BY q.vec_id)
+        SELECT vec_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                    AS BIGINT) AS rank
+        FROM sc ORDER BY rank LIMIT 20
+    """
     return sql

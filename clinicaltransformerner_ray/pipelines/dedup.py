@@ -1901,3 +1901,96 @@ def winnow_pairs(docs: rd.Dataset, *, n: int = 3, w: int = 4,
                                  batch_size=None)
     return coalesced_sort(partials, ["doc_a", "doc_b"]).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def source_losses(docs: rd.Dataset, *,
+                  threshold: float = 0.8) -> pa.Table:
+    """Near-dup curation survivorship BY SOURCE: after
+    :func:`curate_neardup`, which sources lose the most documents —
+    the data-card slice that tells a corpus mix which domains carry
+    the duplicated boilerplate (a source whose docs are mostly
+    represented by another source's survivors is pure redundancy).
+
+    Shape: curate_neardup's own pipeline (posting join + pointer-
+    jumping CC + one survivor sort), then ONE more doc_id sort-merge
+    that attaches each doc's source to its survivor row, with
+    bounded per-source integer partials folded on the driver.
+
+    Output pa.Table (source, n_docs, n_survivors, n_dropped,
+    n_represented), sorted by source — n_represented sums survivors'
+    cluster sizes (how many corpus docs this source's survivors stand
+    for)."""
+    docs = docs.materialize()  # feeds curation AND the source side
+    sur = curate_neardup(docs, threshold=threshold)
+
+    def d_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "kind": pa.array(np.zeros(batch.num_rows, np.int64),
+                             pa.int64()),
+            "n_cluster": pa.array(np.zeros(batch.num_rows, np.int64),
+                                  pa.int64()),
+            "source": batch.column("source"),
+        })
+
+    def s_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "kind": pa.array(np.ones(batch.num_rows, np.int64),
+                             pa.int64()),
+            "n_cluster": batch.column("n_cluster").cast(pa.int64()),
+            "source": pa.array([""] * batch.num_rows, pa.string()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_survivors": pa.array([], pa.int64()),
+            "n_represented": pa.array([], pa.int64()),
+        })
+        d = df[df["kind"] == 0]
+        if d.empty:
+            return empty
+        s = df[df["kind"] == 1][["doc_id", "n_cluster"]]
+        j = pd.merge(d[["doc_id", "source"]], s, on="doc_id",
+                     how="left")
+        j["surv"] = j["n_cluster"].notna().astype(np.int64)
+        j["rep"] = j["n_cluster"].fillna(0).astype(np.int64)
+        g = (j.groupby("source", sort=False)
+             .agg(n_docs=("doc_id", "size"),
+                  n_survivors=("surv", "sum"),
+                  n_represented=("rep", "sum"))
+             .reset_index())
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_survivors": pa.array(
+                g["n_survivors"].to_numpy(np.int64), pa.int64()),
+            "n_represented": pa.array(
+                g["n_represented"].to_numpy(np.int64), pa.int64()),
+        })
+
+    unioned = (docs.map_batches(d_rows, batch_format="pyarrow")
+               .union(sur.map_batches(s_rows, batch_format="pyarrow"))
+               .sort("doc_id")
+               .map_batches(per_block, batch_format="pyarrow",
+                            batch_size=None))
+    acc: dict[str, list] = {}
+    for r in unioned.take_all():  # O(blocks x sources) — bounded
+        a = acc.setdefault(r["source"], [0, 0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["n_survivors"])
+        a[2] += int(r["n_represented"])
+    ks = sorted(acc)
+    return pa.table({
+        "source": pa.array(ks, pa.string()),
+        "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_survivors": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "n_dropped": pa.array([acc[k][0] - acc[k][1] for k in ks],
+                              pa.int64()),
+        "n_represented": pa.array([acc[k][2] for k in ks],
+                                  pa.int64()),
+    })

@@ -26,9 +26,17 @@ import ray.data as rd
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids, X = _batch_matrix_raw(batch)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return ids, X
+
+
+def _batch_matrix_raw(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """UNnormalized batch matrix (embedding_outliers wants raw
+    magnitudes; the stored float32 values cast to float64 read the
+    same bits on both engines)."""
     ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
     X = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
     return ids, X
 
 
@@ -1066,4 +1074,88 @@ def embedding_covariance(vecs: rd.Dataset) -> pa.Table:
         "i": pa.array([a for a, _ in ks], pa.int64()),
         "j": pa.array([b for _, b in ks], pa.int64()),
         "v": pa.array([acc[kk] for kk in ks], pa.int64()),
+    })
+
+
+def embedding_outliers(vecs: rd.Dataset, *, k: int = 20,
+                       q_bits: int = 10) -> pa.Table:
+    """Embedding-space outliers: the ``k`` vectors farthest from the
+    corpus centroid — the standard embedding-QA sweep for corrupt /
+    mislabeled / degenerate vectors before any ANN index is built.
+
+    Exactness trick: with ``xq = floor(v * 2^q_bits)`` (the engine's
+    quantize-before-accumulate rule) and ``S_d = Σ xq_d``, ``n`` the
+    vector count, the integer score ``Σ_d (n*xq_d - S_d)²`` equals
+    ``n² · ‖xq - mean(xq)‖²`` — the same ORDER as distance-to-centroid
+    with no float division ever happening, so the ranking is
+    deterministic and block-split-invariant on both engines.  Bound:
+    |n*xq| < n·2^q_bits must stay under ~2^31 for the squared sum to
+    fit int64 — at 2^10 that holds to ~2M vectors; rescale q_bits
+    down as n grows.
+
+    Shape: pass 1 folds (n, S) on the driver (O(blocks x dim) rows);
+    pass 2 streams blocked score computation keeping each block's
+    local top-k by (score DESC, vec_id ASC); the driver merges
+    O(blocks x k).  Zero wide ops.
+
+    Output pa.Table (vec_id, score, rank), rank 1-based."""
+    import ray
+
+    scale = float(1 << q_bits)
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        ids, X = _batch_matrix_raw(batch)
+        if not len(ids):
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        Xq = np.floor(X * scale).astype(np.int64)
+        dims = np.arange(Xq.shape[1], dtype=np.int64)
+        return pa.table({
+            "d": pa.array(dims, pa.int64()),
+            "s": pa.array(Xq.sum(axis=0), pa.int64()),
+            "n": pa.array(np.full(len(dims), len(ids), np.int64),
+                          pa.int64()),
+        })
+
+    S: dict[int, int] = {}
+    n = 0
+    seen_dims = False
+    for r in vecs.map_batches(sum_partial,
+                              batch_format="pyarrow").take_all():
+        S[int(r["d"])] = S.get(int(r["d"]), 0) + int(r["s"])
+        if int(r["d"]) == 0:
+            n += int(r["n"])
+        seen_dims = True
+    if not seen_dims or n == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"vec_id": z, "score": z, "rank": z})
+    Sv = np.asarray([S[d] for d in sorted(S)], np.int64)
+    ref = ray.put((n, Sv))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        n_, S_ = ray.get(ref)
+        ids, X = _batch_matrix_raw(batch)
+        if not len(ids):
+            z = pa.array([], pa.int64())
+            return pa.table({"vec_id": z, "score": z})
+        Xq = np.floor(X * scale).astype(np.int64)
+        diff = n_ * Xq - S_[None, :]
+        score = (diff * diff).sum(axis=1)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "score": pa.array(score[order], pa.int64()),
+        })
+
+    rows = vecs.map_batches(local_topk,
+                            batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-int(r["score"]), int(r["vec_id"])))
+    rows = rows[:k]
+    return pa.table({
+        "vec_id": pa.array([int(r["vec_id"]) for r in rows],
+                           pa.int64()),
+        "score": pa.array([int(r["score"]) for r in rows],
+                          pa.int64()),
+        "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
     })

@@ -48,7 +48,8 @@ SQL_CHECKED = [
     "corpus_report", "events_k_anonymity", "doc_winnowing",
     "events_late", "bpe_fertility", "corpus_domain_report",
     "dedup_winnow_pairs", "lang_confusion", "events_session_paths",
-    "corpus_vocab_growth", "events_ab_test",
+    "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
+    "emb_outliers",
 ]
 
 
@@ -2500,3 +2501,47 @@ def test_assortativity_hand_fold(ray_session):
               for i in range(4) for j in range(i + 1, 4)]
     out2 = degree_assortativity(triples(clique)).to_pandas()
     assert out2.loc[0, "assortative"] == 0  # regular graph
+
+
+def test_source_losses_reconciles_with_curate(ray_session):
+    """Per-source totals partition the corpus and the survivor set:
+    Σ n_docs == corpus size, Σ n_survivors == curate rows,
+    Σ n_represented == corpus size (every doc represented once)."""
+    import __ray_entry__ as E
+
+    sl = E.queries()["dedup_source_losses"](SF).to_pandas()
+    cur = E.queries()["dedup_curate"](SF).to_pandas()
+    docs = E.queries()["text_stats"](SF).to_pandas()
+    assert sl["n_docs"].sum() == len(docs)
+    assert sl["n_survivors"].sum() == len(cur)
+    assert sl["n_represented"].sum() == len(docs)
+    assert (sl["n_dropped"] == sl["n_docs"] - sl["n_survivors"]).all()
+
+
+def test_emb_outliers_planted(ray_session):
+    """A planted far-away vector must rank 1, and the ranking is
+    block-split invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        embedding_outliers)
+
+    rng = [(i, [((i * 7 + j) % 13 - 6) / 100.0 for j in range(8)])
+           for i in range(40)]
+    rng.append((99, [5.0] * 8))  # the planted outlier
+    tbl = pa.table({
+        "vec_id": pa.array([i for i, _ in rng], pa.int64()),
+        "embedding": pa.array([v for _, v in rng],
+                              pa.list_(pa.float32())),
+    })
+    ref = None
+    for parts in (1, 4):
+        out = embedding_outliers(
+            rd.from_arrow(tbl).repartition(parts), k=5).to_pandas()
+        assert out.loc[0, "vec_id"] == 99
+        if ref is None:
+            ref = out
+        else:
+            pd.testing.assert_frame_equal(out, ref)
