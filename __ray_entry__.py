@@ -2674,6 +2674,28 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_kg_hits(sf_dir: str):
+    """HITS hubs/authorities (unnormalized fixed-round — exact
+    integers, same ranking): one streaming edge fold, driver matvecs
+    on the lexicon-bounded graph."""
+    from clinicaltransformerner_ray.pipelines.graph import hits_scores
+
+    return hits_scores(_kg(sf_dir)["triples"])
+
+
+def _q_events_concurrency(sf_dir: str):
+    """Active-sessions-per-hour load curve: sessionize -> sweep-line
+    deltas -> driver prefix sum; no interval self-join."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        session_concurrency)
+
+    return session_concurrency(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]))
+
+
 def _q_dedup_source_losses(sf_dir: str):
     """Near-dup curation survivorship by source: which domains lose
     the most docs — curate_neardup + one doc_id sort-merge source
@@ -3238,6 +3260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _q_kg_assortativity,
         "dedup_source_losses": _q_dedup_source_losses,
         "emb_outliers": _q_emb_outliers,
+        "kg_hits": _q_kg_hits,
+        "events_concurrency": _q_events_concurrency,
     }
 
 
@@ -7530,4 +7554,55 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     AS BIGINT) AS rank
         FROM sc ORDER BY rank LIMIT 20
     """
+    # HITS: two unrolled rounds of integer join-aggregates over the
+    # triples CTE's co_occurs edges (unnormalized == same ranking)
+    sql["kg_hits"] = (
+        "WITH tr AS (" + sql["kg_triples"] + """),
+        e AS (SELECT subj, obj, CAST(count(*) AS BIGINT) AS m
+              FROM tr WHERE pred = 'co_occurs' GROUP BY 1, 2),
+        nodes AS (SELECT DISTINCT entity_id FROM (
+            SELECT subj AS entity_id FROM e
+            UNION ALL SELECT obj FROM e)),
+        a1 AS (SELECT n.entity_id,
+                      CAST(coalesce(sum(e.m), 0) AS BIGINT) AS a
+               FROM nodes n LEFT JOIN e ON e.obj = n.entity_id
+               GROUP BY 1),
+        h1 AS (SELECT n.entity_id,
+                      CAST(coalesce(sum(e.m * a1.a), 0) AS BIGINT)
+                          AS h
+               FROM nodes n LEFT JOIN e ON e.subj = n.entity_id
+               LEFT JOIN a1 ON a1.entity_id = e.obj GROUP BY 1),
+        a2 AS (SELECT n.entity_id,
+                      CAST(coalesce(sum(e.m * h1.h), 0) AS BIGINT)
+                          AS a
+               FROM nodes n LEFT JOIN e ON e.obj = n.entity_id
+               LEFT JOIN h1 ON h1.entity_id = e.subj GROUP BY 1),
+        h2 AS (SELECT n.entity_id,
+                      CAST(coalesce(sum(e.m * a2.a), 0) AS BIGINT)
+                          AS h
+               FROM nodes n LEFT JOIN e ON e.subj = n.entity_id
+               LEFT JOIN a2 ON a2.entity_id = e.obj GROUP BY 1)
+        SELECT n.entity_id, h2.h AS hub, a2.a AS auth
+        FROM nodes n
+        JOIN h2 ON h2.entity_id = n.entity_id
+        JOIN a2 ON a2.entity_id = n.entity_id
+    """)
+    # concurrency curve: sessions CTE + hour grid + overlap count
+    # (the sweep-line's cross-check formulation; //
+    # floors on non-negative epoch hours)
+    sql["events_concurrency"] = (
+        "WITH s AS (" + _SESSIONS_SQL + """),
+        b AS (SELECT min(epoch_us(start_ts) // 3600000000) AS h0,
+                     max(epoch_us(end_ts) // 3600000000) AS h1
+              FROM s),
+        g AS (SELECT unnest(range(b.h0, b.h1 + 1)) AS h FROM b),
+        c AS (SELECT g.h,
+                     CAST(count(s.user_id) AS BIGINT) AS n_active
+              FROM g LEFT JOIN s
+                ON epoch_us(s.start_ts) // 3600000000 <= g.h
+               AND epoch_us(s.end_ts) // 3600000000 >= g.h
+              GROUP BY g.h)
+        SELECT CAST(h * 3600000000 AS BIGINT) AS hour_us, n_active
+        FROM c
+    """)
     return sql

@@ -2342,3 +2342,56 @@ def ab_test(events: rd.Dataset, *,
             [conv[i] * 1000 // max(exposure[i], 1) for i in (0, 1)],
             pa.int64()),
     })
+
+
+def session_concurrency(events: rd.Dataset, *,
+                        gap_us: int = SESSION_GAP_US) -> pa.Table:
+    """Active-sessions-over-time curve: for every hour between the
+    first session start and the last session end, how many sessions
+    are ACTIVE (start_hour <= h <= end_hour) — the load curve a
+    capacity plan reads, computed without interval self-joins.
+
+    Shape: the verified sessionize pipeline emits per-session rows;
+    a per-block pass reduces each session to two bounded-key deltas
+    (+1 at its start hour, -1 just after its end hour); the driver
+    folds O(blocks x hours) delta rows and one prefix sum yields the
+    whole curve — the standard sweep-line, with the wide work all
+    inside sessionize's one user sort.
+
+    Output pa.Table (hour_us, n_active), one row per hour in range."""
+    HOUR_US = 3_600_000_000
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"h": z, "d": z})
+        sh = (df["start_ts"].astype("int64") // HOUR_US).to_numpy()
+        eh = (df["end_ts"].astype("int64") // HOUR_US).to_numpy()
+        d = pd.DataFrame({
+            "h": np.concatenate([sh, eh + 1]),
+            "d": np.concatenate([np.ones(len(sh), np.int64),
+                                 -np.ones(len(eh), np.int64)]),
+        })
+        g = d.groupby("h", sort=False)["d"].sum().reset_index()
+        return pa.table({
+            "h": pa.array(g["h"].to_numpy(np.int64), pa.int64()),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+        })
+
+    acc: dict[int, int] = {}
+    sess = sessionize(events, gap_us=gap_us)
+    for r in sess.map_batches(deltas, batch_format="pyarrow",
+                              batch_size=None).take_all():
+        acc[int(r["h"])] = acc.get(int(r["h"]), 0) + int(r["d"])
+    if not acc:
+        z = pa.array([], pa.int64())
+        return pa.table({"hour_us": z, "n_active": z})
+    hmin, hmax = min(acc), max(acc)  # hmax is last end hour + 1
+    hours = np.arange(hmin, hmax, dtype=np.int64)
+    dd = np.asarray([acc.get(int(h), 0) for h in hours], np.int64)
+    active = np.cumsum(dd).astype(np.int64)
+    return pa.table({
+        "hour_us": pa.array(hours * HOUR_US, pa.int64()),
+        "n_active": pa.array(active, pa.int64()),
+    })

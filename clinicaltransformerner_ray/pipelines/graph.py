@@ -1782,3 +1782,63 @@ def degree_assortativity(triples: rd.Dataset,
         "den": pa.array([den], pa.int64()),
         "assortative": pa.array([(num > 0) - (num < 0)], pa.int64()),
     })
+
+
+def hits_scores(triples: rd.Dataset, *, pred: str = "co_occurs",
+                rounds: int = 2) -> pa.Table:
+    """HITS hubs/authorities, UNNORMALIZED fixed-round variant: with
+    the adjacency A of the (directed as stored) edge set, iterate
+    ``a <- A^T h; h <- A a`` from all-ones — every intermediate is an
+    exact non-negative integer (normalization only rescales, so the
+    unnormalized fixed-round scores carry the same ranking and are
+    bit-replicable in SQL as chained join-aggregates).  On the
+    co-occurrence graph A is symmetric, so hubs == authorities — the
+    stored subj->obj orientation is used as-is, mirroring the oracle.
+
+    Shape: the graph is lexicon-bounded (the kg node-state rule), so
+    edges fold to a driver edge list once and the ``rounds``
+    iterations are two tiny driver matvecs; the distributed part is
+    the single streaming edge fold.  For bigger-than-lexicon graphs
+    the same recurrence runs as the pagerank-style distributed
+    gather (sort on endpoint), auto-selection left to the caller.
+
+    Output pa.Table (entity_id, hub, auth), sorted by entity_id."""
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["pred"] == pred]
+        g = (df.groupby(["subj", "obj"], sort=False)
+             .size().reset_index(name="m"))
+        return pa.table({
+            "subj": pa.array(g["subj"].tolist(), pa.string()),
+            "obj": pa.array(g["obj"].tolist(), pa.string()),
+            "m": pa.array(g["m"].to_numpy(np.int64), pa.int64()),
+        })
+
+    edges: dict[tuple, int] = {}
+    for r in triples.map_batches(edge_partial, batch_format="pyarrow",
+                                 batch_size=1 << 19).take_all():
+        k = (r["subj"], r["obj"])
+        edges[k] = edges.get(k, 0) + int(r["m"])
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"entity_id": pa.array([], pa.string()),
+                         "hub": z, "auth": z})
+    src = np.asarray([idx[a] for a, _ in edges], np.int64)
+    dst = np.asarray([idx[b] for _, b in edges], np.int64)
+    mult = np.asarray(list(edges.values()), np.int64)
+    h = np.ones(n, dtype=object)  # python ints: no overflow ever
+    a = np.zeros(n, dtype=object)
+    for _ in range(rounds):
+        a = np.zeros(n, dtype=object)
+        np.add.at(a, dst, mult * h[src])
+        h = np.zeros(n, dtype=object)
+        np.add.at(h, src, mult * a[dst])
+    return pa.table({
+        "entity_id": pa.array(nodes, pa.string()),
+        "hub": pa.array([int(v) for v in h], pa.int64()),
+        "auth": pa.array([int(v) for v in a], pa.int64()),
+    })

