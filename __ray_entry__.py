@@ -2674,6 +2674,29 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_velocity(sf_dir: str):
+    """Fraud-velocity screen: max events per user in any trailing
+    5-minute window (RANGE-frame peer semantics), one user sort +
+    per-block searchsorted two-pointer."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        velocity_stats)
+
+    return velocity_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
+def _q_kg_walks(sf_dir: str):
+    """Deterministic random-walk corpus (DeepWalk prep): md5 neighbor
+    picks over sorted adjacency — reproducible across engines, one
+    edge fold + broadcast + embarrassingly-parallel emission."""
+    from clinicaltransformerner_ray.pipelines.graph import random_walks
+
+    return random_walks(_kg(sf_dir)["triples"])
+
+
 def _q_kg_hits(sf_dir: str):
     """HITS hubs/authorities (unnormalized fixed-round — exact
     integers, same ranking): one streaming edge fold, driver matvecs
@@ -3262,6 +3285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_outliers": _q_emb_outliers,
         "kg_hits": _q_kg_hits,
         "events_concurrency": _q_events_concurrency,
+        "events_velocity": _q_events_velocity,
+        "kg_walks": _q_kg_walks,
     }
 
 
@@ -7604,5 +7629,48 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
               GROUP BY g.h)
         SELECT CAST(h * 3600000000 AS BIGINT) AS hour_us, n_active
         FROM c
+    """)
+    # velocity screen: RANGE interval frame (peers counted together —
+    # replicated engine-side by the right/left searchsorted pair)
+    sql["events_velocity"] = """
+        WITH w AS (
+            SELECT user_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                       AND CURRENT ROW) AS c
+            FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(c) AS BIGINT) AS max_window
+        FROM w GROUP BY user_id
+    """
+    # deterministic walks: sorted adjacency lists + md5 list-index
+    # picks, three unrolled steps (kg_negatives' draw convention)
+    sql["kg_walks"] = (
+        "WITH tr AS (" + sql["kg_triples"] + """),
+        e2 AS (SELECT subj AS a, obj AS b FROM tr
+               WHERE pred = 'co_occurs'
+               UNION
+               SELECT obj, subj FROM tr WHERE pred = 'co_occurs'),
+        adj AS (SELECT a, list_sort(list(DISTINCT b)) AS nb
+                FROM e2 GROUP BY a),
+        w1 AS (SELECT adj.a AS start, 1 AS step,
+                      adj.nb[CAST(md5_number_upper(
+                          'walk:' || adj.a || ':1')
+                          % len(adj.nb) AS BIGINT) + 1] AS node
+               FROM adj),
+        w2 AS (SELECT w1.start, 2 AS step,
+                      adj.nb[CAST(md5_number_upper(
+                          'walk:' || w1.start || ':2')
+                          % len(adj.nb) AS BIGINT) + 1] AS node
+               FROM w1 JOIN adj ON adj.a = w1.node),
+        w3 AS (SELECT w2.start, 3 AS step,
+                      adj.nb[CAST(md5_number_upper(
+                          'walk:' || w2.start || ':3')
+                          % len(adj.nb) AS BIGINT) + 1] AS node
+               FROM w2 JOIN adj ON adj.a = w2.node)
+        SELECT start, CAST(step AS BIGINT) AS step, node FROM (
+            SELECT * FROM w1
+            UNION ALL SELECT * FROM w2
+            UNION ALL SELECT * FROM w3)
     """)
     return sql

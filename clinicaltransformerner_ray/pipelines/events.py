@@ -2395,3 +2395,58 @@ def session_concurrency(events: rd.Dataset, *,
         "hour_us": pa.array(hours * HOUR_US, pa.int64()),
         "n_active": pa.array(active, pa.int64()),
     })
+
+
+def velocity_stats(events: rd.Dataset, *,
+                   window_us: int = 5 * 60 * 1_000_000) -> rd.Dataset:
+    """Fraud-velocity screen: each user's MAXIMUM event count inside
+    any trailing ``window_us`` window — the "too many actions too
+    fast" rule every abuse system runs first.  Window semantics match
+    SQL ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW``
+    exactly (inclusive lower bound, equal-timestamp peers counted
+    together).
+
+    Shape: ONE sort on user_id; per block a per-user searchsorted
+    two-pointer (the inner counts are vectorized numpy per user; the
+    user loop is the C-speed-inner-op pattern the postings build
+    uses).
+
+    Output: (user_id, n_events, max_window)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "us": batch.column("ts").cast(pa.int64()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "us"])
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "n_events": z,
+                             "max_window": z})
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["us"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))
+        bounds = np.concatenate((starts, [len(u)]))
+        out_u, out_n, out_m = [], [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            ts = t[lo:hi]
+            # RANGE frame: peers with equal ts count together
+            c = (np.searchsorted(ts, ts, side="right")
+                 - np.searchsorted(ts, ts - window_us, side="left"))
+            out_u.append(int(u[lo]))
+            out_n.append(hi - lo)
+            out_m.append(int(c.max()))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "max_window": pa.array(out_m, pa.int64()),
+        })
+
+    return (events.map_batches(project, batch_format="pyarrow")
+            .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))

@@ -1842,3 +1842,81 @@ def hits_scores(triples: rd.Dataset, *, pred: str = "co_occurs",
         "hub": pa.array([int(v) for v in h], pa.int64()),
         "auth": pa.array([int(v) for v in a], pa.int64()),
     })
+
+
+def random_walks(triples: rd.Dataset, *, pred: str = "co_occurs",
+                 walk_len: int = 3,
+                 salt: str = "walk") -> rd.Dataset:
+    """DeepWalk/node2vec-prep random-walk corpus, DETERMINISTIC: one
+    walk of ``walk_len`` steps from every node of the co-occurrence
+    graph, each step picking ``sorted_neighbors[md5_64(f"{salt}:
+    {start}:{step}") % degree]`` — the engine's md5 draw convention
+    (kg_negatives precedent), so the walk corpus is reproducible
+    across runs, engines and resumes, and the SQL replica picks the
+    identical list index.  Walks stop early at sink nodes (absent
+    steps, inner-join semantics).
+
+    Shape: the adjacency is lexicon-bounded -> ONE streaming edge
+    fold builds sorted neighbor lists on the driver, ``ray.put``
+    broadcasts them, and walk emission is a ``map_batches`` over the
+    node list (embarrassingly parallel; at web scale the same
+    recurrence runs as ``walk_len`` sort-merge self-joins, the
+    documented fallback family).
+
+    Output: (start, step, node) with step 1-based."""
+    import ray
+
+    from clinicaltransformerner_ray.pipelines.dedup import _hash64
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["pred"] == pred]
+        g = pd.DataFrame({
+            "a": np.concatenate([df["subj"].to_numpy(),
+                                 df["obj"].to_numpy()]),
+            "b": np.concatenate([df["obj"].to_numpy(),
+                                 df["subj"].to_numpy()]),
+        }).drop_duplicates()
+        return pa.table({
+            "a": pa.array(g["a"].tolist(), pa.string()),
+            "b": pa.array(g["b"].tolist(), pa.string()),
+        })
+
+    adj: dict[str, set] = {}
+    for r in triples.map_batches(edge_partial, batch_format="pyarrow",
+                                 batch_size=1 << 19).take_all():
+        adj.setdefault(r["a"], set()).add(r["b"])
+    nbrs = {k: sorted(v) for k, v in adj.items()}
+    aref = ray.put(nbrs)
+    nodes = sorted(nbrs)
+    if not nodes:
+        return rd.from_arrow(pa.table({
+            "start": pa.array([], pa.string()),
+            "step": pa.array([], pa.int64()),
+            "node": pa.array([], pa.string()),
+        }))
+
+    def walk(batch: pa.Table) -> pa.Table:
+        nb = ray.get(aref)
+        out_s, out_i, out_n = [], [], []
+        for start in batch.column("start").to_pylist():
+            cur = start
+            for step in range(1, walk_len + 1):
+                cand = nb.get(cur)
+                if not cand:
+                    break
+                h = int(_hash64([f"{salt}:{start}:{step}"])[0]
+                        % np.uint64(len(cand)))
+                cur = cand[h]
+                out_s.append(start)
+                out_i.append(step)
+                out_n.append(cur)
+        return pa.table({
+            "start": pa.array(out_s, pa.string()),
+            "step": pa.array(out_i, pa.int64()),
+            "node": pa.array(out_n, pa.string()),
+        })
+
+    starts = rd.from_arrow(pa.table({
+        "start": pa.array(nodes, pa.string())}))
+    return starts.map_batches(walk, batch_format="pyarrow")

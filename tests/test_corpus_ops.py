@@ -2593,3 +2593,46 @@ def test_session_concurrency_reconciles(ray_session):
     assert cur["n_active"].sum() == spans.sum()
     assert (cur["n_active"] >= 0).all()
     assert cur["n_active"].max() >= 1
+
+
+def test_velocity_hand_fold(ray_session):
+    """RANGE-frame peer semantics on a crafted sequence: equal
+    timestamps count together; the 5-min boundary is inclusive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        velocity_stats)
+
+    M = 60 * 1_000_000
+    ts = [0, 1 * M, 1 * M, 5 * M, 20 * M]  # peers at 1min; 5min edge
+    tbl = pa.table({
+        "user_id": pa.array([7] * len(ts), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = velocity_stats(rd.from_arrow(tbl)).to_pandas()
+    # window ending at 5min includes 0 (inclusive), 1, 1, 5 -> 4
+    assert out.loc[0, "max_window"] == 4
+    assert out.loc[0, "n_events"] == 5
+
+
+def test_random_walks_deterministic_and_valid(ray_session):
+    """Every emitted step follows a real edge, starts cover all
+    nodes, and two runs are bitwise identical."""
+    import __ray_entry__ as E
+
+    w1 = (E.queries()["kg_walks"](SF).to_pandas()
+          .sort_values(["start", "step"]).reset_index(drop=True))
+    w2 = (E.queries()["kg_walks"](SF).to_pandas()
+          .sort_values(["start", "step"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(w1, w2)
+    tr = E.queries()["kg_triples"](SF).to_pandas()
+    co = tr[tr["pred"] == "co_occurs"]
+    edges = set(zip(co["subj"], co["obj"])) \
+        | set(zip(co["obj"], co["subj"]))
+    # every hop follows a real edge: step 1 leaves the start node,
+    # step k leaves the step-(k-1) node of the same walk
+    pos = {(r.start, r.step): r.node for r in w1.itertuples()}
+    for r in w1.itertuples():
+        frm = r.start if r.step == 1 else pos[(r.start, r.step - 1)]
+        assert (frm, r.node) in edges, (frm, r.node)
