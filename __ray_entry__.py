@@ -2674,6 +2674,35 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_ltv(sf_dir: str):
+    """Cohort LTV triangle: exact integer revenue cents per
+    (cohort_week, week_offset) — retention's value twin; weeks^2
+    driver fold."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import cohort_ltv
+
+    return cohort_ltv(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "value"]))
+
+
+def _q_emb_coverage(sf_dir: str):
+    """Embedding-coverage audit by source: the doc_id x vec_id
+    partial-coverage check as a first-class table (round-3 lesson
+    institutionalized); one id sort, bounded fold."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.similarity import (
+        embedding_coverage)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id"])
+    return embedding_coverage(docs, vecs)
+
+
 def _q_events_velocity(sf_dir: str):
     """Fraud-velocity screen: max events per user in any trailing
     5-minute window (RANGE-frame peer semantics), one user sort +
@@ -3287,6 +3316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_concurrency": _q_events_concurrency,
         "events_velocity": _q_events_velocity,
         "kg_walks": _q_kg_walks,
+        "events_ltv": _q_events_ltv,
+        "emb_coverage": _q_emb_coverage,
     }
 
 
@@ -7673,4 +7704,31 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             UNION ALL SELECT * FROM w2
             UNION ALL SELECT * FROM w3)
     """)
+    # LTV triangle: retention's week conventions + exact cents
+    sql["events_ltv"] = """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+                   CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                       AS cents
+            FROM events),
+        c AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY 1)
+        SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+               CAST(e.week - c.cohort AS BIGINT) AS week_offset,
+               CAST(sum(e.cents) AS BIGINT) AS revenue_cents,
+               CAST(count(DISTINCT e.user_id) AS BIGINT)
+                   AS n_active_users
+        FROM e JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """
+    # coverage audit: plain LEFT JOIN + integer per-mille floor
+    sql["emb_coverage"] = """
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(e.vec_id) AS BIGINT) AS n_with_vec,
+               CAST(count(e.vec_id) * 1000
+                    // greatest(count(*), 1) AS BIGINT)
+                   AS cov_per_mille
+        FROM documents d
+        LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        GROUP BY d.source
+    """
     return sql

@@ -2450,3 +2450,83 @@ def velocity_stats(events: rd.Dataset, *,
             .sort("user_id")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
+
+
+def cohort_ltv(events: rd.Dataset) -> pa.Table:
+    """Cohort LTV triangle: revenue (exact integer cents) each weekly
+    cohort generates at each week offset from its first activity —
+    the lifetime-value matrix a growth model is fit to, next to the
+    user-count retention triangle (:func:`cohort_retention`).
+
+    Same shape and week conventions as retention: batch-local
+    (user, week, cents) partial sums pre-shuffle, ONE sort on user_id
+    (a user's rows land whole per block; the per-user min week — the
+    cohort — is block-local exact), weeks^2-bounded driver fold.
+
+    Output pa.Table (cohort_week, week_offset, revenue_cents,
+    n_active_users), sorted."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "week": batch.column("ts").cast(pa.int64()).to_numpy()
+            // WEEK_US,
+            "cents": _round_half_away(v * 100),
+        })
+        g = (df.groupby(["user_id", "week"], sort=False)["cents"]
+             .sum().reset_index())
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "week": pa.array(g["week"].to_numpy(np.int64),
+                             pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64),
+                              pa.int64()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"cohort_week": z, "week_offset": z,
+                             "cents": z, "n": z})
+        df = (df.groupby(["user_id", "week"], sort=False)["cents"]
+              .sum().reset_index())
+        df["cohort_week"] = df.groupby("user_id")["week"] \
+            .transform("min")
+        df["week_offset"] = df["week"] - df["cohort_week"]
+        g = (df.groupby(["cohort_week", "week_offset"], sort=False)
+             .agg(cents=("cents", "sum"), n=("user_id", "nunique"))
+             .reset_index())
+        return pa.table({
+            "cohort_week": pa.array(
+                g["cohort_week"].to_numpy(np.int64), pa.int64()),
+            "week_offset": pa.array(
+                g["week_offset"].to_numpy(np.int64), pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64),
+                              pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    acc: dict[tuple, list] = {}
+    for r in (events.map_batches(partials, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+              .sort("user_id")
+              .map_batches(per_block, batch_format="pyarrow",
+                           batch_size=None)
+              .take_all()):
+        a = acc.setdefault((r["cohort_week"], r["week_offset"]),
+                           [0, 0])
+        a[0] += int(r["cents"])
+        a[1] += int(r["n"])
+    keys = sorted(acc)
+    return pa.table({
+        "cohort_week": pa.array([c for c, _ in keys], pa.int64()),
+        "week_offset": pa.array([o for _, o in keys], pa.int64()),
+        "revenue_cents": pa.array([acc[k][0] for k in keys],
+                                  pa.int64()),
+        "n_active_users": pa.array([acc[k][1] for k in keys],
+                                   pa.int64()),
+    })

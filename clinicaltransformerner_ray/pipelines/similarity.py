@@ -1159,3 +1159,77 @@ def embedding_outliers(vecs: rd.Dataset, *, k: int = 20,
                           pa.int64()),
         "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
     })
+
+
+def embedding_coverage(docs: rd.Dataset,
+                       vecs: rd.Dataset) -> pa.Table:
+    """Embedding-coverage audit by source: which fraction of each
+    domain's documents actually HAS an embedding row — the
+    partial-coverage check the hybrid_rerank incident institutionalized
+    (the round-3 rule: never assume a doc_id ⋈ vec_id join covers),
+    promoted to a first-class data-QA table.
+
+    Shape: union (doc side carrying source | vec-id side), ONE sort on
+    the shared id (equal ids land whole per block), per-block
+    per-source integer partials, bounded driver fold.  Coverage is an
+    exact integer per-mille floor.
+
+    Output pa.Table (source, n_docs, n_with_vec, cov_per_mille),
+    sorted by source."""
+
+    def d_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch.column("doc_id").cast(pa.int64()),
+            "kind": pa.array(np.zeros(batch.num_rows, np.int64),
+                             pa.int64()),
+            "source": batch.column("source"),
+        })
+
+    def v_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch.column("vec_id").cast(pa.int64()),
+            "kind": pa.array(np.ones(batch.num_rows, np.int64),
+                             pa.int64()),
+            "source": pa.array([""] * batch.num_rows, pa.string()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df[df["kind"] == 0]
+        if d.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": z, "n_with_vec": z})
+        vids = set(df[df["kind"] == 1]["id"].tolist())
+        has = d["id"].isin(vids).astype(np.int64)
+        g = (pd.DataFrame({"source": d["source"], "has": has})
+             .groupby("source", sort=False)["has"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n_docs": pa.array(g["size"].to_numpy(np.int64),
+                               pa.int64()),
+            "n_with_vec": pa.array(g["sum"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    unioned = (docs.map_batches(d_rows, batch_format="pyarrow")
+               .union(vecs.map_batches(v_rows,
+                                       batch_format="pyarrow"))
+               .sort("id")
+               .map_batches(per_block, batch_format="pyarrow",
+                            batch_size=None))
+    acc: dict[str, list] = {}
+    for r in unioned.take_all():  # O(blocks x sources)
+        a = acc.setdefault(r["source"], [0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["n_with_vec"])
+    ks = sorted(acc)
+    return pa.table({
+        "source": pa.array(ks, pa.string()),
+        "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_with_vec": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "cov_per_mille": pa.array(
+            [acc[k][1] * 1000 // max(acc[k][0], 1) for k in ks],
+            pa.int64()),
+    })

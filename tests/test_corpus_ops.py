@@ -49,7 +49,7 @@ SQL_CHECKED = [
     "events_late", "bpe_fertility", "corpus_domain_report",
     "dedup_winnow_pairs", "lang_confusion", "events_session_paths",
     "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
-    "emb_outliers",
+    "emb_outliers", "events_ltv", "emb_coverage", "events_velocity",
 ]
 
 
@@ -2636,3 +2636,35 @@ def test_random_walks_deterministic_and_valid(ray_session):
     for r in w1.itertuples():
         frm = r.start if r.step == 1 else pos[(r.start, r.step - 1)]
         assert (frm, r.node) in edges, (frm, r.node)
+
+
+def test_ltv_reconciles_with_retention(ray_session):
+    """The LTV triangle's user counts must equal the retention
+    triangle cell for cell, and offset-0 revenue is positive."""
+    import __ray_entry__ as E
+
+    ltv = E.queries()["events_ltv"](SF).to_pandas()
+    ret = E.queries()["events_retention"](SF).to_pandas()
+    m = ltv.merge(ret, on=["cohort_week", "week_offset"], how="outer")
+    assert len(m) == len(ltv) == len(ret)
+    assert (m["n_active_users"] == m["n_users"]).all()
+    assert ltv.loc[ltv["week_offset"] == 0, "revenue_cents"].sum() > 0
+
+
+def test_emb_coverage_totals(ray_session):
+    """Coverage totals: Σ n_with_vec == embeddings row count (vec ids
+    are doc ids in the synth), Σ n_docs == corpus size."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    cov = E.queries()["emb_coverage"](SF).to_pandas()
+    n_vec = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id"]).num_rows
+    n_docs = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    assert cov["n_docs"].sum() == n_docs
+    assert cov["n_with_vec"].sum() == n_vec
+    assert (cov["cov_per_mille"]
+            == cov["n_with_vec"] * 1000
+            // cov["n_docs"].clip(lower=1)).all()
