@@ -2674,6 +2674,19 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_l_diversity(sf_dir: str):
+    """l-diversity audit: distinct sensitive event_types per
+    (hour, band) QI cell, flag cells with < 3 — k_anonymity's
+    companion; bounded driver fold."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import l_diversity
+
+    return l_diversity(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type", "value"]))
+
+
 def _q_events_ltv(sf_dir: str):
     """Cohort LTV triangle: exact integer revenue cents per
     (cohort_week, week_offset) — retention's value twin; weeks^2
@@ -3318,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "events_ltv": _q_events_ltv,
         "emb_coverage": _q_emb_coverage,
+        "events_l_diversity": _q_events_l_diversity,
     }
 
 
@@ -7730,5 +7744,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         FROM documents d
         LEFT JOIN embeddings e ON e.vec_id = d.doc_id
         GROUP BY d.source
+    """
+    # l-diversity: k_anonymity's QI conventions, distinct sensitive
+    # types per cell
+    sql["events_l_diversity"] = """
+        WITH e AS (
+            SELECT hour(ts) AS hour,
+                   CAST(floor(CAST(CAST(round(CAST(value AS DOUBLE)
+                        * 100) AS BIGINT) AS DOUBLE) / 500)
+                        AS BIGINT) AS band,
+                   event_type
+            FROM events
+        )
+        SELECT CAST(hour AS BIGINT) AS hour, band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(CASE WHEN count(DISTINCT event_type) < 3
+                    THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        FROM e GROUP BY 1, 2
     """
     return sql

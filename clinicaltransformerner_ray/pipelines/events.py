@@ -2530,3 +2530,68 @@ def cohort_ltv(events: rd.Dataset) -> pa.Table:
         "n_active_users": pa.array([acc[k][1] for k in keys],
                                    pa.int64()),
     })
+
+
+def l_diversity(events: rd.Dataset, *,
+                l: int = 3,  # noqa: E741 - the metric's own name
+                band_cents: int = 500) -> pa.Table:
+    """l-diversity audit (Machanavajjhala et al. 2007), the
+    k-anonymity companion: within each quasi-identifier group
+    (hour-of-day, value band), how many DISTINCT sensitive values
+    (``event_type``) appear — a group that is k-anonymous but
+    l-homogeneous still leaks the sensitive attribute, so cells with
+    fewer than ``l`` distinct types are flagged.
+
+    Same bounded shape as :func:`k_anonymity`: per-block partial
+    DISTINCT (hour, band, type) triples (the QI x sensitive space is
+    bounded), driver fold of the distinct set + counts.
+
+    Output pa.Table (hour, band, n, n_types, at_risk), sorted."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({
+                "hour": z, "band": z,
+                "event_type": pa.array([], pa.string()), "n": z})
+        cents = _round_half_away(
+            df["value"].to_numpy(np.float64) * 100)
+        g = (pd.DataFrame({
+            "hour": pd.to_datetime(df["ts"]).dt.hour
+            .to_numpy().astype(np.int64),
+            "band": np.floor(cents.astype(np.float64)
+                             / band_cents).astype(np.int64),
+            "event_type": df["event_type"],
+            "n": np.int64(1),
+        }).groupby(["hour", "band", "event_type"], sort=False)["n"]
+            .sum().reset_index())
+        return pa.table({
+            "hour": pa.array(g["hour"].to_numpy(np.int64),
+                             pa.int64()),
+            "band": pa.array(g["band"].to_numpy(np.int64),
+                             pa.int64()),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    acc: dict[tuple, int] = {}
+    for r in events.map_batches(partials, batch_format="pyarrow",
+                                batch_size=1 << 19).take_all():
+        k3 = (int(r["hour"]), int(r["band"]), r["event_type"])
+        acc[k3] = acc.get(k3, 0) + int(r["n"])
+    cells: dict[tuple, list] = {}
+    for (h, b, _t), n in acc.items():
+        c = cells.setdefault((h, b), [0, 0])
+        c[0] += n
+        c[1] += 1
+    ks = sorted(cells)
+    return pa.table({
+        "hour": pa.array([h for h, _ in ks], pa.int64()),
+        "band": pa.array([b for _, b in ks], pa.int64()),
+        "n": pa.array([cells[k][0] for k in ks], pa.int64()),
+        "n_types": pa.array([cells[k][1] for k in ks], pa.int64()),
+        "at_risk": pa.array(
+            [1 if cells[k][1] < l else 0 for k in ks], pa.int64()),
+    })

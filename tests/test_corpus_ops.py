@@ -50,6 +50,7 @@ SQL_CHECKED = [
     "dedup_winnow_pairs", "lang_confusion", "events_session_paths",
     "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
     "emb_outliers", "events_ltv", "emb_coverage", "events_velocity",
+    "events_l_diversity",
 ]
 
 
@@ -2668,3 +2669,21 @@ def test_emb_coverage_totals(ray_session):
     assert (cov["cov_per_mille"]
             == cov["n_with_vec"] * 1000
             // cov["n_docs"].clip(lower=1)).all()
+
+
+def test_l_diversity_reconciles_with_k_anonymity(ray_session):
+    """The l-diversity cells aggregate the k-anonymity cells: per
+    (hour, band), n sums the per-type counts and n_types counts
+    them."""
+    import __ray_entry__ as E
+
+    ld = E.queries()["events_l_diversity"](SF).to_pandas()
+    ka = E.queries()["events_k_anonymity"](SF).to_pandas()
+    g = (ka.groupby(["hour", "band"])
+         .agg(n=("n", "sum"), n_types=("event_type", "nunique"))
+         .reset_index())
+    m = ld.merge(g, on=["hour", "band"], suffixes=("", "_k"))
+    assert len(m) == len(ld) == len(g)
+    assert (m["n"] == m["n_k"]).all()
+    assert (m["n_types"] == m["n_types_k"]).all()
+    assert (m["at_risk"] == (m["n_types"] < 3).astype(int)).all()
