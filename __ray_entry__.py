@@ -2674,6 +2674,28 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _q_events_forecast(sf_dir: str):
+    """Seasonal-naive forecast backtest (week-ago baseline): exact
+    integer MAE sums per event_type over the dense hour grid —
+    bounded fold + driver walk."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        seasonal_backtest)
+
+    return seasonal_backtest(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type"]))
+
+
+def _q_kg_local_bridges(sf_dir: str):
+    """Local bridges (weak ties): co-occurrence edges with zero
+    common neighbors — adjacency broadcast + one edge pass."""
+    from clinicaltransformerner_ray.pipelines.graph import local_bridges
+
+    return local_bridges(_kg(sf_dir)["triples"])
+
+
 def _q_events_l_diversity(sf_dir: str):
     """l-diversity audit: distinct sensitive event_types per
     (hour, band) QI cell, flag cells with < 3 — k_anonymity's
@@ -3332,6 +3354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ltv": _q_events_ltv,
         "emb_coverage": _q_emb_coverage,
         "events_l_diversity": _q_events_l_diversity,
+        "events_forecast": _q_events_forecast,
+        "kg_local_bridges": _q_kg_local_bridges,
     }
 
 
@@ -7763,4 +7787,51 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     THEN 1 ELSE 0 END AS BIGINT) AS at_risk
         FROM e GROUP BY 1, 2
     """
+    # seasonal-naive backtest: dense per-type hour grid (zero-count
+    # hours included) + 168-hour-lag reference, integer error sums
+    sql["events_forecast"] = """
+        WITH e AS (SELECT event_type,
+                          epoch_us(ts) // 3600000000 AS h
+                   FROM events),
+        c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+        b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        t AS (SELECT DISTINCT event_type FROM e),
+        g AS (SELECT t.event_type,
+                     unnest(range(b.h0 + 168, b.h1 + 1)) AS h
+              FROM t, b),
+        s AS (SELECT g.event_type,
+                     coalesce(ca.n, 0) AS actual,
+                     coalesce(cp.n, 0) AS pred
+              FROM g
+              LEFT JOIN c ca ON ca.event_type = g.event_type
+                            AND ca.h = g.h
+              LEFT JOIN c cp ON cp.event_type = g.event_type
+                            AND cp.h = g.h - 168)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(actual) AS BIGINT) AS sum_actual,
+               CAST(sum(abs(actual - pred)) AS BIGINT) AS sum_abs_err
+        FROM s GROUP BY 1
+    """
+    # local bridges: per-edge common-neighbor count via the
+    # both-orientation adjacency self-join
+    sql["kg_local_bridges"] = (
+        "WITH tr AS (" + sql["kg_triples"] + """),
+        e AS (SELECT subj, obj FROM tr WHERE pred = 'co_occurs'),
+        e2 AS (SELECT subj AS a, obj AS b FROM tr
+               WHERE pred = 'co_occurs'
+               UNION
+               SELECT obj, subj FROM tr WHERE pred = 'co_occurs'),
+        cn AS (SELECT e.subj, e.obj, CAST(count(*) AS BIGINT) AS c
+               FROM e
+               JOIN e2 x ON x.a = e.subj
+               JOIN e2 y ON y.a = e.obj AND y.b = x.b
+               WHERE x.b <> e.subj AND x.b <> e.obj
+               GROUP BY 1, 2)
+        SELECT e.subj, e.obj,
+               CAST(coalesce(cn.c, 0) AS BIGINT) AS n_common,
+               CAST(CASE WHEN coalesce(cn.c, 0) = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_bridge
+        FROM e LEFT JOIN cn USING (subj, obj)
+    """)
     return sql

@@ -2595,3 +2595,70 @@ def l_diversity(events: rd.Dataset, *,
         "at_risk": pa.array(
             [1 if cells[k][1] < l else 0 for k in ks], pa.int64()),
     })
+
+
+def seasonal_backtest(events: rd.Dataset, *,
+                      season_hours: int = 168) -> pa.Table:
+    """Seasonal-naive forecast BACKTEST: predict each hour's event
+    count per type with the same hour one season earlier (the
+    week-ago-naive baseline every real forecast must beat), and
+    report the exact integer error sums — the baseline row of a
+    forecasting evaluation, with no model and no floats.
+
+    The hour grid is DENSE per type (zero-count hours included —
+    lag over existing rows only would skip gaps and misalign the
+    season), bounded by hours x types, so per-block partial counts
+    fold on the driver and the backtest walks the tiny grid there.
+
+    Output pa.Table (event_type, n_hours, sum_actual, sum_abs_err),
+    sorted — n_hours counts scored hours (those with a season-earlier
+    reference inside the observed range)."""
+    HOUR_US = 3_600_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "h": batch.column("ts").cast(pa.int64()).to_numpy()
+            // HOUR_US,
+        })
+        g = (df.groupby(["event_type", "h"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   pa.string()),
+            "h": pa.array(g["h"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    acc: dict[tuple, int] = {}
+    hmin, hmax = None, None
+    for r in events.map_batches(partials, batch_format="pyarrow",
+                                batch_size=1 << 19).take_all():
+        k = (r["event_type"], int(r["h"]))
+        acc[k] = acc.get(k, 0) + int(r["n"])
+        hmin = k[1] if hmin is None else min(hmin, k[1])
+        hmax = k[1] if hmax is None else max(hmax, k[1])
+    if hmin is None:
+        z = pa.array([], pa.int64())
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_hours": z, "sum_actual": z,
+                         "sum_abs_err": z})
+    types = sorted({t for t, _ in acc})
+    out_n, out_a, out_e = [], [], []
+    for t in types:
+        n_h = a_sum = e_sum = 0
+        for h in range(hmin + season_hours, hmax + 1):
+            actual = acc.get((t, h), 0)
+            pred = acc.get((t, h - season_hours), 0)
+            n_h += 1
+            a_sum += actual
+            e_sum += abs(actual - pred)
+        out_n.append(n_h)
+        out_a.append(a_sum)
+        out_e.append(e_sum)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_hours": pa.array(out_n, pa.int64()),
+        "sum_actual": pa.array(out_a, pa.int64()),
+        "sum_abs_err": pa.array(out_e, pa.int64()),
+    })

@@ -50,7 +50,7 @@ SQL_CHECKED = [
     "dedup_winnow_pairs", "lang_confusion", "events_session_paths",
     "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
     "emb_outliers", "events_ltv", "emb_coverage", "events_velocity",
-    "events_l_diversity",
+    "events_l_diversity", "events_forecast",
 ]
 
 
@@ -2687,3 +2687,54 @@ def test_l_diversity_reconciles_with_k_anonymity(ray_session):
     assert (m["n"] == m["n_k"]).all()
     assert (m["n_types"] == m["n_types_k"]).all()
     assert (m["at_risk"] == (m["n_types"] < 3).astype(int)).all()
+
+
+def test_seasonal_backtest_planted(ray_session):
+    """A perfectly periodic series backtests to zero error; one
+    perturbed hour contributes exactly its absolute deviation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        seasonal_backtest)
+
+    HOUR = 3_600_000_000
+    rows = []
+    # type 'p': 2 events every hour for 400 hours (period 168 exact)
+    for h in range(400):
+        rows += [("p", h * HOUR), ("p", h * HOUR + 1)]
+    # type 'q': same but hour 300 has ONE extra event
+    for h in range(400):
+        rows += [("q", h * HOUR)]
+    rows.append(("q", 300 * HOUR + 2))
+    tbl = pa.table({
+        "event_type": pa.array([t for t, _ in rows], pa.string()),
+        "ts": pa.array([u for _, u in rows], pa.timestamp("us")),
+    })
+    out = (seasonal_backtest(rd.from_arrow(tbl).repartition(3))
+           .to_pandas().set_index("event_type"))
+    assert out.loc["p", "sum_abs_err"] == 0
+    # q: hour 300 off by +1 vs hour 132, and hour 300+168=468 is out
+    # of range (max hour 400) -> total abs err == 1
+    assert out.loc["q", "sum_abs_err"] == 1
+    assert (out["n_hours"] == 400 - 168).all()
+
+
+def test_local_bridges_planted(ray_session):
+    """A triangle edge is never a bridge; a pendant edge always is."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import local_bridges
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"),  # triangle
+             ("c", "d")]                          # pendant
+    t = rd.from_arrow(pa.table({
+        "subj": pa.array([x for x, _ in pairs], pa.string()),
+        "pred": pa.array(["co_occurs"] * 4, pa.string()),
+        "obj": pa.array([y for _, y in pairs], pa.string()),
+    }))
+    out = local_bridges(t).to_pandas().set_index(["subj", "obj"])
+    assert out.loc[("a", "b"), "is_bridge"] == 0
+    assert out.loc[("c", "d"), "is_bridge"] == 1
+    assert out.loc[("a", "b"), "n_common"] == 1
