@@ -2674,6 +2674,59 @@ def _q_events_late(sf_dir: str):
                         columns=["event_id", "user_id", "ts"]))
 
 
+def _coverage_select_sql(k: int = 5) -> str:
+    """Exact SQL replica of `dedup.coverage_select`: k unrolled greedy
+    max-coverage rounds over the Jaccard-family shingle postings
+    (md5_number_upper == _hash64).  Gains use count(CASE ...) so
+    zero-gain docs stay selectable, matching the engine's groupby."""
+    parts = ["""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(CASE
+                   WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                   ELSE list_transform(range(1, len(l) - 1),
+                        i -> l[i]||' '||l[i+1]||' '||l[i+2])
+                   END)) AS s
+               FROM d),
+        sp AS (SELECT DISTINCT doc_id, md5_number_upper(s) AS h
+               FROM sh)"""]
+    sel: list[str] = []
+    for r in range(1, k + 1):
+        not_sel = (" WHERE doc_id NOT IN (" + ", ".join(
+            f"(SELECT doc_id FROM p{i})" for i in range(1, r))
+            + ")") if r > 1 else ""
+        new_case = ("CASE WHEN h NOT IN (SELECT h FROM c" + str(r - 1)
+                    + ") THEN 1 END") if r > 1 else "1"
+        parts.append(f""",
+        g{r} AS (SELECT doc_id,
+                        CAST(count({new_case}) AS BIGINT) AS gain
+                 FROM sp{not_sel} GROUP BY 1),
+        p{r} AS (SELECT doc_id, gain FROM g{r}
+                 ORDER BY gain DESC, doc_id LIMIT 1),
+        c{r} AS (SELECT DISTINCT h FROM sp WHERE doc_id IN ({
+            ", ".join(f"(SELECT doc_id FROM p{i})"
+                      for i in range(1, r + 1))}))""")
+        sel.append(f"""
+            SELECT {r} AS rank, doc_id, gain,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c{r})
+                       AS covered_total
+            FROM p{r}""")
+    parts.append("\n        SELECT CAST(rank AS BIGINT) AS rank,"
+                 " doc_id, gain, covered_total FROM ("
+                 + " UNION ALL ".join(sel) + ")")
+    return "".join(parts)
+
+
+def _q_corpus_coverage_select(sf_dir: str):
+    """Greedy max-coverage selection (facility-location coreset):
+    k=5 docs maximizing marginal new-shingle coverage — one postings
+    sort, per-round block-local best + driver pick."""
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        coverage_select)
+
+    return coverage_select(_docs(sf_dir), n=3, k=5)
+
+
 def _q_events_forecast(sf_dir: str):
     """Seasonal-naive forecast backtest (week-ago baseline): exact
     integer MAE sums per event_type over the dense hour grid —
@@ -3356,6 +3409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_l_diversity": _q_events_l_diversity,
         "events_forecast": _q_events_forecast,
         "kg_local_bridges": _q_kg_local_bridges,
+        "corpus_coverage_select": _q_corpus_coverage_select,
     }
 
 
@@ -7834,4 +7888,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                     THEN 1 ELSE 0 END AS BIGINT) AS is_bridge
         FROM e LEFT JOIN cn USING (subj, obj)
     """)
+    # greedy max-coverage selection: k unrolled rounds (see
+    # _coverage_select_sql)
+    sql["corpus_coverage_select"] = _coverage_select_sql(5)
     return sql

@@ -1994,3 +1994,100 @@ def source_losses(docs: rd.Dataset, *,
         "n_represented": pa.array([acc[k][2] for k in ks],
                                   pa.int64()),
     })
+
+
+def coverage_select(docs: rd.Dataset, *, n: int = 3,
+                    k: int = 5) -> pa.Table:
+    """Greedy maximum-coverage data selection (the facility-location
+    coreset greedy of submodular data-subset selection, e.g.
+    Mirzasoleiman et al.): pick ``k`` documents one at a time, each
+    maximizing the number of NEW word-``n``-gram shingle hashes it
+    adds to the covered set (ties -> smaller doc_id).  The classic
+    1-1/e-approximate diverse-subset selector — the "which k docs
+    summarize the corpus" primitive of data pruning.
+
+    Scale shape: the distinct (doc, shingle-hash) postings build
+    once and sort ONCE on doc_id (each doc's postings land whole per
+    block); every greedy round is then a single ``map_batches`` pass
+    that computes exact per-doc marginal gains against the broadcast
+    covered-hash set and emits only each block's LOCAL best
+    (gain DESC, doc_id ASC) — the driver picks among O(blocks)
+    candidates and fetches the winner's hashes with a distributed
+    filter.  Driver state = covered hashes of <= k docs, never the
+    corpus.  Shingle/hash conventions are the Jaccard family's
+    (md5-64, whole-text shingle for short docs), so the SQL replica
+    unrolls the identical k rounds.
+
+    Output pa.Table (rank, doc_id, gain, covered_total), rank
+    1-based."""
+    import ray
+
+    def postings(batch: pa.Table) -> pa.Table:
+        out_d, out_h = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            ss = set(_token_shingles(text or "", n))
+            if not ss:
+                continue
+            hs = _hash64(sorted(ss))
+            out_d.extend([did] * len(hs))
+            out_h.extend(hs.tolist())
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "h": pa.array(np.asarray(out_h, np.uint64), pa.uint64()),
+        })
+
+    post = coalesced_sort(
+        docs.map_batches(postings, batch_format="pyarrow"),
+        "doc_id").materialize()
+
+    covered: set = set()
+    chosen: list[tuple] = []
+    for _round in range(k):
+        cref = ray.put((covered, {d for _, d, _, _ in chosen}))
+
+        def local_best(batch: pa.Table) -> pa.Table:
+            cov, sel = ray.get(cref)
+            df = batch.to_pandas()
+            df = df[~df["doc_id"].isin(sel)]
+            if df.empty:
+                z = pa.array([], pa.int64())
+                return pa.table({"doc_id": z, "gain": z})
+            new = ~df["h"].isin(cov)
+            g = (pd.DataFrame({"doc_id": df["doc_id"],
+                               "new": new.astype(np.int64)})
+                 .groupby("doc_id", sort=False)["new"]
+                 .sum().reset_index())
+            g = g.sort_values(["new", "doc_id"],
+                              ascending=[False, True]).head(1)
+            return pa.table({
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64),
+                                   pa.int64()),
+                "gain": pa.array(g["new"].to_numpy(np.int64),
+                                 pa.int64()),
+            })
+
+        cands = post.map_batches(local_best, batch_format="pyarrow",
+                                 batch_size=None).take_all()
+        if not cands:
+            break
+        cands.sort(key=lambda r: (-int(r["gain"]), int(r["doc_id"])))
+        win, gain = int(cands[0]["doc_id"]), int(cands[0]["gain"])
+
+        def win_rows(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(ids == win))
+
+        for r in post.map_batches(win_rows,
+                                  batch_format="pyarrow").take_all():
+            covered.add(r["h"])
+        chosen.append((len(chosen) + 1, win, gain, len(covered)))
+
+    return pa.table({
+        "rank": pa.array([c[0] for c in chosen], pa.int64()),
+        "doc_id": pa.array([c[1] for c in chosen], pa.int64()),
+        "gain": pa.array([c[2] for c in chosen], pa.int64()),
+        "covered_total": pa.array([c[3] for c in chosen],
+                                  pa.int64()),
+    })

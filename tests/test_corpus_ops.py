@@ -50,7 +50,7 @@ SQL_CHECKED = [
     "dedup_winnow_pairs", "lang_confusion", "events_session_paths",
     "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
     "emb_outliers", "events_ltv", "emb_coverage", "events_velocity",
-    "events_l_diversity", "events_forecast",
+    "events_l_diversity", "events_forecast", "corpus_coverage_select",
 ]
 
 
@@ -2738,3 +2738,28 @@ def test_local_bridges_planted(ray_session):
     assert out.loc[("a", "b"), "is_bridge"] == 0
     assert out.loc[("c", "d"), "is_bridge"] == 1
     assert out.loc[("a", "b"), "n_common"] == 1
+
+
+def test_coverage_select_planted_greedy(ray_session):
+    """Greedy on a crafted corpus: the broadest doc goes first, then
+    the doc with the most NEW shingles (not the second-broadest);
+    marginal gains are exact and decreasing-coverage consistent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.dedup import (
+        coverage_select)
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a b c d e f",        # shingles: abc bcd cde def (4)
+            "a b c d e",          # abc bcd cde (3) — all covered by 0
+            "x y z w",            # xyz yzw (2) — disjoint
+        ], pa.string()),
+    })
+    out = (coverage_select(rd.from_arrow(tbl).repartition(2),
+                           n=3, k=3).to_pandas())
+    assert out["doc_id"].tolist() == [0, 2, 1]
+    assert out["gain"].tolist() == [4, 2, 0]
+    assert out["covered_total"].tolist() == [4, 6, 6]
