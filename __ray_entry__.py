@@ -2717,6 +2717,30 @@ def _coverage_select_sql(k: int = 5) -> str:
     return "".join(parts)
 
 
+def _q_events_funnel3(sf_dir: str):
+    """Three-step strict-sequence funnel (view -> click -> purchase):
+    per-user reached stage + step timestamps; type filter pre-shuffle,
+    one user sort."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import funnel3
+
+    return funnel3(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts",
+                                 "event_type"]))
+
+
+def _q_kg_link_ra(sf_dir: str):
+    """Resource-Allocation link prediction over non-adjacent wedge
+    pairs: fixed-point integer sum of 2^20 // deg(z) over common
+    neighbors — adjacency broadcast, one pair sort."""
+    from clinicaltransformerner_ray.pipelines.graph import (
+        link_prediction_ra)
+
+    return link_prediction_ra(_kg(sf_dir)["triples"])
+
+
 def _q_corpus_coverage_select(sf_dir: str):
     """Greedy max-coverage selection (facility-location coreset):
     k=5 docs maximizing marginal new-shingle coverage — one postings
@@ -3410,6 +3434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_forecast": _q_events_forecast,
         "kg_local_bridges": _q_kg_local_bridges,
         "corpus_coverage_select": _q_corpus_coverage_select,
+        "events_funnel3": _q_events_funnel3,
+        "kg_link_ra": _q_kg_link_ra,
     }
 
 
@@ -7891,4 +7917,50 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # greedy max-coverage selection: k unrolled rounds (see
     # _coverage_select_sql)
     sql["corpus_coverage_select"] = _coverage_select_sql(5)
+    # three-step funnel: chained strictly-after mins
+    sql["events_funnel3"] = """
+        WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_type
+                   FROM events
+                   WHERE event_type IN ('view', 'click', 'purchase')),
+        t1 AS (SELECT user_id, min(us) AS t1 FROM f
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT f.user_id, min(us) AS t2 FROM f
+               JOIN t1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        t3 AS (SELECT f.user_id, min(us) AS t3 FROM f
+               JOIN t2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        SELECT t1.user_id,
+               CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                         WHEN t2.t2 IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS stage,
+               CAST(t1.t1 AS BIGINT) AS t1_us,
+               CAST(coalesce(t2.t2, 0) AS BIGINT) AS t2_us,
+               CAST(coalesce(t3.t3, 0) AS BIGINT) AS t3_us
+        FROM t1
+        LEFT JOIN t2 USING (user_id)
+        LEFT JOIN t3 USING (user_id)
+    """
+    # RA link prediction: wedge pairs over the both-orientation
+    # adjacency, non-adjacent filter, 2^20 // degree fixed point
+    sql["kg_link_ra"] = (
+        "WITH tr AS (" + sql["kg_triples"] + """),
+        e2 AS (SELECT subj AS a, obj AS b FROM tr
+               WHERE pred = 'co_occurs'
+               UNION
+               SELECT obj, subj FROM tr WHERE pred = 'co_occurs'),
+        dg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS degree
+               FROM e2 GROUP BY 1),
+        w AS (SELECT x.b AS a, y.b AS b, x.a AS z
+              FROM e2 x JOIN e2 y ON y.a = x.a AND y.b > x.b),
+        cand AS (SELECT w.a, w.b,
+                        CAST(count(*) AS BIGINT) AS n_common,
+                        CAST(sum(1048576 // dg.degree) AS BIGINT)
+                            AS ra_fp
+                 FROM w JOIN dg ON dg.z = w.z
+                 WHERE NOT EXISTS (SELECT 1 FROM e2
+                                   WHERE e2.a = w.a AND e2.b = w.b)
+                 GROUP BY 1, 2)
+        SELECT a, b, n_common, ra_fp FROM cand
+    """)
     return sql

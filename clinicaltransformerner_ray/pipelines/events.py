@@ -2662,3 +2662,88 @@ def seasonal_backtest(events: rd.Dataset, *,
         "sum_actual": pa.array(out_a, pa.int64()),
         "sum_abs_err": pa.array(out_e, pa.int64()),
     })
+
+
+def funnel3(events: rd.Dataset, *,
+            steps: tuple[str, str, str] = ("view", "click",
+                                           "purchase")) -> rd.Dataset:
+    """Three-step strict-sequence funnel: per user, the earliest
+    ``steps[0]``, then the earliest ``steps[1]`` STRICTLY after it,
+    then the earliest ``steps[2]`` strictly after that — the N-step
+    generalization of :func:`funnel_conversions` (no horizon; the
+    reached-stage column is what a funnel chart plots).
+
+    Total order (ts, event_id) on every min, so both engines agree on
+    ties.  Shape: type filter pre-shuffle, ONE user sort, vectorized
+    per-block pass (three grouped searchsorted-style mins).
+
+    Output: (user_id, stage, t1_us, t2_us, t3_us) — stage in 1..3 for
+    users who reached at least step 1; absent-step timestamps are 0."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(list(steps)))
+        t = batch.filter(keep)
+        kind = np.zeros(t.num_rows, np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), object)
+        for i, st in enumerate(steps):
+            kind[et == st] = i
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "us": t.column("ts").cast(pa.int64()),
+            "eid": t.column("event_id").cast(pa.int64()),
+            "kind": pa.array(kind, pa.int64()),
+        })
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "us", "eid"])
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "stage": pa.array([], pa.int64()),
+            "t1_us": pa.array([], pa.int64()),
+            "t2_us": pa.array([], pa.int64()),
+            "t3_us": pa.array([], pa.int64()),
+        })
+        if df.empty:
+            return empty
+        out_u, out_s, out_t = [], [], []
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["us"].to_numpy(np.int64)
+        k = df["kind"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))
+        bounds = np.concatenate((starts, [len(u)]))
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            ts, ks = t[lo:hi], k[lo:hi]
+            tt = [0, 0, 0]
+            stage = 0
+            after = -1
+            for step in range(3):
+                cand = np.flatnonzero((ks == step)
+                                      & (ts > (tt[step - 1]
+                                               if step else after)))
+                if not len(cand):
+                    break
+                tt[step] = int(ts[cand[0]])
+                stage = step + 1
+            if stage:
+                out_u.append(int(u[lo]))
+                out_s.append(stage)
+                out_t.append(tuple(tt))
+        if not out_u:
+            return empty
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "stage": pa.array(out_s, pa.int64()),
+            "t1_us": pa.array([x[0] for x in out_t], pa.int64()),
+            "t2_us": pa.array([x[1] for x in out_t], pa.int64()),
+            "t3_us": pa.array([x[2] for x in out_t], pa.int64()),
+        })
+
+    return (events.map_batches(project, batch_format="pyarrow")
+            .sort("user_id")
+            .map_batches(per_block, batch_format="pyarrow",
+                         batch_size=None))

@@ -1977,3 +1977,88 @@ def local_bridges(triples: rd.Dataset,
         })
 
     return tm.map_batches(per_edge, batch_format="pyarrow")
+
+
+def link_prediction_ra(triples: rd.Dataset, *,
+                       pred: str = "co_occurs") -> rd.Dataset:
+    """Resource-Allocation link prediction (Zhou, Lü, Zhang 2009 —
+    the common-neighbor index that beats Adamic-Adar on most
+    benchmarks): for every NON-adjacent pair with at least one common
+    neighbor, ``ra_fp = Σ_z 2^20 // deg(z)`` over common neighbors z
+    — the fixed-point integer form of Σ 1/deg(z), exact on both
+    engines (non-negative floor division, no logs or floats).
+
+    Shape: adjacency + degrees fold once (lexicon-bounded, the kg
+    node-state rule) and broadcast; wedge pairs emit per-center from
+    a map over the node list, combine, ONE pair sort, per-block sum +
+    non-adjacency filter.
+
+    Output: (a, b, n_common, ra_fp) with a < b, sorted."""
+    import ray
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["pred"] == pred]
+        g = pd.DataFrame({
+            "a": np.concatenate([df["subj"].to_numpy(),
+                                 df["obj"].to_numpy()]),
+            "b": np.concatenate([df["obj"].to_numpy(),
+                                 df["subj"].to_numpy()]),
+        }).drop_duplicates()
+        return pa.table({
+            "a": pa.array(g["a"].tolist(), pa.string()),
+            "b": pa.array(g["b"].tolist(), pa.string()),
+        })
+
+    adj: dict[str, set] = {}
+    for r in triples.map_batches(edge_partial, batch_format="pyarrow",
+                                 batch_size=1 << 19).take_all():
+        adj.setdefault(r["a"], set()).add(r["b"])
+    nbrs = {k: sorted(v) for k, v in adj.items()}
+    aref = ray.put(nbrs)
+    centers = rd.from_arrow(pa.table({
+        "z": pa.array(sorted(nbrs), pa.string())}))
+
+    def wedge_pairs(batch: pa.Table) -> pa.Table:
+        nb = ray.get(aref)
+        out_a, out_b, out_s = [], [], []
+        for z in batch.column("z").to_pylist():
+            ns = nb[z]
+            if len(ns) < 2:
+                continue
+            w = (1 << 20) // len(ns)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    u, v = ns[i], ns[j]
+                    if v in nb.get(u, ()):  # adjacent: not a candidate
+                        continue
+                    out_a.append(u)
+                    out_b.append(v)
+                    out_s.append(w)
+        return pa.table({
+            "a": pa.array(out_a, pa.string()),
+            "b": pa.array(out_b, pa.string()),
+            "w": pa.array(np.asarray(out_s, np.int64), pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n_common": z, "ra_fp": z})
+        g = (df.groupby(["a", "b"], sort=False)["w"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({
+            "a": pa.array(g["a"].tolist(), pa.string()),
+            "b": pa.array(g["b"].tolist(), pa.string()),
+            "n_common": pa.array(g["size"].to_numpy(np.int64),
+                                 pa.int64()),
+            "ra_fp": pa.array(g["sum"].to_numpy(np.int64),
+                              pa.int64()),
+        })
+
+    pairs = centers.map_batches(wedge_pairs, batch_format="pyarrow")
+    return pairs.sort(["a", "b"]).map_batches(
+        complete, batch_format="pyarrow", batch_size=None)

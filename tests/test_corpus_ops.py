@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
     "emb_outliers", "events_ltv", "emb_coverage", "events_velocity",
     "events_l_diversity", "events_forecast", "corpus_coverage_select",
+    "events_funnel3", "kg_link_ra",
 ]
 
 
@@ -2763,3 +2764,59 @@ def test_coverage_select_planted_greedy(ray_session):
     assert out["doc_id"].tolist() == [0, 2, 1]
     assert out["gain"].tolist() == [4, 2, 0]
     assert out["covered_total"].tolist() == [4, 6, 6]
+
+
+def test_funnel3_planted_sequence(ray_session):
+    """Strict-sequence semantics on a crafted user: a click BEFORE
+    the first view does not count; stages reflect reachable depth."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import funnel3
+
+    S = 1_000_000
+    rows = [  # user 1: click(1s) view(2s) click(3s) purchase(4s) -> 3
+        (1, 1 * S, "click"), (1, 2 * S, "view"),
+        (1, 3 * S, "click"), (1, 4 * S, "purchase"),
+        # user 2: view(1s) purchase(2s) -> stage 1 (no click between)
+        (2, 1 * S, "view"), (2, 2 * S, "purchase"),
+        # user 3: purchase only -> absent (never reached step 1)
+        (3, 1 * S, "purchase"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "ts": pa.array([t for _, t, _ in rows], pa.timestamp("us")),
+        "event_type": pa.array([e for _, _, e in rows], pa.string()),
+    })
+    out = (funnel3(rd.from_arrow(tbl).repartition(2)).to_pandas()
+           .set_index("user_id").sort_index())
+    assert out.loc[1, "stage"] == 3
+    assert out.loc[1, ["t1_us", "t2_us", "t3_us"]].tolist() \
+        == [2 * S, 3 * S, 4 * S]
+    assert out.loc[2, "stage"] == 1
+    assert 3 not in out.index
+
+
+def test_link_ra_planted(ray_session):
+    """A path a-z-b (deg(z)=2) scores the non-edge (a,b) exactly
+    2^20 // 2; adjacent pairs never appear."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import (
+        link_prediction_ra)
+
+    pairs = [("a", "z"), ("z", "b"), ("a", "c"), ("c", "b")]
+    t = rd.from_arrow(pa.table({
+        "subj": pa.array([x for x, _ in pairs], pa.string()),
+        "pred": pa.array(["co_occurs"] * 4, pa.string()),
+        "obj": pa.array([y for _, y in pairs], pa.string()),
+    }))
+    out = (link_prediction_ra(t).to_pandas()
+           .set_index(["a", "b"]))
+    # (a, b) has common neighbors z and c, each degree 2
+    assert out.loc[("a", "b"), "n_common"] == 2
+    assert out.loc[("a", "b"), "ra_fp"] == 2 * ((1 << 20) // 2)
+    # adjacent pairs are excluded
+    assert ("a", "z") not in out.index and ("z", "b") not in out.index
