@@ -2717,6 +2717,37 @@ def _coverage_select_sql(k: int = 5) -> str:
     return "".join(parts)
 
 
+def _q_events_pareto(sf_dir: str):
+    """Revenue concentration: exact share of total cents carried by
+    the top decile of users (cents DESC, user ASC) — per-user totals
+    + running top-m driver fold, no global value sort."""
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        revenue_concentration)
+
+    return revenue_concentration(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "value"]))
+
+
+def _q_multimodal_resize_rowsonly(sf_dir: str):
+    """Image resize actor pool over synthesized BMP/PPM payloads ->
+    resized PPM payloads (binary outputs — rows-only like the decode
+    and frame queries); completes the multimodal query family."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.stages.multimodal import (
+        resize_images, synth_media_table)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return resize_images(rd.from_arrow(synth_media_table(docs)),
+                         out_w=8, out_h=8)
+
+
 def _q_events_funnel3(sf_dir: str):
     """Three-step strict-sequence funnel (view -> click -> purchase):
     per-user reached stage + step timestamps; type filter pre-shuffle,
@@ -3436,6 +3467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_coverage_select": _q_corpus_coverage_select,
         "events_funnel3": _q_events_funnel3,
         "kg_link_ra": _q_kg_link_ra,
+        "events_pareto": _q_events_pareto,
+        "multimodal_resize_rowsonly": _q_multimodal_resize_rowsonly,
     }
 
 
@@ -7963,4 +7996,24 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                  GROUP BY 1, 2)
         SELECT a, b, n_common, ra_fp FROM cand
     """)
+    # revenue concentration: top-decile share, exact integers
+    sql["events_pareto"] = """
+        WITH t AS (SELECT user_id,
+                          CAST(sum(CAST(round(CAST(value AS DOUBLE)
+                               * 100) AS BIGINT)) AS BIGINT) AS cents
+                   FROM events GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(cents) AS BIGINT) AS total FROM t),
+        r AS (SELECT cents, row_number() OVER (
+                  ORDER BY cents DESC, user_id) AS rn FROM t),
+        top AS (SELECT CAST(count(*) AS BIGINT) AS top_users,
+                       CAST(sum(cents) AS BIGINT) AS top_cents
+                FROM r, n WHERE rn <= greatest(n.n_users // 10, 1))
+        SELECT n.n_users, n.total AS total_cents, top.top_users,
+               top.top_cents,
+               CAST(top.top_cents * 1000
+                    // greatest(n.total, 1) AS BIGINT)
+                   AS share_per_mille
+        FROM n, top
+    """
     return sql

@@ -2747,3 +2747,90 @@ def funnel3(events: rd.Dataset, *,
             .sort("user_id")
             .map_batches(per_block, batch_format="pyarrow",
                          batch_size=None))
+
+
+def revenue_concentration(events: rd.Dataset) -> pa.Table:
+    """Revenue concentration (the 80/20 check): the exact share of
+    total revenue carried by the top decile of users — ranked by
+    (total cents DESC, user_id ASC), top ``floor(n/10)`` users (>= 1)
+    — the whale-dependence number a monetization review reads.
+
+    Shape: per-user exact-cents totals via batch partials + ONE user
+    sort + block completion (the established per-user aggregate), a
+    count/total fold, then a RUNNING TOP-M selection over the
+    streaming user-total rows (O(m) driver state, the dsir_select
+    single-driver tree-fold degenerate — no global value sort).
+
+    Output pa.Table, one row: (n_users, total_cents, top_users,
+    top_cents, share_per_mille)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cents": _round_half_away(v * 100),
+        })
+        g = df.groupby("user_id", sort=False)["cents"] \
+            .sum().reset_index()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64),
+                              pa.int64()),
+        })
+
+    def complete(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "cents": z})
+        g = df.groupby("user_id", sort=False)["cents"] \
+            .sum().reset_index()
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64),
+                              pa.int64()),
+        })
+
+    totals = (events.map_batches(partials, batch_format="pyarrow",
+                                 batch_size=1 << 19)
+              .sort("user_id")
+              .map_batches(complete, batch_format="pyarrow",
+                           batch_size=None)
+              .materialize())  # consumed twice (count + top-m)
+
+    n_users = 0
+    total = 0
+    for blk in totals.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        n_users += blk.num_rows
+        total += int(np.sum(blk.column("cents").to_numpy(
+            zero_copy_only=False)))
+    if n_users == 0:
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_users": z, "total_cents": z,
+                         "top_users": z, "top_cents": z,
+                         "share_per_mille": z})
+    m = max(n_users // 10, 1)
+    # running top-m: keep at most m rows by (cents DESC, user ASC)
+    best_c = np.empty(0, np.int64)
+    best_u = np.empty(0, np.int64)
+    for blk in totals.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        c = np.concatenate([best_c, blk.column("cents").to_numpy(
+            zero_copy_only=False).astype(np.int64)])
+        u = np.concatenate([best_u, blk.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)])
+        order = np.lexsort((u, -c))[:m]
+        best_c, best_u = c[order], u[order]
+    top_cents = int(best_c.sum())
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "total_cents": pa.array([total], pa.int64()),
+        "top_users": pa.array([len(best_c)], pa.int64()),
+        "top_cents": pa.array([top_cents], pa.int64()),
+        "share_per_mille": pa.array(
+            [top_cents * 1000 // max(total, 1)], pa.int64()),
+    })

@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
     "emb_outliers", "events_ltv", "emb_coverage", "events_velocity",
     "events_l_diversity", "events_forecast", "corpus_coverage_select",
-    "events_funnel3", "kg_link_ra",
+    "events_funnel3", "kg_link_ra", "events_pareto",
 ]
 
 
@@ -2820,3 +2820,40 @@ def test_link_ra_planted(ray_session):
     assert out.loc[("a", "b"), "ra_fp"] == 2 * ((1 << 20) // 2)
     # adjacent pairs are excluded
     assert ("a", "z") not in out.index and ("z", "b") not in out.index
+
+
+def test_pareto_planted_concentration(ray_session):
+    """20 users, one whale with 90% of revenue: top decile (2 users)
+    carries whale + runner-up exactly; split-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.events import (
+        revenue_concentration)
+
+    rows = [(u, 1.0) for u in range(1, 20)]      # 19 x 100 cents
+    rows += [(0, 171.0)]                          # whale: 17100
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "value": pa.array([v for _, v in rows], pa.float64()),
+    })
+    for parts in (1, 3):
+        out = revenue_concentration(
+            rd.from_arrow(tbl).repartition(parts)).to_pandas()
+        assert out.loc[0, "n_users"] == 20
+        assert out.loc[0, "total_cents"] == 17100 + 1900
+        assert out.loc[0, "top_users"] == 2
+        assert out.loc[0, "top_cents"] == 17100 + 100
+        assert out.loc[0, "share_per_mille"] == \
+            (17200 * 1000) // 19000
+
+
+def test_multimodal_resize_query_runs(ray_session):
+    """The resize query produces one output row per media payload
+    with resized binary columns present."""
+    import __ray_entry__ as E
+
+    out = E.queries()["multimodal_resize_rowsonly"](SF)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(df) > 0
+    assert "payload" in df.columns or len(df.columns) >= 2
