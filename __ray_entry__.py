@@ -2717,6 +2717,32 @@ def _coverage_select_sql(k: int = 5) -> str:
     return "".join(parts)
 
 
+def _q_kg_modularity(sf_dir: str):
+    """Newman modularity of the entity-TYPE partition as exact
+    integers (q_num_part = 4*m*in_c - deg_sum_c^2): do same-type
+    entities co-occur more than chance?  Type map broadcast, one
+    streaming edge pass, zero wide ops.  (The LPA partition is
+    degenerate on the dense synth graph — one community — so the
+    type partition is the non-trivial question here; the kernel
+    takes ANY (entity_id, community) table.)"""
+    import pyarrow as pa
+
+    from clinicaltransformerner_ray.pipelines.graph import (
+        modularity_report)
+
+    kg = _kg(sf_dir)
+    pairs = kg["triples"].map_batches(
+        _co_pairs, batch_format="pyarrow", batch_size=1 << 19)
+    ents = kg["entities"].to_pandas() if hasattr(
+        kg["entities"], "to_pandas") else kg["entities"]
+    comm = pa.table({
+        "entity_id": pa.array(ents["entity_id"].tolist(),
+                              pa.string()),
+        "community": pa.array(ents["type"].tolist(), pa.string()),
+    })
+    return modularity_report(pairs, comm)
+
+
 def _q_events_pareto(sf_dir: str):
     """Revenue concentration: exact share of total cents carried by
     the top decile of users (cents DESC, user ASC) — per-user totals
@@ -3469,6 +3495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_ra": _q_kg_link_ra,
         "events_pareto": _q_events_pareto,
         "multimodal_resize_rowsonly": _q_multimodal_resize_rowsonly,
+        "kg_modularity": _q_kg_modularity,
     }
 
 
@@ -8016,4 +8043,37 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    AS share_per_mille
         FROM n, top
     """
+    # modularity: the full LPA statement + the triples CTE nested,
+    # integer partition-quality numerators
+    sql["kg_modularity"] = (
+        "WITH en AS (" + sql["kg_entities"] + "),\n"
+        "lp AS (SELECT entity_id, type AS community FROM en),\n"
+        "tr AS (" + sql["kg_triples"] + """),
+        e AS (SELECT subj, obj FROM tr WHERE pred = 'co_occurs'),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        dc AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM lp GROUP BY 1),
+        ds AS (SELECT lp.community, CAST(count(*) AS BIGINT)
+                   AS deg_sum
+               FROM (SELECT subj AS v FROM e
+                     UNION ALL SELECT obj FROM e) x
+               JOIN lp ON lp.entity_id = x.v GROUP BY 1),
+        ic AS (SELECT la.community, CAST(count(*) AS BIGINT)
+                   AS in_edges
+               FROM e
+               JOIN lp la ON la.entity_id = e.subj
+               JOIN lp lb ON lb.entity_id = e.obj
+                         AND lb.community = la.community
+               GROUP BY 1)
+        SELECT dc.community, dc.n_nodes,
+               CAST(coalesce(ic.in_edges, 0) AS BIGINT) AS in_edges,
+               CAST(coalesce(ds.deg_sum, 0) AS BIGINT) AS deg_sum,
+               CAST(4 * mm.m * coalesce(ic.in_edges, 0)
+                    - coalesce(ds.deg_sum, 0)
+                      * coalesce(ds.deg_sum, 0) AS BIGINT)
+                   AS q_num_part
+        FROM dc
+        LEFT JOIN ic USING (community)
+        LEFT JOIN ds USING (community), mm
+    """)
     return sql

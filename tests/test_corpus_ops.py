@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "corpus_vocab_growth", "events_ab_test", "dedup_source_losses",
     "emb_outliers", "events_ltv", "emb_coverage", "events_velocity",
     "events_l_diversity", "events_forecast", "corpus_coverage_select",
-    "events_funnel3", "kg_link_ra", "events_pareto",
+    "events_funnel3", "kg_link_ra", "events_pareto", "kg_modularity",
 ]
 
 
@@ -2857,3 +2857,36 @@ def test_multimodal_resize_query_runs(ray_session):
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert len(df) > 0
     assert "payload" in df.columns or len(df.columns) >= 2
+
+
+def test_modularity_planted_cliques(ray_session):
+    """Two 3-cliques joined by one bridge edge: hand-derivable exact
+    integers — m=7, each clique has in=3, deg_sum=7 (bridge endpoints
+    have degree 3) -> q_num_part = 4*7*3 - 49 = 35 per community;
+    Q = 70/196 > 0 (real structure)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clinicaltransformerner_ray.pipelines.graph import (
+        modularity_report)
+
+    edges = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+             ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+             ("a1", "b1")]
+    pairs = rd.from_arrow(pa.table({
+        "subj": pa.array([x for x, _ in edges], pa.string()),
+        "obj": pa.array([y for _, y in edges], pa.string()),
+    }))
+    comm = pa.table({
+        "entity_id": pa.array(["a1", "a2", "a3", "b1", "b2", "b3"],
+                              pa.string()),
+        "community": pa.array(["A", "A", "A", "B", "B", "B"],
+                              pa.string()),
+    })
+    out = (modularity_report(pairs.repartition(3), comm)
+           .to_pandas().set_index("community"))
+    for c in ("A", "B"):
+        assert out.loc[c, "n_nodes"] == 3
+        assert out.loc[c, "in_edges"] == 3
+        assert out.loc[c, "deg_sum"] == 7
+        assert out.loc[c, "q_num_part"] == 4 * 7 * 3 - 49
